@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest-first — the standard cascade for 100 TB corpora:
+
+1. exact        — hash-groupBy on a 16-byte fingerprint (md5).  One shuffle
+                  of (fp, doc_id); the winning doc per group is min(doc_id).
+2. ngram-jaccard— shingle posting lists self-joined on the shingle: only
+                  documents SHARING a shingle ever meet, so the candidate
+                  set is sparse (vs. the O(n^2) cross join).
+3. minhash-LSH  — constant-size signatures (K hashes) banded into B buckets;
+                  candidate pairs are generated per bucket and verified with
+                  real Jaccard.  The scale path: shuffle carries K*4 bytes
+                  per doc per band, independent of document length.
+4. simhash      — 64-bit weighted fingerprint; near-dups collide on bands of
+                  bits (Hamming-distance blocking).
+
+All candidate generation and verification is DataFrame ops (explode,
+groupBy, join) — distributed end-to-end, no driver-side pair loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+__all__ = [
+    "exact_dedup_groups",
+    "exact_dedup_keep_first",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text, keep_doc_id=min(id), dup_count).
+    The groupBy key is the raw text here for oracle-comparability; the
+    at-scale variant groups on ``operators.text.fingerprint`` md5 so the
+    shuffle key is 16 bytes."""
+    return docs.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic dropDuplicates: keep the lowest-id row per identical
+    text.  Implemented as min-id semi-join rather than a row_number sort so
+    the heavy side only shuffles its key columns."""
+    keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return docs.join(keep, [text_col, id_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# 2. N-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document -> (id, shingle) posting
+    list.  Built with sequence/transform/slice array expressions (JVM-side,
+    no UDF)."""
+    toks = tokenize(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    posting-list self-join: docs only compared when they share a shingle.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    At extreme scale, cap hot shingles (stopword-only grams) with a
+    document-frequency filter before the self-join.
+    """
+    post = shingles(docs, n, text_col, id_col)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = post.alias("a")
+    b = post.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K-permutation MinHash signatures over word shingles.
+
+    h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
+    Computed as explode -> groupBy(id) -> array(min(h_0)..min(h_K-1)):
+    one shuffle keyed by doc id, constant-size output per doc.
+    """
+    post = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = post.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
+
+    Band the K-hash signature into `bands` groups of K/bands rows; docs
+    agreeing on any full band land in one bucket (hash of the band slice).
+    Candidates = pairs within a bucket; each candidate is then verified
+    against the exact n-gram Jaccard so the output has no false positives
+    (false negatives bounded by the S-curve of (bands, rows)).
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at("signature", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, n, 0.0, text_col, id_col)
+    return cands.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per-bit +-1 votes over token hashes,
+    sign of the vote sum becomes the bit.
+
+    Layout: explode tokens -> one hash column -> 64 conditional-sum
+    aggregates (fixed shift amounts, all map-side combinable) -> pack bits.
+    One shuffle keyed by doc id carrying 64 partial sums per doc — scale
+    behavior identical to any other hash aggregate.
+    Output: (id, simhash long)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = bit if packed is None else packed.bitwiseXOR(bit)
+    return votes.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidates by SimHash Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit hash into (max_hamming+1) 16-bit bands — by
+    pigeonhole, any pair within the distance budget agrees on >= 1 band, so
+    the join is band-equality (distributed, no cross join), then verified
+    with popcount on the XOR.  Output: (doc_a, doc_b, hamming).
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sh = simhash(docs, text_col, id_col)
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    blocked = sh.select(id_col, "simhash", F.explode(bandarr).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.key").alias("key")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

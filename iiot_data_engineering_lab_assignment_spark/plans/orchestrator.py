@@ -1,0 +1,82 @@
+"""Nightly orchestrated flow (SURVEY.md section 3.4).
+
+The reference SPECIFIES (PDF p.4 Task 5) but never implements a Prefect
+flow: check source connectivity -> check lake connectivity -> run the
+Spark ETL -> verify the written record counts; 2-3 retries with 10-30 s
+delays, per-step logging, nightly 02:00 UTC schedule.
+
+This is that flow as a plain-Python orchestrator around the engine's job
+API — no Prefect dependency (cron/Airflow/Prefect can all call ``run()``).
+Retries/backoff are per step; verification compares written counts to
+source counts, the reference's "verify Delta data" deliverable.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+log = logging.getLogger("iiot.orchestrator")
+
+__all__ = ["StepResult", "NightlyFlow"]
+
+
+@dataclass
+class StepResult:
+    name: str
+    ok: bool
+    attempts: int
+    elapsed_s: float
+    detail: str = ""
+
+
+@dataclass
+class NightlyFlow:
+    """Retrying step runner.  Steps are (name, callable) pairs; a callable
+    returns a detail string (or raises).  ``max_retries``/``retry_delay_s``
+    mirror the PDF's 2-3 retries / 10-30 s guidance (delay shrunk for
+    tests via constructor)."""
+
+    max_retries: int = 3
+    retry_delay_s: float = 10.0
+    results: list[StepResult] = field(default_factory=list)
+
+    def step(self, name: str, fn: Callable[[], str | None]) -> StepResult:
+        t0 = time.time()
+        last_err: Exception | None = None
+        for attempt in range(1, self.max_retries + 1):
+            try:
+                detail = fn() or ""
+                r = StepResult(name, True, attempt, time.time() - t0, detail)
+                log.info("step %s ok (attempt %d): %s", name, attempt, detail)
+                self.results.append(r)
+                return r
+            except Exception as e:  # noqa: BLE001 - orchestrator boundary
+                last_err = e
+                log.warning("step %s failed attempt %d/%d: %s", name, attempt, self.max_retries, e)
+                if attempt < self.max_retries:
+                    time.sleep(self.retry_delay_s)
+        r = StepResult(name, False, self.max_retries, time.time() - t0, str(last_err))
+        self.results.append(r)
+        return r
+
+    def run_etl_flow(
+        self,
+        check_source: Callable[[], str | None],
+        check_lake: Callable[[], str | None],
+        run_job: Callable[[], str | None],
+        verify: Callable[[], str | None],
+    ) -> bool:
+        """The Task-5 step sequence.  Stops at the first failed step (a
+        failed connectivity check must not launch the job)."""
+        for name, fn in (
+            ("check_source", check_source),
+            ("check_lake", check_lake),
+            ("run_spark_job", run_job),
+            ("verify_counts", verify),
+        ):
+            if not self.step(name, fn).ok:
+                return False
+        return True

@@ -1,0 +1,1034 @@
+"""Query registry: every operator from SURVEY.md section 2 as a named query
+with (where SQL-expressible) a DuckDB oracle.
+
+This module IS the engine's coverage contract — ``__spark_entry__.py``
+exposes it to the driver.  Conventions that keep the cross-engine value
+hash stable:
+
+* Every computed column is aliased identically in the Spark plan and the
+  oracle SQL.
+* Money-like SUMs go through DECIMAL (exact, order-independent) and are
+  cast back to DOUBLE — float summation order differs between engines and
+  would flip low bits.
+* AVGs (and other intrinsically-float results) are rounded to 6 decimals
+  on both sides.
+* Top-k queries carry a deterministic tiebreak key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.scalars import date_parts, iso8601, json_field
+from .operators.aggregates import grouped_stats
+from .operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from .operators.joins import anti_join, join_dim, join_fact, semi_join
+from .operators.similarity import brute_force_topk, centroids, lsh_topk
+from .operators.text import fingerprint, language_id, quality_score, text_stats
+from .operators.windows import (
+    analytic_over,
+    session_rollup,
+    sliding_rollup,
+    tumbling_rollup,
+)
+from .sources.readers import load_table, register_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def dsum(col, name, prec="decimal(18,4)"):
+    """Exact, order-independent SUM of a money-like double: route through
+    DECIMAL, emit DOUBLE.  Oracle twin: CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.sum(c.cast(prec)).cast("double").alias(name)
+
+
+def ravg(col, name):
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.round(F.avg(c), 6).alias(name)
+
+
+# ===========================================================================
+# IIoT-parity core (SURVEY.md sections 2.3-2.5, 2.7)
+# ===========================================================================
+
+
+@register(
+    "sensor_rollup_1m",
+    """
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+           user_id, event_type,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sensor_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — the reference's core computation (A1+A2+W1,
+    flink-jobs/sensor_aggregation.py:83-98) in batch over `events`:
+    1-minute tumbling window x (user, type) -> AVG/MIN/MAX/COUNT."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_rollup(ev, "ts", "1 minute", ["user_id", "event_type"])
+    return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+@register(
+    "sensor_rollup_5m_by_user",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           user_id,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def sensor_rollup_5m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 variant: wider window, single grouping key."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_rollup(ev, "ts", "5 minutes", ["user_id"])
+    return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+@register(
+    "sliding_rollup_1m_30s",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '30 seconds', ts) AS w0, user_id, event_type, value
+      FROM events
+    ), expanded AS (
+      SELECT w0 AS window_start, user_id, event_type, value FROM buckets
+      UNION ALL
+      SELECT w0 - INTERVAL '30 seconds' AS window_start, user_id, event_type, value FROM buckets
+    )
+    SELECT window_start, window_start + INTERVAL '1 minute' AS window_end,
+           user_id, event_type,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM expanded
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def sliding_rollup_1m_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: sliding (HOP) window 1 min / 30 s
+    (flink-jobs/sensor_aggregation.py:100-117; PDF Task 3 req 3).  Oracle
+    expands each row into its two overlapping windows explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_rollup(ev, "ts", "1 minute", "30 seconds", ["user_id", "event_type"])
+    return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+@register(
+    "session_rollup_5m",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT MIN(ts) AS window_start,
+           MAX(ts) + INTERVAL '5 minutes' AS window_end,
+           user_id,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM sessions
+    GROUP BY user_id, sess
+    """,
+)
+def session_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 5 min) per user — extension of the reference's
+    window family (Flink offers SESSION; unused there).  Oracle is the
+    gaps-and-islands formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_rollup(ev, "ts", "5 minutes", ["user_id"])
+    return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+@register(
+    "events_passthrough",
+    "SELECT user_id, event_type, value, ts AS timestamp FROM events",
+)
+def events_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: the raw-passthrough projection/rename
+    (flink-jobs/sensor_aggregation.py:76-80): 4-of-N columns with the
+    event-time column renamed to `timestamp`."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type", "value", F.col("ts").alias("timestamp"))
+
+
+@register(
+    "date_partition_derivation",
+    """
+    SELECT event_id, ts,
+           CAST(year(ts) AS INTEGER) AS year,
+           CAST(month(ts) AS INTEGER) AS month,
+           CAST(day(ts) AS INTEGER) AS day
+    FROM events
+    """,
+)
+def date_partition_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (+F3): the ETL's partition-key derivation
+    (spark-jobs/timescale_to_deltalake.py:36) — year/month/day from the
+    event timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "ts", *date_parts("ts"))
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction on the event payload (F8 family;
+    get_json_object) — the engine's generic semi-structured accessor."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", json_field("props", "k").cast("long").alias("k"))
+
+
+@register(
+    "filter_user_time_range",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE user_id = 7
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+)
+def filter_user_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-implied predicate pattern (init-db.sql:19 — machine+time
+    lookup).  Both predicates push to the parquet scan (PushedFilters) and
+    the ts range prunes row groups via int64 min/max stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("user_id") == 7)
+        & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "filter_type_threshold",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE event_type IN ('error', 'purchase') AND value > 50.0
+    """,
+)
+def filter_type_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second index-implied pattern (init-db.sql:20 — sensor_type lookup)
+    with a value predicate; IN-list + comparison both pushed down."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isin("error", "purchase") & (F.col("value") > 50.0)
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+@register(
+    "scalar_roundtrip",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso_ts,
+           ts AS parsed_ts,
+           ROUND(value, 1) AS value_r1
+    FROM events
+    """,
+)
+def scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F5/F6: format the event time to the producer's ISO-8601 'T'
+    wire format (ingest_data.py:66), parse it back (the engine's
+    parse_event_time — Flink needed REPLACE(,'T',' '), Spark does not),
+    and round the value."""
+    from .functions.scalars import parse_event_time
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        iso8601("ts").alias("iso_ts"),
+        parse_event_time(iso8601("ts")).alias("parsed_ts"),
+        F.round("value", 1).alias("value_r1"),
+    )
+
+
+@register(
+    "retention_filter",
+    """
+    SELECT COUNT(*) AS retained_rows,
+           MIN(ts) AS oldest_retained
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL '21 days'
+    """,
+)
+def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: the retention-policy predicate (init-db.sql:43-44, 90-day drop)
+    expressed as a scalar-subquery SQL — exercises the engine's SQL surface
+    (views + spark.sql).  21 days so the fixture keeps rows."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS retained_rows,
+               MIN(ts) AS oldest_retained
+        FROM events
+        WHERE ts >= (SELECT MAX(ts) FROM events) - INTERVAL '21' DAY
+        """
+    )
+
+
+# ===========================================================================
+# Extended relational surface (SURVEY.md section 2.6 contract):
+# joins / sorts / top-k / set ops / distinct / rollup / analytic windows
+# on the TPC-H-ish star schema.
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filtered multi-aggregate — the canonical
+    pricing summary.  Sums routed through DECIMAL for cross-engine
+    exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dp = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    charge = dp * (F.lit(1) + F.col("l_tax").cast("decimal(8,4)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(dp).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            ravg("l_quantity", "avg_qty"),
+            ravg("l_extendedprice", "avg_price"),
+            ravg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with deterministic tiebreak — plans as
+    TakeOrderedAndProject (per-partition heaps, driver merge of P*k rows),
+    not a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "customer_order_revenue",
+    """
+    SELECT c_custkey, c_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def customer_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-equi join + aggregate: revenue per customer.  orders shuffles on
+    o_custkey once and the aggregate reuses that partitioning."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders")
+    joined = join_fact(o, c, o.o_custkey == c.c_custkey)
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        dsum("o_totalprice", "total_spent"),
+    )
+
+
+@register(
+    "region_customer_count",
+    """
+    SELECT r_name, COUNT(*) AS customer_cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name
+    """,
+)
+def region_customer_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain join (region->nation->customer) with both dims
+    broadcast: the fact side never shuffles for the join; only the final
+    5-group aggregate exchanges data."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    dim = join_dim(n, r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name")
+    joined = join_dim(c, dim, c.c_nationkey == F.col("n_nationkey"))
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("customer_cnt"),
+        dsum("c_acctbal", "total_acctbal"),
+    )
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one finished order.
+    The right side reduces to its join key before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no pending orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@register(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving zero-order customers; COUNT(col) ignores
+    the NULLs the outer side introduces."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    joined = join_fact(c, o, c.c_custkey == o.o_custkey, "left")
+    return joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("order_cnt"))
+
+
+@register(
+    "distinct_nations_per_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate alongside a plain count (two-phase distinct
+    expansion handled by Catalyst)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "rollup_order_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           ROUND(AVG(o_totalprice), 6) AS avg_value,
+           MIN(o_totalprice) AS min_value,
+           MAX(o_totalprice) AS max_value,
+           COUNT(*) AS count_rows
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (grouping sets) — extended aggregate
+    surface (SURVEY.md section 2.4 note)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = grouped_stats(o, ["o_orderstatus", "o_orderpriority"], "o_totalprice", mode="rollup")
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("sum_value").cast("decimal(18,4)").cast("double").alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+        "min_value",
+        "max_value",
+        "count_rows",
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS count_rows
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two keys — all 4 grouping sets in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("count_rows")
+    )
+
+
+@register(
+    "rank_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    """,
+)
+def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ROW_NUMBER: each customer's single largest order
+    (deterministic tiebreak).  Partitioned window — one shuffle on
+    o_custkey, per-partition sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    spec = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(spec))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "lag_delta_per_user",
+    """
+    SELECT event_id, user_id, ts, value,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def lag_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic LAG: per-user consecutive reading delta (the change-detection
+    primitive for sensor streams).  Unique (ts, event_id) ordering keeps it
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(spec), 6).alias("delta"),
+    )
+
+
+@register(
+    "moving_avg_per_user",
+    """
+    SELECT event_id, user_id, ts,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+    FROM events
+    """,
+)
+def moving_avg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame moving average (4-reading smoothing window per user)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spec = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(spec), 6).alias("mov_avg"),
+    )
+
+
+@register(
+    "set_intersect_buyers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: BUILDING-segment customers who have finished orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    right = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return left.intersect(right)
+
+
+@register(
+    "set_except_inactive",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def set_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: MACHINERY-segment customers with no pending orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    right = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return left.exceptAll(right).distinct()
+
+
+@register(
+    "union_high_value_parties",
+    """
+    SELECT * FROM (
+      SELECT 'customer' AS kind, c_custkey AS key, c_acctbal AS bal
+      FROM customer WHERE c_acctbal > 9000
+      UNION ALL
+      SELECT 'supplier' AS kind, s_suppkey AS key, s_acctbal AS bal
+      FROM supplier WHERE s_acctbal > 9000
+    )
+    """,
+)
+def union_high_value_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two heterogeneous scans normalized to a common shape."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    left = c.filter(F.col("c_acctbal") > 9000).select(
+        F.lit("customer").alias("kind"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    right = s.filter(F.col("s_acctbal") > 9000).select(
+        F.lit("supplier").alias("kind"),
+        F.col("s_suppkey").alias("key"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return left.unionAll(right)
+
+
+@register(
+    "order_lineitem_join_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o.o_orderkey) AS order_cnt,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def order_lineitem_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (orders x lineitem) with a pushed-down date filter —
+    the shuffle-join workhorse; the orderdate predicate prunes before the
+    exchange, AQE right-sizes the post-shuffle partitions."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    )
+    joined = join_fact(li, o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("order_cnt"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+# ===========================================================================
+# Training-data pipeline extensions: dedup / similarity / text analysis
+# (SURVEY.md section 7.6)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT text, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate grouping over the corpus (hash groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs)
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+)
+def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates: lowest doc_id survives per text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_keep_first(docs)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup candidates: exact 3-gram Jaccard >= 0.4 via shingle
+    posting-list self-join (no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.4)
+
+
+@register("minhash_lsh_pairs", None)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidate pairs verified by exact Jaccard.
+    Hash functions are engine-internal (xxhash64) so there is no SQL
+    oracle; tests assert consistency against ngram_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3, threshold=0.4)
+
+
+@register("simhash_pairs", None)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming <= 3, banded blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+@register(
+    "text_stats_per_doc",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS char_len,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           ROUND((length(text) - len(string_split(text, ' ')) + 1)
+                 / len(string_split(text, ' ')), 6) AS mean_token_len,
+           ROUND(len(list_distinct(string_split(text, ' ')))
+                 / len(string_split(text, ' ')), 6) AS type_token_ratio
+    FROM documents
+    """,
+)
+def text_stats_per_doc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document statistics: char/token counts, mean token length,
+    type-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs).select(
+        "doc_id", "char_len", "n_tokens", "n_distinct_tokens",
+        "mean_token_len", "type_token_ratio",
+    )
+
+
+@register(
+    "token_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def token_stats_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language (the budget question every
+    training-data pipeline answers first)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "quality_filter_en",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dis,
+             length(text) AS n_len
+      FROM documents
+      WHERE lang = 'en'
+    )
+    SELECT doc_id, lang,
+           ROUND(LEAST(1.0, n_tok / 50.0) * 0.5
+                 + (n_dis / n_tok) * 0.3
+                 + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2,
+                 6) AS quality_score
+    FROM scored
+    WHERE LEAST(1.0, n_tok / 50.0) * 0.5 + (n_dis / n_tok) * 0.3
+          + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2 >= 0.5
+    """,
+)
+def quality_filter_en_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language + quality gate: English docs passing the heuristic quality
+    score >= 0.5 (C4/Gopher-style length & diversity rules)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        quality_score(docs)
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 fingerprint — the 16-byte exact-dup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+@register("language_id_pred", None)
+def language_id_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language identification (heuristic; deterministic).
+    Rows-only check — the marker lists are engine configuration, not SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id,
+             ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+                   / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      FROM embeddings, q
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector — the
+    exact ANN baseline.  Pure zip_with/aggregate array math (JVM, no UDF);
+    TakeOrderedAndProject avoids a global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return brute_force_topk(emb, qvec, k=10)
+
+
+@register("lsh_topk", None)
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing (multi-probe
+    Hamming<=2).  Approximate => rows-only; recall vs brute force asserted
+    in tests."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rng = np.random.RandomState(7)
+    planes = rng.randn(8, len(qvec)).tolist()
+    return lsh_topk(emb, qvec, planes, k=10, probe_hamming=2)
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, i - 1 AS pos, ROUND(AVG(e), 6) AS centroid_v
+    FROM (
+      SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS e,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long form (label, dim position, mean value) —
+    the k-means/IVF coarse-quantizer building block."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroids(emb)
+
+
+# ===========================================================================
+# Streaming (SURVEY.md sections 2.5, 2.8) — batch/streaming parity
+# ===========================================================================
+
+
+@register(
+    "stream_tumbling_1m",
+    """
+    SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
+           time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+           user_id, event_type,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def stream_tumbling_1m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3 as a REAL Structured Streaming job: file-source replay of
+    `events` with availableNow trigger, watermarked tumbling window,
+    in-memory sink.  Complete output mode => result equals the batch
+    rollup, which is exactly the PDF Task 4.2 parity property; the oracle
+    is the batch SQL."""
+    from .streaming.jobs import run_events_stream_rollup
+
+    return run_events_stream_rollup(spark, sf_dir)
+
+
+# ===========================================================================
+# Deterministic IIoT generator (S4) — reference parity for
+# ingestion/ingest_data.py, rows-only (RNG is engine-internal)
+# ===========================================================================
+
+
+@register("iiot_backfill_rollup", None)
+def iiot_backfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end in batch: 7-day hourly Gaussian
+    backfill (2,688 readings = 168 ticks x 4 machines x 4 sensors,
+    ingest_data.py:90-118) -> machine-dim broadcast join -> per
+    (machine, sensor) rollup.  Deterministic for fixed seed+partitioning."""
+    from .operators.aggregates import sensor_rollup
+    from .sources.generator import generate_backfill, machines_df
+
+    readings = generate_backfill(spark, seed=42)
+    dim = machines_df(spark)
+    joined = join_dim(readings, dim, "machine_id")
+    out = sensor_rollup(joined, "machine_id", "machine_type", "location", "sensor_type")
+    return out.withColumn("avg_value", F.round("avg_value", 6))

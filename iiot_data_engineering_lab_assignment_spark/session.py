@@ -1,0 +1,101 @@
+"""SparkSession factory.
+
+The reference builds its session at spark-jobs/timescale_to_deltalake.py:11-27
+(Delta extension + Azure wasb configs). Here the session is tuned for the
+engine itself:
+
+* UTC session time zone so event-time semantics are deployment-independent
+  (the reference stores TIMESTAMPTZ in Postgres; we normalize at the session).
+* AQE on (runtime partition coalescing + skew-join splitting) - this is the
+  scale story for 100 TB shuffles; at local[32] it also keeps tiny fixture
+  shuffles from fragmenting into 200 empty tasks.
+* Arrow on for any pandas-UDF path (extension operators only - the core
+  surface is pure JVM expressions).
+* ``spark.sql.legacy.parquet.nanosAsLong`` because the `events` fixture
+  carries TIMESTAMP(NANOS) which Spark's vectorized reader otherwise
+  rejects; sources.readers converts ns->microsecond TimestampType right
+  after the scan, so downstream plans see a plain timestamp column and
+  min/max row-group skipping on the int64 still applies.
+
+Delta Lake is the intended lake format at deployment (the reference writes
+Delta 2.4, timescale_to_deltalake.py:33-37); the runtime here has no
+delta-spark package, so the lifecycle layer (plans.lifecycle) targets
+partitioned Parquet with the identical API shape and enables Delta
+transparently when the package is importable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "stop_spark"]
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def get_spark(
+    app_name: str = "iiot-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Parameters default from the environment: ``SPARK_GRAFT_CPUS`` sizes
+    local parallelism (driver contract), otherwise ``local[*]``.  On a real
+    cluster, pass ``master=None`` with ``spark.master`` preset in the
+    environment and these configs ride along unchanged.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        # One shuffle partition per core locally; a cluster deployment
+        # overrides via extra_conf (rule of thumb: 2-3x total cores, or
+        # let AQE coalesce from a high initial count).
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    if _delta_available():
+        b = b.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,179 @@
+"""Source layer: scans.
+
+Covers SURVEY.md section 2.1:
+
+* S1/S2 - streaming Kafka scan with lenient JSON decode.  The runtime here
+  has no broker, so the *decode* (the part with semantics) is a pure
+  DataFrame transform usable on any source - Kafka, file stream, or a batch
+  frame of raw strings - and the Kafka option plumbing is kept as a thin
+  builder that production callers point at a real broker.
+* S3 - JDBC batch scan.  The reference reads Postgres with NO
+  partitionColumn (spark-jobs/timescale_to_deltalake.py:29-31), i.e. one
+  task does the whole table.  ``read_jdbc_partitioned`` fixes that scaling
+  gap: it requires explicit bounds so a 100 TB table fans out across
+  executors.
+* Fixture parquet scans with the ns->us timestamp normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import FIXTURE_TABLES, SENSOR_EVENT_WIRE
+
+__all__ = [
+    "load_table",
+    "load_tables",
+    "register_views",
+    "read_json_lenient",
+    "decode_sensor_json",
+    "kafka_stream_reader",
+    "read_jdbc_partitioned",
+]
+
+#: Parquet columns stored as TIMESTAMP(NANOS), which the session reads as
+#: int64 (spark.sql.legacy.parquet.nanosAsLong) - converted at scan time.
+_NANOS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine depends on, applied defensively so
+    externally-built sessions (the driver's harness) read fixtures the same
+    way session.get_spark does."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table, normalizing TIMESTAMP(NANOS) columns to
+    microsecond TimestampType.
+
+    The conversion is a cheap projection on top of the columnar scan;
+    int64 min/max row-group statistics still drive data skipping for
+    time-range predicates, and Catalyst pushes any other filter below
+    the projection.
+    """
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            # integer `div`, not `/`: float division of int64 nanos loses
+            # sub-microsecond bits (ulp(1e18) = 256 ns) and mis-truncates
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in FIXTURE_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so the SQL surface
+    (spark.sql) sees the same relations the DataFrame surface does."""
+    for t in FIXTURE_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Lenient JSON decode (S2) - reference: sensor_aggregation.py:31-32
+#   'json.fail-on-missing-field'='false'  -> missing field => NULL
+#   'json.ignore-parse-errors'='true'     -> corrupt record => dropped
+# ---------------------------------------------------------------------------
+
+
+def decode_sensor_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode a column of JSON strings into sensor-event rows with the
+    reference's tolerance semantics: missing fields become NULL, rows whose
+    JSON fails to parse are dropped.
+
+    ``from_json`` returns a NULL struct for unparseable input, so the drop
+    is a null filter - fully JVM-side, no UDF.
+    """
+    parsed = raw.select(F.from_json(F.col(value_col), SENSOR_EVENT_WIRE).alias("j"))
+    return parsed.filter(F.col("j").isNotNull()).select("j.*")
+
+
+def read_json_lenient(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Batch file-JSON scan with the same tolerance: PERMISSIVE mode keeps a
+    corrupt-record column which we use to drop unparseable rows."""
+    schema = schema or SENSOR_EVENT_WIRE
+    with_corrupt = schema.add("_corrupt_record", "string")
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+
+
+# ---------------------------------------------------------------------------
+# Kafka source plumbing (S1) - reference: sensor_aggregation.py:16-34
+# ---------------------------------------------------------------------------
+
+
+def kafka_stream_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "machine-sensors",
+    starting_offsets: str = "earliest",
+):
+    """Streaming Kafka scan mirroring the reference source table: topic
+    machine-sensors, earliest offsets (sensor_aggregation.py:26-33).
+
+    Returns the reader (caller `.load()`s it); the decoded stream is
+    ``decode_sensor_json(reader.load().selectExpr("CAST(value AS STRING) AS value"))``.
+    Not exercised in tests (no broker in the runtime) - streaming tests use
+    file sources with identical downstream semantics.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+
+
+# ---------------------------------------------------------------------------
+# JDBC scan (S3) - fixing the reference's single-partition read
+# ---------------------------------------------------------------------------
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned JDBC scan.  The reference omits partitionColumn
+    (timescale_to_deltalake.py:31) so Spark issues ONE query and one task
+    reads the whole hypertable - a non-starter at scale.  Bounds are
+    mandatory here: N partitions -> N range-predicated queries in parallel.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .option("fetchsize", "10000")
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

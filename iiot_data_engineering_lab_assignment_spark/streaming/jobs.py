@@ -1,0 +1,179 @@
+"""Structured Streaming jobs (SURVEY.md sections 2.5, 2.8, 3.1).
+
+The reference's streaming job (flink-jobs/sensor_aggregation.py) is:
+Kafka -> lenient JSON -> event_time + 5s watermark -> (a) raw passthrough
+sink, (b) 1-min tumbling AVG/MIN/MAX/COUNT sink — one source feeding two
+sinks (create_statement_set, :73-98).
+
+Spark-native equivalents here:
+
+* ``streaming_rollup`` — withWatermark + window() groupBy: the SAME window
+  expression as operators.windows drives batch and stream, so
+  batch/streaming parity (PDF Task 4.2) holds by construction.
+* ``fan_out_two_sinks`` — the K4 multi-sink shape via one foreachBatch
+  that persists the micro-batch and writes it twice (single-read
+  semantics), the Spark analogue of Flink's statement set.
+* File-source replay with availableNow trigger stands in for Kafka in the
+  test environment (same exactly-once + watermark semantics; the Kafka
+  reader in sources.readers swaps in transparently).
+
+State scale note: the windowed aggregation keeps one state row per open
+(window x keys) group — bounded by watermark eviction.  At production
+volumes use the RocksDB state store provider; the logic is unchanged.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import ROLLUP_AGGS
+from ..sources.readers import _ensure_session_confs
+
+__all__ = [
+    "events_file_stream",
+    "streaming_rollup",
+    "run_events_stream_rollup",
+    "fan_out_two_sinks",
+]
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture (file-source replay, T3's
+    earliest-offset reprocessing analogue).  Schema comes from the batch
+    footer read; the TIMESTAMP(NANOS) column arrives as int64 and is
+    converted exactly like the batch reader."""
+    _ensure_session_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file-stream source needs a directory to monitor; the fixture is a
+    # single file, so stage a symlink under a temp dir (zero copy).
+    stage = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(Path(path).resolve())
+    stream = spark.readStream.schema(schema).parquet(str(stage))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    time_col: str = "ts",
+    duration: str = "1 minute",
+    watermark: str = "5 seconds",
+    group_cols: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """W1+W3 streaming form: watermarked tumbling rollup.
+
+    The 5-second watermark mirrors the reference's out-of-order bound
+    (sensor_aggregation.py:23); events later than watermark are dropped
+    from closed windows (T2).
+    """
+    group_cols = group_cols or []
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, duration).alias("window"), *group_cols)
+        .agg(*ROLLUP_AGGS(value_col))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "avg_value",
+            "min_value",
+            "max_value",
+            "count_readings",
+        )
+    )
+
+
+def run_events_stream_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 minute",
+    group_cols: list[str] | None = None,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Run the full streaming rollup over the events fixture with an
+    availableNow trigger and an in-memory sink; returns the materialized
+    result.  Complete mode emits every window (open + closed), so the
+    result equals the batch rollup exactly — the parity oracle."""
+    group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
+    stream = events_file_stream(spark, sf_dir)
+    agg = streaming_rollup(stream, "ts", duration, "5 seconds", group_cols).withColumn(
+        "avg_value", F.round("avg_value", 6)
+    )
+    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def fan_out_two_sinks(
+    stream: DataFrame,
+    raw_writer,
+    agg_writer,
+    time_col: str = "ts",
+    duration: str = "1 minute",
+    watermark: str = "5 seconds",
+    group_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """K4: ONE source, TWO sinks — the reference's statement-set shape
+    (sensor_aggregation.py:73-98): raw passthrough (K3) plus windowed
+    aggregate (K2) from a single read.
+
+    ``raw_writer(df)`` / ``agg_writer(df)`` receive each micro-batch as a
+    plain batch DataFrame (foreachBatch), so any batch sink — JDBC, Kafka,
+    partitioned parquet/Delta — plugs in.  The micro-batch is persisted so
+    the two writes share one evaluation.
+
+    Aggregation state cannot live inside foreachBatch across batches, so
+    the aggregate leg recomputes per micro-batch over the batch it sees;
+    with availableNow single-batch replay this equals the batch rollup.
+    For continuous production jobs prefer two writeStream queries sharing
+    the source (Spark dedupes the scan per query; Kafka re-serves both).
+    """
+    group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fanout_")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            raw_writer(batch_df)
+            agg = (
+                batch_df.groupBy(F.window(time_col, duration).alias("window"), *group_cols)
+                .agg(*ROLLUP_AGGS("value"))
+                .select(
+                    F.col("window.start").alias("window_start"),
+                    F.col("window.end").alias("window_end"),
+                    *group_cols,
+                    "avg_value",
+                    "min_value",
+                    "max_value",
+                    "count_readings",
+                )
+            )
+            agg_writer(agg)
+        finally:
+            batch_df.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).option("checkpointLocation", ckpt)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
