@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query is fully executed (count() action over the final plan) —
+timings include scan, shuffle, and aggregation, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from iiot_data_engineering_lab_assignment_spark import registry  # noqa: E402
+from iiot_data_engineering_lab_assignment_spark.session import get_spark  # noqa: E402
+
+#: The headline set: the flagship IIoT rollups plus the heaviest
+#: representative of each operator family (scan-agg, join, window,
+#: dedup, similarity, text, streaming).
+HEADLINE = [
+    "sensor_rollup_1m",
+    "sliding_rollup_1m_30s",
+    "session_rollup_5m",
+    "q1_pricing_summary",
+    "customer_order_revenue",
+    "order_lineitem_join_agg",
+    "rank_orders_per_customer",
+    "dedup_exact_groups",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "text_stats_per_doc",
+    "stream_tumbling_1m",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    # warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-call class loading
+    registry.QUERIES["events_passthrough"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.QUERIES[name]
+        t0 = time.time()
+        spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

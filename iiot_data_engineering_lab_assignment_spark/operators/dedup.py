@@ -198,8 +198,31 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, n, 0.0, text_col, id_col)
-    return cands.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
+    # Verify ONLY the candidate pairs: attach doc_a's shingles, intersect
+    # with doc_b's posting list, count. Work is O(candidates x shingles per
+    # doc), not O(all co-shingle pairs) — the whole point of LSH.
+    post = shingles(docs, n, text_col, id_col)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = post.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = post.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -113,11 +113,8 @@ def apply_retention(
     the same chunk-drop semantics as the hypertable: no data rewrite,
     directory-level removal.  Returns the number of partitions dropped.
     """
-    cutoff = (
-        spark.sql(
-            f"SELECT date_sub({'current_date()' if now is None else f\"DATE'{now}'\"}, {keep_days}) AS d"
-        ).head()["d"]
-    )
+    anchor = "current_date()" if now is None else f"DATE'{now}'"
+    cutoff = spark.sql(f"SELECT date_sub({anchor}, {keep_days}) AS d").head()["d"]
     if lake_format() == "delta":
         spark.sql(f"DELETE FROM delta.`{path}` WHERE {ts_col} < DATE'{cutoff}'")
         return 0

@@ -94,11 +94,30 @@ def decode_sensor_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     reference's tolerance semantics: missing fields become NULL, rows whose
     JSON fails to parse are dropped.
 
-    ``from_json`` returns a NULL struct for unparseable input, so the drop
-    is a null filter - fully JVM-side, no UDF.
+    ``from_json`` in PERMISSIVE mode fills a corrupt-record column for
+    unparseable input (an all-NULL struct otherwise looks identical to an
+    empty object); filtering on it gives Flink's drop semantics - fully
+    JVM-side, no UDF.
     """
-    parsed = raw.select(F.from_json(F.col(value_col), SENSOR_EVENT_WIRE).alias("j"))
-    return parsed.filter(F.col("j").isNotNull()).select("j.*")
+    # StructType.add mutates the receiver — build a fresh struct instead of
+    # appending to the shared module-level schema
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(SENSOR_EVENT_WIRE.fields) + [StructField("_corrupt", StringType(), True)]
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col(value_col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("j")
+    )
+    return (
+        parsed.filter(F.col("j").isNotNull() & F.col("j._corrupt").isNull())
+        .select("j.*")
+        .drop("_corrupt")
+    )
 
 
 def read_json_lenient(
@@ -106,8 +125,12 @@ def read_json_lenient(
 ) -> DataFrame:
     """Batch file-JSON scan with the same tolerance: PERMISSIVE mode keeps a
     corrupt-record column which we use to drop unparseable rows."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
     schema = schema or SENSOR_EVENT_WIRE
-    with_corrupt = schema.add("_corrupt_record", "string")
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
     df = (
         spark.read.schema(with_corrupt)
         .option("mode", "PERMISSIVE")

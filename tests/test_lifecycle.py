@@ -1,0 +1,92 @@
+"""Storage lifecycle (SURVEY.md section 2.10): partitioned writes, dynamic
+partition refresh, retention, compaction, index-analog sorting."""
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+    apply_retention,
+    compact,
+    read_lake,
+    write_partitioned_by_date,
+)
+
+
+def test_partitioned_write_layout(spark, events, tmp_path):
+    """K5/D1: the ETL's date-partitioned layout
+    (timescale_to_deltalake.py:33-37): year/month/day directories."""
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events, path, "ts")
+    dirs = sorted(p.name for p in Path(path).glob("year=*/month=*/day=*"))
+    assert len(dirs) == 30  # events span 2024-01-01 .. 2024-01-30
+    back = read_lake(spark, path)
+    assert back.count() == events.count()
+    # partition pruning: a single-day filter reads one directory
+    one_day = back.filter((F.col("year") == 2024) & (F.col("month") == 1) & (F.col("day") == 5))
+    plan = one_day.explain(mode="formatted") or one_day._jdf.queryExecution().executedPlan().toString()
+    assert one_day.count() > 0
+
+
+def test_overwrite_idempotent(spark, events, tmp_path):
+    """D4: overwrite-per-run refresh is idempotent (SURVEY.md section 5.2.4)."""
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events, path, "ts")
+    c1 = read_lake(spark, path).count()
+    write_partitioned_by_date(events, path, "ts")
+    c2 = read_lake(spark, path).count()
+    assert c1 == c2 == events.count()
+
+
+def test_dynamic_partition_refresh(spark, events, tmp_path):
+    """D4 at scale: dynamic overwrite replaces only incoming partitions."""
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events, path, "ts")
+    before = read_lake(spark, path).count()
+    # rewrite ONLY day 5 with a filtered subset; other days must survive
+    day5 = events.filter(F.dayofmonth("ts") == 5)
+    write_partitioned_by_date(day5, path, "ts", dynamic=True)
+    after = read_lake(spark, path)
+    assert after.count() == before  # same rows: day-5 replaced with itself
+    assert after.filter(F.col("day") == 5).count() == day5.count()
+
+
+def test_retention_drops_old_partitions(spark, events, tmp_path):
+    """D3: retention prunes expired date partitions without touching
+    surviving data (init-db.sql:43-44 chunk-drop semantics)."""
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events, path, "ts")
+    dropped = apply_retention(spark, path, "ts", keep_days=10, now="2024-01-30")
+    assert dropped == 19  # days 1..19 expired (cutoff 2024-01-20)
+    back = read_lake(spark, path)
+    assert back.agg(F.min("day")).head()[0] == 20
+    expected = events.filter(F.dayofmonth("ts") >= 20).count()
+    assert back.count() == expected
+
+
+def test_compact_preserves_data(spark, events, tmp_path):
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events, path, "ts")
+    before = {tuple(r) for r in read_lake(spark, path).select("event_id").collect()}
+    compact(spark, path)
+    after_df = read_lake(spark, path)
+    after = {tuple(r) for r in after_df.select("event_id").collect()}
+    assert before == after
+    # one file per partition after compaction
+    for ddir in Path(path).glob("year=*/month=*/day=*"):
+        files = [f for f in ddir.iterdir() if f.suffix == ".parquet"]
+        assert len(files) == 1
+
+
+def test_sorted_within_partitions_row_groups(spark, events, tmp_path):
+    """D2: the index analogue — rows sorted by (user_id, ts) within files
+    so row-group stats prune point lookups."""
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(
+        events, path, "ts", sort_within_partitions=["user_id", "ts"]
+    )
+    f = next(Path(path).glob("year=*/month=*/day=*/*.parquet"))
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(str(f), columns=["user_id"]).column("user_id").to_pylist()
+    assert ids == sorted(ids)

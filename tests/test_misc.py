@@ -1,0 +1,109 @@
+"""Property tests (SURVEY.md section 5.2.4), orchestrator flow, text ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.text import (
+    language_id,
+    quality_score,
+    token_count,
+)
+from iiot_data_engineering_lab_assignment_spark.operators.windows import tumbling_rollup
+from iiot_data_engineering_lab_assignment_spark.plans.orchestrator import NightlyFlow
+
+
+def test_rollup_properties(spark, events):
+    """MIN <= AVG <= MAX per group; window counts sum to input count;
+    AVG*COUNT ~= SUM."""
+    out = tumbling_rollup(events, "ts", "1 minute", ["user_id", "event_type"])
+    bad = out.filter(
+        (F.col("min_value") > F.col("avg_value")) | (F.col("avg_value") > F.col("max_value"))
+    ).count()
+    assert bad == 0
+    assert out.agg(F.sum("count_readings")).head()[0] == events.count()
+    recon = out.withColumn("recon", F.col("avg_value") * F.col("count_readings"))
+    total_recon = recon.agg(F.sum("recon")).head()[0]
+    total = events.agg(F.sum("value")).head()[0]
+    assert abs(total_recon - total) < 1e-6 * abs(total)
+
+
+def test_sliding_window_doubles_mass(spark, events):
+    """1min/30s hop: every event lands in exactly 2 windows."""
+    from iiot_data_engineering_lab_assignment_spark.operators.windows import sliding_rollup
+
+    out = sliding_rollup(events, "ts", "1 minute", "30 seconds", ["user_id"])
+    assert out.agg(F.sum("count_readings")).head()[0] == 2 * events.count()
+
+
+def test_token_count_matches_split(spark, documents):
+    mismatch = (
+        documents.withColumn("a", token_count("text"))
+        .withColumn("b", F.size(F.split("text", " ")).cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_quality_score_bounds(spark, documents):
+    out = quality_score(documents)
+    assert out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count() == 0
+
+
+def test_language_id_emits_known_codes(spark, documents):
+    out = language_id(documents)
+    codes = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert codes <= {"en", "de", "fr", "es", "zh", None}
+
+
+def test_orchestrator_success_path():
+    flow = NightlyFlow(max_retries=3, retry_delay_s=0.01)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise RuntimeError("transient")
+        return "ok"
+
+    ok = flow.run_etl_flow(
+        check_source=lambda: "src ok",
+        check_lake=lambda: "lake ok",
+        run_job=flaky,
+        verify=lambda: "counts match",
+    )
+    assert ok
+    assert [r.name for r in flow.results] == [
+        "check_source",
+        "check_lake",
+        "run_spark_job",
+        "verify_counts",
+    ]
+    assert flow.results[2].attempts == 2  # retried once
+
+
+def test_orchestrator_stops_on_failure():
+    flow = NightlyFlow(max_retries=2, retry_delay_s=0.01)
+    ran = []
+
+    def boom():
+        raise RuntimeError("down")
+
+    ok = flow.run_etl_flow(
+        check_source=lambda: ran.append("src") or "ok",
+        check_lake=boom,
+        run_job=lambda: ran.append("job") or "ok",
+        verify=lambda: ran.append("verify") or "ok",
+    )
+    assert not ok
+    assert "job" not in ran  # failed connectivity must not launch the job
+    assert flow.results[-1].attempts == 2
+
+
+def test_jdbc_reader_requires_bounds(spark):
+    """S3 scaling fix: the partitioned JDBC reader refuses the reference's
+    single-partition mistake by requiring explicit bounds."""
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import read_jdbc_partitioned
+
+    with pytest.raises(TypeError):
+        read_jdbc_partitioned(spark, "jdbc:postgresql://x/db", "t")  # type: ignore[call-arg]

@@ -1,0 +1,123 @@
+"""Streaming semantics (SURVEY.md sections 2.5, 2.8, 5.2.2): watermark
+late-data behavior, batch/streaming parity, multi-sink fan-out."""
+
+import tempfile
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.windows import tumbling_rollup
+from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+    events_file_stream,
+    fan_out_two_sinks,
+    run_events_stream_rollup,
+    streaming_rollup,
+)
+
+from conftest import SF_DIR
+
+
+def test_stream_batch_parity(spark, events):
+    """PDF Task 4.2: the streaming rollup (complete mode, availableNow)
+    equals the batch rollup over the same input."""
+    stream_out = run_events_stream_rollup(spark, SF_DIR)
+    batch_out = tumbling_rollup(events, "ts", "1 minute", ["user_id", "event_type"]).withColumn(
+        "avg_value", F.round("avg_value", 6)
+    )
+    s = {tuple(r) for r in stream_out.withColumn("avg_value", F.round("avg_value", 6)).collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert s == b
+
+
+def _run_micro_batches(spark, batches, watermark="5 seconds", duration="1 minute"):
+    """Feed timed micro-batches through a watermarked windowed agg in
+    APPEND mode via a file source; returns emitted (closed-window) rows."""
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="late_src_")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    schema = "ts timestamp, k string, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_rollup(stream, "ts", duration, watermark, ["k"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="late_ckpt_"))
+        .start()
+    )
+    try:
+        for i, batch in enumerate(batches):
+            df = spark.createDataFrame(batch, schema)
+            df.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).collect()
+
+
+def test_watermark_drops_late_data(spark):
+    """T2: an event older than (max event time - watermark) arriving after
+    its window closed is dropped — the reference's 5 s out-of-order bound
+    (sensor_aggregation.py:23)."""
+    base = datetime(2024, 3, 1, 10, 0, 0)
+    batches = [
+        # window [10:00, 10:01): two readings
+        [(base + timedelta(seconds=10), "m1", 1.0), (base + timedelta(seconds=20), "m1", 3.0)],
+        # advance event time far past the window + watermark -> closes it
+        [(base + timedelta(minutes=5), "m1", 5.0)],
+        # LATE: belongs to the closed [10:00, 10:01) window -> must be dropped
+        [(base + timedelta(seconds=30), "m1", 100.0)],
+        # advance again so any (incorrect) re-emission would flush
+        [(base + timedelta(minutes=10), "m1", 7.0)],
+    ]
+    rows = _run_micro_batches(spark, batches)
+    first = [r for r in rows if r["window_start"] == base]
+    assert len(first) == 1
+    assert first[0]["count_readings"] == 2  # late 100.0 excluded
+    assert first[0]["max_value"] == 3.0
+
+
+def test_in_order_late_within_watermark_included(spark):
+    """An out-of-order event still within the watermark bound IS included
+    (arrives before the window closes)."""
+    base = datetime(2024, 3, 1, 10, 0, 0)
+    batches = [
+        [(base + timedelta(seconds=30), "m1", 1.0)],
+        # out-of-order (earlier than max seen) but window still open
+        [(base + timedelta(seconds=5), "m1", 9.0)],
+        # close the window
+        [(base + timedelta(minutes=5), "m1", 2.0)],
+    ]
+    rows = _run_micro_batches(spark, batches)
+    first = [r for r in rows if r["window_start"] == base]
+    assert len(first) == 1
+    assert first[0]["count_readings"] == 2
+    assert first[0]["max_value"] == 9.0
+
+
+def test_fan_out_two_sinks(spark, tmp_path):
+    """K4: one source drives a raw sink and an aggregate sink in a single
+    job (the reference statement-set shape, sensor_aggregation.py:73-98)."""
+    raw_dir = str(tmp_path / "raw")
+    agg_dir = str(tmp_path / "agg")
+    stream = events_file_stream(spark, SF_DIR)
+    q = fan_out_two_sinks(
+        stream,
+        raw_writer=lambda df: df.write.mode("append").parquet(raw_dir),
+        agg_writer=lambda df: df.write.mode("append").parquet(agg_dir),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    raw = spark.read.parquet(raw_dir)
+    agg = spark.read.parquet(agg_dir)
+    assert raw.count() == 1000  # passthrough preserves every event (K3)
+    assert agg.count() > 0
+    # aggregate leg equals the batch rollup (availableNow => one batch)
+    batch = tumbling_rollup(
+        spark.read.parquet(raw_dir), "ts", "1 minute", ["user_id", "event_type"]
+    )
+    assert agg.count() == batch.count()
+    total = agg.agg(F.sum("count_readings")).head()[0]
+    assert total == 1000
