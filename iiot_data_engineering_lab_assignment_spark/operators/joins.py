@@ -49,3 +49,55 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
 def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
     """NOT EXISTS-style filtering join: keeps left rows WITHOUT a match."""
     return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    right_value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row with
+    ``right.time <= left.time`` within the same key (the canonical
+    time-series enrichment operator; Spark has no native form).
+
+    Implementation is the scalable union trick rather than a range join:
+    tag both sides, union, sort within key by (time, tag) — right rows
+    sort before left rows at equal timestamps, matching ASOF's inclusive
+    bound — and carry the last non-null right values forward with
+    ``last(..., ignorenulls=True)``.  Cost: ONE shuffle of |L|+|R| rows on
+    the key + a per-partition sort — no range-explosion, no broadcast of
+    either side, skew-safe under AQE.  Equivalent DuckDB: ``ASOF JOIN ...
+    ON l.key = r.key AND l.time >= r.time``.
+
+    Output: every left row/column plus ``<value><suffix>`` columns
+    (NULL when no right row precedes the left row).
+    """
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    tagged_l = left.withColumn("_tag", F.lit(1))
+    for v in right_value_cols:
+        tagged_l = tagged_l.withColumn(f"{v}{suffix}", F.lit(None).cast(dict(right.dtypes)[v]))
+    tagged_r = right.select(
+        *key_cols,
+        time_col,
+        *[F.col(v).alias(f"{v}{suffix}") for v in right_value_cols],
+    ).withColumn("_tag", F.lit(0))
+    for c in lcols:
+        if c not in tagged_r.columns:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(time_col).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {f"{v}{suffix}": F.last(f"{v}{suffix}", ignorenulls=True).over(w) for v in right_value_cols}
+    )
+    return filled.filter(F.col("_tag") == 1).select(
+        *lcols, *[f"{v}{suffix}" for v in right_value_cols]
+    )

@@ -247,14 +247,16 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_user_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The index-implied predicate pattern (init-db.sql:19 — machine+time
-    lookup).  Both predicates push to the parquet scan (PushedFilters) and
-    the ts range prunes row groups via int64 min/max stats."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("user_id") == 7)
-        & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
-    ).select("event_id", "ts", "user_id", "event_type", "value")
+    lookup).  The time bound goes through load_table's raw-nanos pushdown
+    path so BOTH predicates reach the parquet scan (PushedFilters) and the
+    ts range prunes row groups via int64 min/max stats."""
+    ev = load_table(
+        spark, sf_dir, "events",
+        time_range=("2024-01-05 00:00:00", "2024-01-12 00:00:00"),
+    )
+    return ev.filter(F.col("user_id") == 7).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
 
 
 @register(
@@ -1032,3 +1034,179 @@ def iiot_backfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = join_dim(readings, dim, "machine_id")
     out = sensor_rollup(joined, "machine_id", "machine_type", "location", "sensor_type")
     return out.withColumn("avg_value", F.round("avg_value", 6))
+
+
+# ===========================================================================
+# Second wave: as-of join, pivot, percentiles, regex tokenization,
+# approximate aggregates, streaming sliding window, multimodal plumbing
+# ===========================================================================
+
+
+@register(
+    "asof_join_purchase_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS click_ts, c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase enriched with the user's most recent
+    preceding click (the canonical time-series enrichment operator; no
+    native Spark form).  Union + keyed sort + last(ignorenulls): one
+    shuffle, no range explosion.  Oracle: DuckDB's native ASOF JOIN."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, ["user_id"], "ts", ["ts", "value"], suffix="_c")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_c").alias("click_ts"),
+        F.col("value_c").alias("click_value"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+           SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+           SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix.  Explicit value list keeps
+    the output schema static (required for any production pivot — the
+    discovery pass is a separate job at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "percentile_order_value",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) per order status.
+    Spark's `percentile` and DuckDB's `quantile_cont` share the continuous
+    interpolation definition."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')
+                ) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / single
+    punctuation — the GPT-2 pre-tokenizer shape): token count per doc,
+    computed JVM-side with regexp_count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+@register("approx_distinct_users", None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (the count-distinct you actually
+    run at 100 TB).  Sketch internals are engine-specific => rows-only;
+    tests assert the estimate lands within the configured rsd of exact."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "stream_sliding_1m_30s",
+    """
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '30 seconds', ts) AS w0, user_id, value
+      FROM events
+    ), expanded AS (
+      SELECT w0 AS window_start, user_id, value FROM buckets
+      UNION ALL
+      SELECT w0 - INTERVAL '30 seconds' AS window_start, user_id, value FROM buckets
+    )
+    SELECT window_start, window_start + INTERVAL '1 minute' AS window_end,
+           user_id,
+           ROUND(AVG(value), 6) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_sliding_1m_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 as a REAL streaming job: watermarked sliding window over the
+    file-replayed events stream, complete mode => equals the batch HOP
+    rollup (same parity argument as stream_tumbling_1m)."""
+    from .streaming.jobs import run_events_stream_rollup
+
+    return run_events_stream_rollup(
+        spark, sf_dir, duration="1 minute", group_cols=["user_id"], slide="30 seconds"
+    )
+
+
+@register("multimodal_decode", None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents -> binary media table -> Arrow-batched
+    mapInPandas decode (deterministic fake codec; see operators.multimodal
+    for the real-codec swap point)."""
+    from .operators.multimodal import decode_media, media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media(media_from_documents(docs), fake=True).select(
+        "media_id", "mime", "n_bytes", "width", "height", "channels"
+    )
+
+
+@register("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads (byte-histogram stand-in for
+    a vision model) -> unit-norm float vectors, Arrow-batched."""
+    from .operators.multimodal import extract_features, media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(media_from_documents(docs), dim=16, fake=True)

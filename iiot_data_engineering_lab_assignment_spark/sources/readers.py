@@ -52,19 +52,36 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    time_range: tuple | None = None,
+) -> DataFrame:
     """Scan one fixture table, normalizing TIMESTAMP(NANOS) columns to
     microsecond TimestampType.
 
-    The conversion is a cheap projection on top of the columnar scan;
-    int64 min/max row-group statistics still drive data skipping for
-    time-range predicates, and Catalyst pushes any other filter below
-    the projection.
+    Predicates on the CONVERTED timestamp column do NOT reach parquet
+    row-group statistics (Catalyst won't rewrite ``timestamp_micros(ts
+    div 1000) >= lit`` into a raw-int comparison), so time-range scans
+    should pass ``time_range=(start, end)``: the bound is applied to the
+    raw int64 nanos column *before* conversion, where it IS pushed down
+    and skips row groups.  Equivalent under truncation:
+    ``us(ts) in [s, e)  <=>  ns in [s*1000, e*1000)``.  Bounds are
+    datetimes or 'YYYY-MM-DD[ HH:MM:SS]' strings; either side may be None.
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            if time_range is not None:
+                start, end = time_range
+                if start is not None:
+                    ns = F.unix_micros(F.lit(start).cast("timestamp")) * 1000
+                    df = df.filter(F.col(c) >= ns)
+                if end is not None:
+                    ns = F.unix_micros(F.lit(end).cast("timestamp")) * 1000
+                    df = df.filter(F.col(c) < ns)
             # integer `div`, not `/`: float division of int64 nanos loses
             # sub-microsecond bits (ulp(1e18) = 256 ns) and mis-truncates
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

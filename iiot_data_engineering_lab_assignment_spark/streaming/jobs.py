@@ -69,17 +69,20 @@ def streaming_rollup(
     watermark: str = "5 seconds",
     group_cols: list[str] | None = None,
     value_col: str = "value",
+    slide: str | None = None,
 ) -> DataFrame:
-    """W1+W3 streaming form: watermarked tumbling rollup.
+    """W1/W2+W3 streaming form: watermarked tumbling (or, with ``slide``,
+    HOP) rollup.
 
     The 5-second watermark mirrors the reference's out-of-order bound
     (sensor_aggregation.py:23); events later than watermark are dropped
     from closed windows (T2).
     """
     group_cols = group_cols or []
+    w = F.window(time_col, duration) if slide is None else F.window(time_col, duration, slide)
     return (
         stream.withWatermark(time_col, watermark)
-        .groupBy(F.window(time_col, duration).alias("window"), *group_cols)
+        .groupBy(w.alias("window"), *group_cols)
         .agg(*ROLLUP_AGGS(value_col))
         .select(
             F.col("window.start").alias("window_start"),
@@ -99,6 +102,7 @@ def run_events_stream_rollup(
     duration: str = "1 minute",
     group_cols: list[str] | None = None,
     output_mode: str = "complete",
+    slide: str | None = None,
 ) -> DataFrame:
     """Run the full streaming rollup over the events fixture with an
     availableNow trigger and an in-memory sink; returns the materialized
@@ -106,7 +110,7 @@ def run_events_stream_rollup(
     result equals the batch rollup exactly — the parity oracle."""
     group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
     stream = events_file_stream(spark, sf_dir)
-    agg = streaming_rollup(stream, "ts", duration, "5 seconds", group_cols).withColumn(
+    agg = streaming_rollup(stream, "ts", duration, "5 seconds", group_cols, slide=slide).withColumn(
         "avg_value", F.round("avg_value", 6)
     )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"

@@ -1,0 +1,103 @@
+"""Multimodal plumbing (stubbed codecs, real Spark mechanics) and the
+as-of join operator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.joins import asof_join
+from iiot_data_engineering_lab_assignment_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+
+
+def test_media_table_schema(spark, documents):
+    media = media_from_documents(documents)
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "mime", "n_bytes"]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+    # payload length equals the metadata byte count
+    bad = media.filter(F.length("payload") != F.col("n_bytes")).count()
+    assert bad == 0
+
+
+def test_decode_requires_real_codec(spark, documents):
+    """The stub is explicit: without fake=True the decode raises
+    NotImplementedError inside the task (surfacing as a Spark job failure),
+    it never silently fabricates data."""
+    media = media_from_documents(documents.limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        decode_media(media, fake=False).collect()
+
+
+def test_decode_fake_deterministic(spark, documents):
+    media = media_from_documents(documents)
+    a = {tuple(r) for r in decode_media(media, fake=True).collect()}
+    b = {tuple(r) for r in decode_media(media, fake=True).collect()}
+    assert a == b
+    one = decode_media(media, fake=True).head()
+    assert 1 <= one["width"] <= 1920 and 1 <= one["height"] <= 1080
+
+
+def test_features_unit_norm(spark, documents):
+    feats = extract_features(media_from_documents(documents), dim=16, fake=True)
+    row = feats.head()
+    assert len(row["features"]) == 16
+    norm = sum(x * x for x in row["features"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5
+
+
+def test_frame_sampling_shape(spark, documents):
+    media = media_from_documents(documents.limit(20))
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4, fake=True)
+    rows = frames.collect()
+    assert all(0 <= r["frame_idx"] < 4 for r in rows)
+    per_doc = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+
+
+def test_asof_join_semantics(spark):
+    """The attached right row is the latest with ts <= left.ts per key;
+    left rows before any right row get NULL."""
+    from datetime import datetime
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (2, t(10), "a"), (3, t(2), "b"), (4, t(20), "b")],
+        "id long, ts timestamp, k string",
+    )
+    right = spark.createDataFrame(
+        [(t(4), "a", 40.0), (t(10), "a", 100.0), (t(3), "b", 30.0)],
+        "ts timestamp, k string, v double",
+    )
+    out = {r["id"]: r["v_right"] for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()}
+    assert out[1] == 40.0  # latest right at ts<=5 is ts=4
+    assert out[2] == 100.0  # inclusive bound: right at exactly ts=10 wins
+    assert out[3] is None  # no right row at ts<=2 for key b
+    assert out[4] == 30.0  # carries forward across a gap
+
+
+def test_asof_join_matches_events_oracle_property(spark, events):
+    """Every attached click_ts precedes (or equals) the purchase ts."""
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, ["user_id"], "ts", ["ts"], suffix="_c")
+    bad = out.filter(F.col("ts_c") > F.col("ts")).count()
+    assert bad == 0
+    assert out.count() == purchases.count()  # left-preserving
+
+
+def test_approx_distinct_accuracy(spark, events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.1 * n), k
