@@ -1,0 +1,53 @@
+"""Custom stateful streaming operator (applyInPandasWithState)."""
+
+import tempfile
+import uuid
+from datetime import datetime, timedelta
+
+from iiot_data_engineering_lab_assignment_spark.streaming.stateful import anomaly_detector
+
+
+def test_anomaly_detector_streaming(spark):
+    """Feed a stream with a planted outlier; the detector flags exactly it,
+    and per-key state persists across micro-batches."""
+    src = tempfile.mkdtemp(prefix="anom_src_")
+    name = f"anom_{uuid.uuid4().hex[:8]}"
+    schema = "key string, event_time timestamp, value double"
+    base = datetime(2024, 5, 1)
+
+    # batch 1: 20 normal readings around 100 (warm-up)
+    normal = [("m1", base + timedelta(seconds=i), 100.0 + (i % 5) * 0.5) for i in range(20)]
+    # batch 2: one outlier + more normals (state carried from batch 1);
+    # the NULL row must be skipped, not poison the running mean as NaN
+    batch2 = [
+        ("m1", base + timedelta(seconds=29), None),
+        ("m1", base + timedelta(seconds=30), 100.5),
+        ("m1", base + timedelta(seconds=31), 150.0),  # the anomaly
+        ("m1", base + timedelta(seconds=32), 101.0),
+        ("m2", base + timedelta(seconds=33), 5.0),  # different key, still warming up
+    ]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = anomaly_detector(stream, "key", "event_time", "value", z_threshold=3.0, min_samples=10)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="anom_ckpt_"))
+        .start()
+    )
+    try:
+        spark.createDataFrame(normal, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table(name).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key"] == "m1"
+    assert r["value"] == 150.0
+    assert abs(r["zscore"]) >= 3.0
+    assert r["n_seen"] >= 20  # state from batch 1 was live in batch 2
