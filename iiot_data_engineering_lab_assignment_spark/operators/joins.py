@@ -51,6 +51,36 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -
     return left.join(right, on, "left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the heavy left side gets a random salt in
+    [0, salt_buckets); the right side is replicated salt_buckets times; the
+    join runs on (key, salt), spreading a hot key over `salt_buckets`
+    partitions instead of one straggler task.
+
+    AQE's skew-join split handles most skew automatically (on in
+    session.py); explicit salting is the manual override for the cases AQE
+    can't fix — a single key too large for any one partition even after
+    splitting, or non-AQE engines.  Result rows are identical to the plain
+    join (salt columns are internal).
+    """
+    salted_l = left.withColumn("_salt", (F.rand(42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
+    salted_r = right.select("*", salts)
+    out = salted_l.join(
+        salted_r,
+        (F.col(left_key) == F.col(right_key)) & (salted_l["_salt"] == salted_r["_salt"]),
+        how,
+    )
+    return out.drop(salted_l["_salt"]).drop(salted_r["_salt"])
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

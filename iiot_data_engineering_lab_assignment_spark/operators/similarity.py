@@ -112,6 +112,56 @@ def lsh_topk(
     return brute_force_topk(probed, query, k, id_col, emb_col)
 
 
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold — the last tier of the dedup
+    cascade (semantic dups that survive text-level dedup).
+
+    Exact form (planes=None): normalized self-join — each side carries a
+    unit vector, the join computes one dot product per pair.  O(N^2/P)
+    compute but only 2N shuffled rows; right for N up to ~10^5 per block.
+
+    Blocked form (planes given): candidates restricted to pairs agreeing
+    on a hyperplane-LSH bucket, then exactly verified — at corpus scale
+    the bucket column becomes the repartition key so each task only
+    crosses its own bucket.  High thresholds (0.9 => angle < 26 deg) are
+    exactly where sign-LSH collision probability is high, so recall is
+    strong in the regime that matters for dedup.
+    """
+    sides = embeddings.select(
+        F.col(id_col),
+        _as_double(F.col(emb_col)).alias("_v"),
+        l2_norm(_as_double(F.col(emb_col))).alias("_n"),
+    )
+    if planes is not None:
+        sides = sides.withColumn("_bucket", hyperplane_bucket(F.col("_v"), planes))
+    a = sides.alias("a")
+    b = sides.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if planes is not None:
+        cond = cond & (F.col("a._bucket") == F.col("b._bucket"))
+    # dot / (na * nb), same expression shape as the SQL oracle so the
+    # float operation order matches bit-for-bit
+    cos = F.round(
+        dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 6
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def centroids(
     embeddings: DataFrame, label_col: str = "label", emb_col: str = "embedding"
 ) -> DataFrame:

@@ -116,6 +116,42 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", pred)
 
 
+def tf_idf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF in long form: (doc, term, tf, df, tfidf).
+
+    tf = term count within the doc; df = number of docs containing the
+    term; tfidf = tf * ln(N / df).  Two hash aggregates over the exploded
+    token stream — the shuffle carries (term[, doc]) keyed partial counts,
+    never documents.  ``min_df`` prunes the long tail of hapax terms
+    before the join (the vocabulary-size control at corpus scale).
+    N is computed as a broadcast scalar subquery, not a driver collect.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint (md5 of normalized text) — the
     cheap exact-dup key; group/join on `fp` instead of the full text so the

@@ -1210,3 +1210,96 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(media_from_documents(docs), dim=16, fake=True)
+
+
+@register(
+    "cosine_dup_pairs",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+)
+def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the semantic tier of the
+    dedup cascade): exact normalized self-join, cosine >= 0.4 (fixture
+    embeddings are near-uniform: max pairwise cosine ~0.5, so 0.4 is
+    a tight bar yielding a small positive pair set)."""
+    from .operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.4)
+
+
+@register("cosine_dup_pairs_lsh", None)
+def cosine_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked variant of the cosine dedup (candidates restricted to a
+    shared hyperplane bucket, then exactly verified) — the 10^9-vector
+    path.  Approximate recall => rows-only; subset property tested."""
+    import numpy as np
+
+    from .operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = np.random.RandomState(11).randn(4, 64).tolist()
+    return cosine_dup_pairs(emb, threshold=0.4, planes=planes)
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    )
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF long form over the corpus (restricted to doc_id < 50 to keep
+    the compared result bounded); counts are exact ints, the float factor
+    is ln(N/df) rounded identically on both engines."""
+    from .operators.text import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tf_idf(docs).filter(F.col("doc_id") < 50)
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join skew pattern, proven equivalent to the plain join:
+    orders salted 8 ways x customer replicated 8x -> join on (key, salt) ->
+    same aggregate as an unsalted join would give."""
+    from .operators.joins import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, "o_custkey", "c_custkey", salt_buckets=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        dsum("o_totalprice", "revenue"),
+    )
