@@ -25,9 +25,20 @@ __all__ = ["ROLLUP_AGGS", "sensor_rollup", "grouped_stats"]
 
 def ROLLUP_AGGS(value_col: str = "value") -> list[Column]:
     """The reference's aggregate list (sensor_aggregation.py:90-93), named
-    exactly as the sink table columns (init-db.sql:29-32)."""
+    exactly as the sink table columns (init-db.sql:29-32).
+
+    avg_value is exact-DECIMAL-sum / count rather than float AVG: float
+    summation order varies with partitioning, and for 2-decimal sensor
+    values the true mean often terminates exactly ON a rounding boundary
+    (sum/32 has 7 decimal digits), so last-bit differences flip any
+    rounded comparison.  The decimal route is order-independent and
+    bit-identical across engines; for 2-4dp inputs it equals true AVG.
+    """
     return [
-        F.avg(value_col).alias("avg_value"),
+        (
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
         F.count(F.lit(1)).alias("count_readings"),

@@ -75,6 +75,15 @@ def ravg(col, name):
     return F.round(F.avg(c), 6).alias(name)
 
 
+def davg(col, name, prec="decimal(18,4)"):
+    """Exact, order-independent mean of a 2-4dp double column: DECIMAL sum
+    (exact) cast to double, divided by count — bit-identical across
+    engines and partitionings, unlike float AVG whose low bits depend on
+    summation order and often sit exactly on rounding boundaries."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return (F.sum(c.cast(prec)).cast("double") / F.count(F.lit(1))).alias(name)
+
+
 # ===========================================================================
 # IIoT-parity core (SURVEY.md sections 2.3-2.5, 2.7)
 # ===========================================================================
@@ -86,7 +95,7 @@ def ravg(col, name):
     SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
            time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
            user_id, event_type,
-           ROUND(AVG(value), 6) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            COUNT(*) AS count_readings
@@ -100,7 +109,7 @@ def sensor_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-minute tumbling window x (user, type) -> AVG/MIN/MAX/COUNT."""
     ev = load_table(spark, sf_dir, "events")
     out = tumbling_rollup(ev, "ts", "1 minute", ["user_id", "event_type"])
-    return out.withColumn("avg_value", F.round("avg_value", 6))
+    return out
 
 
 @register(
@@ -109,7 +118,7 @@ def sensor_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
            user_id,
-           ROUND(AVG(value), 6) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            COUNT(*) AS count_readings
@@ -121,7 +130,7 @@ def sensor_rollup_5m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 variant: wider window, single grouping key."""
     ev = load_table(spark, sf_dir, "events")
     out = tumbling_rollup(ev, "ts", "5 minutes", ["user_id"])
-    return out.withColumn("avg_value", F.round("avg_value", 6))
+    return out
 
 
 @register(
@@ -137,7 +146,7 @@ def sensor_rollup_5m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, window_start + INTERVAL '1 minute' AS window_end,
            user_id, event_type,
-           ROUND(AVG(value), 6) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            COUNT(*) AS count_readings
@@ -151,7 +160,7 @@ def sliding_rollup_1m_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     expands each row into its two overlapping windows explicitly."""
     ev = load_table(spark, sf_dir, "events")
     out = sliding_rollup(ev, "ts", "1 minute", "30 seconds", ["user_id", "event_type"])
-    return out.withColumn("avg_value", F.round("avg_value", 6))
+    return out
 
 
 @register(
@@ -173,7 +182,7 @@ def sliding_rollup_1m_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT MIN(ts) AS window_start,
            MAX(ts) + INTERVAL '5 minutes' AS window_end,
            user_id,
-           ROUND(AVG(value), 6) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            COUNT(*) AS count_readings
@@ -187,7 +196,7 @@ def session_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands formulation."""
     ev = load_table(spark, sf_dir, "events")
     out = session_rollup(ev, "ts", "5 minutes", ["user_id"])
-    return out.withColumn("avg_value", F.round("avg_value", 6))
+    return out
 
 
 @register(
@@ -344,9 +353,9 @@ def retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (1 - CAST(l_discount AS DECIMAL(8,4)))
                     * (1 + CAST(l_tax AS DECIMAL(8,4)))) AS DOUBLE) AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -370,9 +379,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", "sum_base_price"),
             F.sum(dp).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            ravg("l_quantity", "avg_qty"),
-            ravg("l_extendedprice", "avg_price"),
-            ravg("l_discount", "avg_disc"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", prec="decimal(8,4)"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -524,7 +533,7 @@ def distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
-           ROUND(AVG(o_totalprice), 6) AS avg_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(o_totalprice) AS min_value,
            MAX(o_totalprice) AS max_value,
            COUNT(*) AS count_rows
@@ -541,7 +550,7 @@ def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "o_orderpriority",
         F.col("sum_value").cast("decimal(18,4)").cast("double").alias("sum_value"),
-        F.round("avg_value", 6).alias("avg_value"),
+        (F.col("sum_value").cast("decimal(18,4)").cast("double") / F.col("count_rows")).alias("avg_value"),
         "min_value",
         "max_value",
         "count_rows",
@@ -995,7 +1004,7 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 minute', ts) AS window_start,
            time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
            user_id, event_type,
-           ROUND(AVG(value), 6) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            COUNT(*) AS count_readings
@@ -1033,7 +1042,7 @@ def iiot_backfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = machines_df(spark)
     joined = join_dim(readings, dim, "machine_id")
     out = sensor_rollup(joined, "machine_id", "machine_type", "location", "sensor_type")
-    return out.withColumn("avg_value", F.round("avg_value", 6))
+    return out
 
 
 # ===========================================================================
@@ -1170,7 +1179,7 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start, window_start + INTERVAL '1 minute' AS window_end,
            user_id,
-           ROUND(AVG(value), 6) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
            MIN(value) AS min_value,
            MAX(value) AS max_value,
            COUNT(*) AS count_readings
@@ -1302,4 +1311,206 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("order_cnt"),
         dsum("o_totalprice", "revenue"),
+    )
+
+
+# ===========================================================================
+# Breadth wave: string / null / conditional / subquery / ranking surface —
+# the everyday-SQL capabilities a user of the reference's DB layer expects
+# ===========================================================================
+
+
+@register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substring(c_name, 1, 8) AS name_prefix,
+           length(c_name) AS name_len,
+           concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           replace(lower(c_mktsegment), 'e', '3') AS leeted
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface: case, substring, length, concat, replace —
+    all codegen'd JVM expressions."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.replace(F.lower("c_mktsegment"), F.lit("e"), F.lit("3")).alias("leeted"),
+    )
+
+
+@register(
+    "null_handling",
+    """
+    SELECT event_id,
+           COALESCE(json_extract_string(props, '$.missing'), 'absent') AS with_default,
+           NULLIF(event_type, 'view') AS non_view,
+           (CASE WHEN value > 50 THEN 'high'
+                 WHEN value > 10 THEN 'mid'
+                 ELSE 'low' END) AS bucket3
+    FROM events
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE / NULLIF / CASE — the null-semantics surface."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(json_field("props", "missing"), F.lit("absent")).alias("with_default"),
+        F.nullif("event_type", F.lit("view")).alias("non_view"),
+        F.when(F.col("value") > 50, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("bucket3"),
+    )
+
+
+@register(
+    "conditional_aggregates",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-ed aggregates (conditional aggregation) — one pass, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "having_clause",
+    """
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > 60
+    """,
+)
+def having_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation predicate (planned as filter above the agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 60)
+
+
+@register(
+    "daily_activity",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-grained grouping (to_date cast) — the daily-rollup shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        davg("value", "avg_value"),
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join): orders more than twice their customer's average."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                  FROM orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "dense_rank_ntile",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           DENSE_RANK() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rank,
+           NTILE(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK + NTILE analytic functions with deterministic ordering."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    spec = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.dense_rank().over(spec).alias("bal_rank"),
+        F.ntile(4).over(spec).alias("quartile"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(embedding[1], 6) AS first_component,
+           ROUND(list_aggregate(CAST(embedding[1:8] AS DOUBLE[]), 'sum'), 6) AS head_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over the embedding column: size, indexing, slice-sum,
+    lambda filter — all JVM higher-order functions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head = F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )

@@ -110,9 +110,7 @@ def run_events_stream_rollup(
     result equals the batch rollup exactly — the parity oracle."""
     group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
     stream = events_file_stream(spark, sf_dir)
-    agg = streaming_rollup(stream, "ts", duration, "5 seconds", group_cols, slide=slide).withColumn(
-        "avg_value", F.round("avg_value", 6)
-    )
+    agg = streaming_rollup(stream, "ts", duration, "5 seconds", group_cols, slide=slide)
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (

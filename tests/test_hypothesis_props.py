@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis) for engine primitives whose
+semantics have clean Python references."""
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.text import token_count
+from iiot_data_engineering_lab_assignment_spark.operators.windows import tumbling_rollup
+
+# words without spaces; documents are space-joined
+words = st.lists(st.text(alphabet="abcdefgh01", min_size=1, max_size=6), min_size=1, max_size=30)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(words, min_size=1, max_size=8))
+def test_token_count_matches_python(spark, docs):
+    """token_count (length arithmetic, no array) == Python's split count."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", token_count("text").alias("n")).collect()}
+    for i, ws in enumerate(docs):
+        assert got[i] == len(" ".join(ws).split(" ")), ws
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # seconds offset
+            st.sampled_from(["a", "b"]),
+            # quarter-integers: exact in binary AND in DECIMAL(18,4), so the
+            # engine's exact-decimal mean equals the float reference mean
+            st.integers(min_value=-4_000_000, max_value=4_000_000).map(lambda i: i / 4.0),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_tumbling_rollup_matches_python(spark, data):
+    """The windowed rollup equals a dict-based Python reference on
+    arbitrary inputs: same buckets, same min/max/count, avg within fp
+    tolerance."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 6, 1)
+    rows = [(base + timedelta(seconds=s), k, float(v)) for s, k, v in data]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, value double")
+    got = {
+        (r["window_start"], r["k"]): (r["min_value"], r["max_value"], r["count_readings"], r["avg_value"])
+        for r in tumbling_rollup(df, "ts", "1 minute", ["k"]).collect()
+    }
+    ref: dict = {}
+    for ts, k, v in rows:
+        bucket = ts.replace(second=0, microsecond=0)
+        cur = ref.setdefault((bucket, k), [])
+        cur.append(v)
+    assert set(got) == set(ref)
+    for key, vals in ref.items():
+        mn, mx, cnt, avg = got[key]
+        assert mn == min(vals) and mx == max(vals) and cnt == len(vals)
+        assert math.isclose(avg, sum(vals) / len(vals), rel_tol=1e-9, abs_tol=1e-9)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False), min_size=2, max_size=40
+    )
+)
+def test_welford_state_matches_numpy(spark, vals):
+    """The stateful operator's Welford accumulation == numpy's two-pass
+    mean/variance (numerical-stability property)."""
+    import numpy as np
+
+    n, mean, m2 = 0, 0.0, 0.0
+    for v in vals:
+        n += 1
+        d = v - mean
+        mean += d / n
+        m2 += d * (v - mean)
+    assert math.isclose(mean, float(np.mean(vals)), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(m2 / (n - 1), float(np.var(vals, ddof=1)), rel_tol=1e-7, abs_tol=1e-7)

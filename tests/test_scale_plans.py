@@ -50,7 +50,9 @@ def test_column_pruning(spark):
 
 def test_partial_aggregation_before_shuffle(spark):
     plan = plan_of(spark, "sensor_rollup_1m")
-    assert "partial_avg" in plan and "partial_count" in plan
+    # avg is decimal-sum/count (see ROLLUP_AGGS), so the partials are
+    # sum/min/max/count — all map-side combinable before the exchange
+    assert "partial_sum" in plan and "partial_count" in plan and "partial_min" in plan
 
 
 def test_topk_avoids_global_sort(spark):
