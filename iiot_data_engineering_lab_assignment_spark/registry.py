@@ -1514,3 +1514,18 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_sum"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+@register(
+    "stream_session_5m",
+    QUERIES["session_rollup_5m"].oracle,
+)
+def stream_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a REAL streaming job (watermarked session_window,
+    complete mode, availableNow replay) — equals the batch gaps-and-islands
+    oracle; closes the last window-family streaming gap."""
+    from .streaming.jobs import run_events_stream_rollup
+
+    return run_events_stream_rollup(
+        spark, sf_dir, group_cols=["user_id"], session_gap="5 minutes"
+    )

@@ -70,16 +70,22 @@ def streaming_rollup(
     group_cols: list[str] | None = None,
     value_col: str = "value",
     slide: str | None = None,
+    session_gap: str | None = None,
 ) -> DataFrame:
-    """W1/W2+W3 streaming form: watermarked tumbling (or, with ``slide``,
-    HOP) rollup.
+    """W1/W2+W3 streaming form: watermarked tumbling (with ``slide``, HOP;
+    with ``session_gap``, session-window) rollup.
 
     The 5-second watermark mirrors the reference's out-of-order bound
     (sensor_aggregation.py:23); events later than watermark are dropped
     from closed windows (T2).
     """
     group_cols = group_cols or []
-    w = F.window(time_col, duration) if slide is None else F.window(time_col, duration, slide)
+    if session_gap is not None:
+        w = F.session_window(time_col, session_gap)
+    elif slide is not None:
+        w = F.window(time_col, duration, slide)
+    else:
+        w = F.window(time_col, duration)
     return (
         stream.withWatermark(time_col, watermark)
         .groupBy(w.alias("window"), *group_cols)
@@ -103,6 +109,7 @@ def run_events_stream_rollup(
     group_cols: list[str] | None = None,
     output_mode: str = "complete",
     slide: str | None = None,
+    session_gap: str | None = None,
 ) -> DataFrame:
     """Run the full streaming rollup over the events fixture with an
     availableNow trigger and an in-memory sink; returns the materialized
@@ -110,7 +117,9 @@ def run_events_stream_rollup(
     result equals the batch rollup exactly — the parity oracle."""
     group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
     stream = events_file_stream(spark, sf_dir)
-    agg = streaming_rollup(stream, "ts", duration, "5 seconds", group_cols, slide=slide)
+    agg = streaming_rollup(
+        stream, "ts", duration, "5 seconds", group_cols, slide=slide, session_gap=session_gap
+    )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     q = (
