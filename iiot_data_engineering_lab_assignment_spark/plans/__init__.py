@@ -3,6 +3,9 @@ from .lifecycle import (
     write_partitioned_by_date,
     apply_retention,
     compact,
+    read_lake,
+    upsert,
+    incremental_rollup_refresh,
 )
 from .orchestrator import NightlyFlow, StepResult
 
@@ -11,6 +14,9 @@ __all__ = [
     "write_partitioned_by_date",
     "apply_retention",
     "compact",
+    "read_lake",
+    "upsert",
+    "incremental_rollup_refresh",
     "NightlyFlow",
     "StepResult",
 ]

@@ -134,6 +134,83 @@ def apply_retention(
     return dropped
 
 
+def upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    version_col: str | None = None,
+) -> None:
+    """MERGE-style upsert into a date-partitioned table: rows in `updates`
+    replace target rows with the same key; new keys are inserted.
+
+    With Delta this is ``MERGE INTO`` (transactional).  On plain parquet
+    the same semantics come from a partition-scoped rewrite: only the
+    date partitions TOUCHED by `updates` are read back, anti-joined
+    against the update keys, unioned with the updates, and rewritten via
+    dynamic partition overwrite — untouched partitions are never read or
+    written, which is what makes upsert viable on a 100 TB table.
+
+    ``version_col`` (defaults to `ts_col`) breaks ties when `updates`
+    itself carries multiple rows per key: highest version wins.
+    """
+    version_col = version_col or ts_col
+    part_keys = [
+        (r["year"], r["month"], r["day"])
+        for r in updates.select(
+            F.year(ts_col).alias("year"),
+            F.month(ts_col).alias("month"),
+            F.dayofmonth(ts_col).alias("day"),
+        )
+        .distinct()
+        .collect()
+    ]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    latest_updates = (
+        updates.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    target = read_lake(spark, path)
+    touched = target.filter(
+        F.struct(F.col("year"), F.col("month"), F.col("day")).isin(
+            [F.struct(F.lit(y), F.lit(m), F.lit(d)) for y, m, d in part_keys]
+        )
+    ).drop("year", "month", "day")
+    survivors = touched.join(latest_updates.select(*key_cols), key_cols, "left_anti")
+    merged = survivors.unionByName(latest_updates)
+    write_partitioned_by_date(merged, path, ts_col, mode="overwrite", dynamic=True)
+
+
+def incremental_rollup_refresh(
+    spark: SparkSession,
+    rollup_path: str,
+    new_events: DataFrame,
+    time_col: str,
+    duration: str,
+    group_cols: list[str],
+    value_col: str = "value",
+) -> None:
+    """Continuous-aggregate maintenance (the TimescaleDB hypertable rollup
+    kept fresh, init-db.sql:24-36): recompute ONLY the window buckets that
+    `new_events` touches and dynamically overwrite those date partitions
+    of the rollup table.
+
+    The reference maintains sensor_aggregates by streaming append; this is
+    the batch/late-data path — a late event changes one window bucket, so
+    only that bucket's partition is recomputed, never the whole rollup.
+    Source rows for affected days are re-read so re-aggregation is exact
+    (avg/min/max/count are not incrementally subtractable).
+    NOTE: requires the raw events for affected days — pass the full raw
+    slice for those days as `new_events`.
+    """
+    from ..operators.windows import windowed_rollup
+
+    rolled = windowed_rollup(new_events, time_col, duration, None, group_cols, value_col)
+    write_partitioned_by_date(rolled, rollup_path, "window_start", mode="overwrite", dynamic=True)
+
+
 def compact(spark: SparkSession, path: str, target_files_per_partition: int = 1) -> None:
     """OPTIMIZE-style compaction: rewrite each date partition into
     `target_files_per_partition` files (small-file mitigation for

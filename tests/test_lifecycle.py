@@ -90,3 +90,65 @@ def test_sorted_within_partitions_row_groups(spark, events, tmp_path):
 
     ids = pq.read_table(str(f), columns=["user_id"]).column("user_id").to_pylist()
     assert ids == sorted(ids)
+
+
+def test_upsert_merges_by_key(spark, events, tmp_path):
+    """MERGE semantics on the partitioned lake: updated keys replaced,
+    new keys inserted, untouched partitions byte-stable."""
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import upsert
+
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events, path, "ts")
+    import os
+
+    untouched_file = sorted(Path(path).glob("year=*/month=*/day=10/*.parquet"))[0]
+    mtime_before = os.path.getmtime(untouched_file)
+
+    # modify 5 existing day-5 rows and add 2 brand-new rows on day 5
+    day5 = events.filter(F.dayofmonth("ts") == 5)
+    modified = day5.limit(5).withColumn("value", F.lit(-999.0))
+    new_rows = (
+        day5.limit(2)
+        .withColumn("event_id", F.col("event_id") + 10_000_000)
+        .withColumn("value", F.lit(+999.0))
+    )
+    upsert(spark, path, modified.unionByName(new_rows), ["event_id"], "ts")
+
+    back = read_lake(spark, path)
+    assert back.count() == events.count() + 2
+    assert back.filter(F.col("value") == -999.0).count() == 5
+    assert back.filter(F.col("value") == 999.0).count() == 2
+    # only day-5 partitions rewritten
+    assert os.path.getmtime(untouched_file) == mtime_before
+
+
+def test_incremental_rollup_refresh(spark, events, tmp_path):
+    """Continuous-aggregate maintenance: a late event refreshes only its
+    window's partitions; the refreshed rollup equals a full recompute."""
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.operators.windows import windowed_rollup
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        incremental_rollup_refresh,
+    )
+
+    rollup_path = str(tmp_path / "rollup")
+    group_cols = ["user_id", "event_type"]
+    # initial full build
+    full = windowed_rollup(events, "ts", "1 minute", None, group_cols)
+    write_partitioned_by_date(full, rollup_path, "window_start")
+
+    # a late reading lands on day 7; re-aggregate ONLY day 7's raw slice
+    late = spark.createDataFrame(
+        [(999_999, events.filter(F.dayofmonth("ts") == 7).head()["ts"], 12345, "click", 42.0, "{}")],
+        events.schema,
+    )
+    events_v2 = events.unionByName(late)
+    day7 = events_v2.filter(F.to_date("ts") == "2024-01-07")
+    incremental_rollup_refresh(spark, rollup_path, day7, "ts", "1 minute", group_cols)
+
+    refreshed = read_lake(spark, rollup_path).drop("year", "month", "day")
+    expected = windowed_rollup(events_v2, "ts", "1 minute", None, group_cols)
+    assert {tuple(r) for r in refreshed.collect()} == {tuple(r) for r in expected.collect()}
