@@ -1,13 +1,17 @@
 from .jobs import (
     events_file_stream,
+    fan_out_two_sinks,
     run_events_stream_rollup,
     streaming_rollup,
-    fan_out_two_sinks,
 )
+from .stateful import ANOMALY_SCHEMA, STATE_SCHEMA, anomaly_detector
 
 __all__ = [
     "events_file_stream",
+    "fan_out_two_sinks",
     "run_events_stream_rollup",
     "streaming_rollup",
-    "fan_out_two_sinks",
+    "ANOMALY_SCHEMA",
+    "STATE_SCHEMA",
+    "anomaly_detector",
 ]
