@@ -35,8 +35,12 @@ HEADLINE = [
     "dedup_exact_groups",
     "minhash_lsh_pairs",
     "cosine_topk",
+    "cosine_dup_pairs_blocked",
+    "asof_join_purchase_click",
+    "tfidf_top_terms",
     "text_stats_per_doc",
     "stream_tumbling_1m",
+    "stream_session_5m",
 ]
 
 

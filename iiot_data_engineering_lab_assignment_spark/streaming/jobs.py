@@ -110,11 +110,19 @@ def run_events_stream_rollup(
     output_mode: str = "complete",
     slide: str | None = None,
     session_gap: str | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the full streaming rollup over the events fixture with an
     availableNow trigger and an in-memory sink; returns the materialized
     result.  Complete mode emits every window (open + closed), so the
-    result equals the batch rollup exactly — the parity oracle."""
+    result equals the batch rollup exactly — the parity oracle.
+
+    ``state_partitions`` bounds the state-store partition count for this
+    replay: each state partition carries per-batch commit-file overhead,
+    and 32 partitions cost 8.4 s vs 1.5 s at 4 for the same sf0.1 replay.
+    The count is fixed into the checkpoint at first batch (fresh here per
+    call); long-running production jobs size it to state volume instead.
+    """
     group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
     stream = events_file_stream(spark, sf_dir)
     agg = streaming_rollup(
@@ -122,15 +130,21 @@ def run_events_stream_rollup(
     )
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
