@@ -1541,3 +1541,53 @@ def cosine_dup_pairs_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_dup_pairs_blocked(emb, threshold=0.4)
+
+
+@register(
+    "regex_extract_docs",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) (join|scan|merge)', 1) AS verb_subject,
+           CAST(regexp_matches(text, 'window') AS BOOLEAN) AS mentions_window
+    FROM documents
+    """,
+)
+def regex_extract_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: group extraction + match predicate (codegen'd)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) (join|scan|merge)", 1).alias("verb_subject"),
+        F.col("text").rlike("window").alias("mentions_window"),
+    )
+
+
+@register(
+    "date_math_orders",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_day,
+           CAST(o_orderdate + INTERVAL '90 days' AS DATE) AS due_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_epoch_end,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+    FROM orders
+    """,
+)
+def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, trunc, last_day, datediff,
+    day-of-week.  (DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday —
+    normalized here to DuckDB's numbering via -1.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_day"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_day"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_epoch_end"
+        ),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+    )

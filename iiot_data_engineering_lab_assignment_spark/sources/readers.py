@@ -137,6 +137,38 @@ def decode_sensor_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def decode_sensor_json_with_dlq(
+    raw: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Production variant of the lenient decode: instead of silently
+    dropping corrupt records (the reference's behavior,
+    sensor_aggregation.py:32), split the stream into (decoded, dead_letter)
+    so malformed payloads are preserved for replay/inspection.  Both
+    frames derive from one parse expression; Catalyst shares the scan."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(SENSOR_EVENT_WIRE.fields) + [StructField("_corrupt", StringType(), True)]
+    )
+    parsed = raw.withColumn(
+        "_j",
+        F.from_json(
+            F.col(value_col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    good = (
+        parsed.filter(F.col("_j").isNotNull() & F.col("_j._corrupt").isNull())
+        .select("_j.*")
+        .drop("_corrupt")
+    )
+    dead = parsed.filter(F.col("_j").isNull() | F.col("_j._corrupt").isNotNull()).select(
+        F.col(value_col).alias("raw_payload")
+    )
+    return good, dead
+
+
 def read_json_lenient(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:

@@ -79,3 +79,24 @@ def test_wire_roundtrip(spark):
 def test_dimension_tables(spark):
     assert machines_df(spark).count() == len(MACHINE_ROWS)
     assert sensor_types_df(spark).count() == len(SENSOR_ROWS)
+
+
+def test_dlq_decode_splits_streams(spark):
+    """The DLQ decode preserves corrupt payloads instead of dropping them."""
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import decode_sensor_json_with_dlq
+
+    raw = spark.createDataFrame(
+        [
+            ("{broken",),
+            ('{"machine_id":"CNC-001","sensor_type":"temperature","value":87.45,"timestamp":"2024-01-01T10:00:00"}',),
+            ("null",),
+            ('{"machine_id":"X"}',),
+        ],
+        "value string",
+    )
+    good, dead = decode_sensor_json_with_dlq(raw)
+    assert good.count() == 2  # valid + partial (missing fields -> NULL)
+    assert dead.count() == 2  # "{broken" and "null"
+    assert set(dead.columns) == {"raw_payload"}
+    payloads = {r["raw_payload"] for r in dead.collect()}
+    assert "{broken" in payloads
