@@ -49,9 +49,14 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
 
-    # warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not first-call class loading
+    # Warm the three execution paths once so per-query numbers measure the
+    # engine at steady state, not first-call class loading: JVM codegen,
+    # the Python (Arrow/pandas) worker pool, and the streaming machinery.
     registry.QUERIES["events_passthrough"].fn(spark, sf_dir).count()
+    spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k long, v double"
+    ).count()
+    registry.QUERIES["stream_tumbling_1m"].fn(spark, "/root/testdata/sf0.001").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1088,11 +1088,11 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts",
     """
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
-           SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
-           SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view
     FROM events
     GROUP BY user_id
     """,
