@@ -112,6 +112,43 @@ def lsh_topk(
     return brute_force_topk(probed, query, k, id_col, emb_col)
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    nprobe: int = 3,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: score only vectors whose
+    coarse cell is among the ``nprobe`` cells nearest the query.
+
+    The coarse quantizer here is the per-``cell_col`` centroid table from
+    :func:`centroids` (at scale: k-means centroids trained the same way —
+    `centroids` IS the Lloyd update step).  The centroid table is tiny
+    (cells x dim) so ranking cells is a driver-side parameter lookup, like
+    fetching the query vector; the probe filter prunes the scan — at rest,
+    partition or Z-ORDER by the cell id so probing skips whole files.
+    """
+    import math as _math
+
+    cents = centroids(embeddings, cell_col, emb_col).collect()
+    by_cell: dict = {}
+    for r in cents:
+        by_cell.setdefault(r[cell_col], [0.0] * len(query))[r["pos"]] = r["centroid_v"]
+    qn = _math.sqrt(sum(x * x for x in query))
+
+    def cell_cos(v: list[float]) -> float:
+        dotp = sum(a * b for a, b in zip(v, query))
+        n = _math.sqrt(sum(a * a for a in v))
+        return dotp / (n * qn) if n else -1.0
+
+    probe = sorted(by_cell, key=lambda c: -cell_cos(by_cell[c]))[:nprobe]
+    probed = embeddings.filter(F.col(cell_col).isin([int(c) for c in probe]))
+    return brute_force_topk(probed, query, k, id_col, emb_col)
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -152,6 +152,38 @@ def tf_idf(
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    rolling-hash fingerprint scheme behind MOSS): hash every k-gram, slide
+    a window of `window` consecutive hashes, keep each window's minimum —
+    guarantees any match of length >= window+k-1 shares a fingerprint,
+    with ~2/(window+1) of hashes retained.
+
+    Layout: k-gram hashes stay IN-ROW as an array; the window-min
+    selection is a transform over positions (no shuffle at all); only the
+    distinct selected fingerprints explode.  Output: (id, fingerprint).
+    """
+    toks = tokenize(text_col)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
+    hashes = F.transform(acc, lambda g: F.xxhash64(g))
+    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    out = docs.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    return out
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint (md5 of normalized text) — the
     cheap exact-dup key; group/join on `fp` instead of the full text so the

@@ -1591,3 +1591,25 @@ def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
     )
+
+
+@register("ivf_topk", None)
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 (label-centroid coarse quantizer, nprobe=3)
+    — the inverted-file ANN path alongside hyperplane LSH; approximate =>
+    rows-only, recall asserted in tests."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return ivf_topk(emb, qvec, nprobe=3, k=10)
+
+
+@register("winnowing_fingerprints", None)
+def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) document fingerprints — engine-internal
+    hashing => rows-only; structural properties asserted in tests."""
+    from .operators.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs)
