@@ -63,6 +63,12 @@ def grouped_stats(
     mode: 'groupby' | 'rollup' | 'cube' — hierarchical/grouping-set
     aggregates (not in the reference; exposed because the engine's query
     surface is the full DataFrame API, SURVEY.md section 2.4 note).
+
+    sum/avg here are FLOAT aggregates: fine for analysis, but their low
+    bits depend on partitioning — for cross-engine/exactness-sensitive
+    use, decimal-cast inside the aggregate (see registry.dsum/davg;
+    float-sum-then-cast leaks the error into decimals once totals reach
+    ~1e10).
     """
     aggs = [
         F.sum(value_col).alias("sum_value"),

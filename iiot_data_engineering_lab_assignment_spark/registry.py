@@ -543,17 +543,16 @@ def distinct_nations_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical ROLLUP aggregate (grouping sets) — extended aggregate
-    surface (SURVEY.md section 2.4 note)."""
+    surface (SURVEY.md section 2.4 note).  Sums go through DECIMAL inside
+    the aggregate — float-sum-then-cast leaks the float error into the
+    4th decimal once totals reach 1e10 (caught at sf0.1)."""
     o = load_table(spark, sf_dir, "orders")
-    out = grouped_stats(o, ["o_orderstatus", "o_orderpriority"], "o_totalprice", mode="rollup")
-    return out.select(
-        "o_orderstatus",
-        "o_orderpriority",
-        F.col("sum_value").cast("decimal(18,4)").cast("double").alias("sum_value"),
-        (F.col("sum_value").cast("decimal(18,4)").cast("double") / F.col("count_rows")).alias("avg_value"),
-        "min_value",
-        "max_value",
-        "count_rows",
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice", "sum_value"),
+        davg("o_totalprice", "avg_value"),
+        F.min("o_totalprice").alias("min_value"),
+        F.max("o_totalprice").alias("max_value"),
+        F.count(F.lit(1)).alias("count_rows"),
     )
 
 
