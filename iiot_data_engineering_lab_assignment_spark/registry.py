@@ -1612,3 +1612,39 @@ def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs)
+
+
+@register(
+    "range_join_purchase_click",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '6 hours'
+     AND c.ts < p.ts
+    """,
+)
+def range_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: every click within the 6 hours before each
+    purchase by the same user (attribution-window shape).  Planned as an
+    equi-join on user_id with the range as a post-join predicate — the
+    right default; at extreme per-user event counts, add a coarse time
+    bucket to the join key so the range only scans adjacent buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    )
+    return joined.select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")

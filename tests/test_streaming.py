@@ -121,3 +121,43 @@ def test_fan_out_two_sinks(spark, tmp_path):
     assert agg.count() == batch.count()
     total = agg.agg(F.sum("count_readings")).head()[0]
     assert total == 1000
+
+
+def test_update_mode_emits_changed_windows(spark):
+    """Update output mode: each micro-batch emits only windows whose
+    aggregate CHANGED (Flink-style early firing) — the third output-mode
+    semantics alongside append (tested above) and complete (parity
+    queries)."""
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="upd_src_")
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    schema = "ts timestamp, k string, value double"
+    base = datetime(2024, 4, 1, 12, 0, 0)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_rollup(stream, "ts", "1 minute", "5 seconds", ["k"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="upd_ckpt_"))
+        .start()
+    )
+    try:
+        spark.createDataFrame(
+            [(base, "m1", 2.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        after_b1 = len(spark.table(name).collect())
+        # same window updated -> re-emitted with the new aggregate
+        spark.createDataFrame(
+            [(base + timedelta(seconds=10), "m1", 4.0)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert after_b1 == 1
+    assert len(rows) == 2  # the window appears twice: v1 then updated v2
+    latest = max(rows, key=lambda r: r["count_readings"])
+    assert latest["count_readings"] == 2 and latest["avg_value"] == 3.0
