@@ -1648,3 +1648,29 @@ def range_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") < F.col("purchase_ts")),
     )
     return joined.select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+
+
+@register(
+    "stats_moments",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS std_price,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_discount, l_tax), 8) AS covar_disc_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates: sample stddev/variance, Pearson
+    correlation, sample covariance (the data-profiling surface).  Both
+    engines use numerically-stable one-pass updates; results are rounded
+    coarsely enough (4-8dp vs ~1e-10 relative noise) to hash stably."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
+    )
