@@ -98,8 +98,15 @@ def write_partitioned_by_date(
         write_partitioned(out, path, ["year", "month", "day"], mode, sort_within_partitions)
 
 
-def read_lake(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.format(lake_format()).load(path)
+def read_lake(spark: SparkSession, path: str, merge_schema: bool = False) -> DataFrame:
+    """Read the lake table.  ``merge_schema=True`` unions the schemas of
+    all files (schema evolution: columns added by later writes appear as
+    NULL in older partitions) — costs a footer scan per file, so leave it
+    off for fixed-schema reads."""
+    reader = spark.read.format(lake_format())
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.load(path)
 
 
 def apply_retention(

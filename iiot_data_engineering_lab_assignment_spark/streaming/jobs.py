@@ -148,6 +148,25 @@ def run_events_stream_rollup(
     return spark.table(name)
 
 
+def idempotent_batch_writer(base_path: str):
+    """T4 exactly-once sink for foreachBatch: each micro-batch writes to a
+    directory keyed by its batch_id with OVERWRITE mode, so a retried
+    batch (failure between write and checkpoint commit) replaces its own
+    partial output instead of appending duplicates.  Combined with the
+    checkpointed source offsets this yields effectively-exactly-once
+    delivery on any file-based sink — the parquet analogue of an
+    idempotent/transactional Delta append.
+
+    Read the sink with ``spark.read.parquet(f"{base_path}/batch_id=*")``
+    or as a partitioned table rooted at base_path.
+    """
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{base_path}/batch_id={batch_id}")
+
+    return write
+
+
 def fan_out_two_sinks(
     stream: DataFrame,
     raw_writer,

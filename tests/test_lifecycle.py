@@ -152,3 +152,18 @@ def test_incremental_rollup_refresh(spark, events, tmp_path):
     refreshed = read_lake(spark, rollup_path).drop("year", "month", "day")
     expected = windowed_rollup(events_v2, "ts", "1 minute", None, group_cols)
     assert {tuple(r) for r in refreshed.collect()} == {tuple(r) for r in expected.collect()}
+
+
+def test_schema_evolution_merge_read(spark, events, tmp_path):
+    """Columns added by later writes surface via mergeSchema, NULL in old
+    partitions."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "lake")
+    write_partitioned_by_date(events.filter(F.dayofmonth("ts") <= 5), path, "ts", mode="overwrite")
+    evolved = events.filter(F.dayofmonth("ts") == 6).withColumn("quality", F.lit("gold"))
+    write_partitioned_by_date(evolved, path, "ts", mode="append")
+    merged = read_lake(spark, path, merge_schema=True)
+    assert "quality" in merged.columns
+    assert merged.filter(F.col("quality") == "gold").count() == evolved.count()
+    assert merged.filter(F.col("day") <= 5).filter(F.col("quality").isNotNull()).count() == 0

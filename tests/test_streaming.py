@@ -161,3 +161,18 @@ def test_update_mode_emits_changed_windows(spark):
     assert len(rows) == 2  # the window appears twice: v1 then updated v2
     latest = max(rows, key=lambda r: r["count_readings"])
     assert latest["count_readings"] == 2 and latest["avg_value"] == 3.0
+
+
+def test_idempotent_batch_writer_retry_safe(spark, tmp_path):
+    """T4: re-running a micro-batch (simulated retry after a failure
+    between write and checkpoint commit) leaves no duplicates."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import idempotent_batch_writer
+
+    sink = str(tmp_path / "sink")
+    write = idempotent_batch_writer(sink)
+    batch = spark.range(100).withColumnRenamed("id", "v")
+    write(batch, 0)
+    write(batch, 0)  # retry of the SAME batch id
+    write(batch.withColumn("v", F.col("v") + 100), 1)
+    out = spark.read.parquet(f"{sink}/batch_id=*")
+    assert out.count() == 200  # 100 per distinct batch, retry absorbed
