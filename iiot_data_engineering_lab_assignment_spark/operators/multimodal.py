@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "media_from_documents", "decode_media", "extract_features", "sample_frames"]
+__all__ = ["MEDIA_SCHEMA", "media_from_documents", "decode_media", "extract_features", "resize_media", "sample_frames"]
 
 #: The multimodal table contract: opaque payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -123,6 +123,48 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.mapInPandas(_feat_batch, out_schema)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize step (the preprocessing normalizer before feature
+    extraction).  Real version: PIL/cv2 resize inside the same Arrow batch
+    iterator.  Fake version is deterministic: payload is re-sampled to a
+    byte budget proportional to target area (stride slicing), and the
+    metadata records the new dimensions — preserving the contract that
+    output payload size scales with target resolution."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("mime", StringType(), True),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    budget = max(16, (target_w * target_h) // 1024)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("image resize unavailable; pass fake=True")
+            payloads = []
+            for b in pdf["payload"]:
+                raw = bytes(b)
+                stride = max(1, len(raw) // budget)
+                payloads.append(raw[::stride][:budget])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                    "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(_resize, out_schema)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8, fake: bool = False) -> DataFrame:

@@ -101,3 +101,50 @@ def test_approx_distinct_accuracy(spark, events):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.1 * n), k
+
+
+def test_resize_media_contract(spark, documents):
+    from iiot_data_engineering_lab_assignment_spark.operators.multimodal import resize_media
+
+    media = media_from_documents(documents.limit(50))
+    small = resize_media(media, 64, 64, fake=True)
+    big = resize_media(media, 512, 512, fake=True)
+    s_rows = {r["media_id"]: r for r in small.collect()}
+    b_rows = {r["media_id"]: r for r in big.collect()}
+    assert all(r["width"] == 64 and r["height"] == 64 for r in s_rows.values())
+    # payload byte budget scales with target area
+    assert all(len(b_rows[k]["payload"]) >= len(s_rows[k]["payload"]) for k in s_rows)
+    # deterministic
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_media(media, 64, 64, fake=True).collect()}
+    assert all(bytes(s_rows[k]["payload"]) == again[k] for k in s_rows)
+
+
+def test_rate_stream_live_mode(spark):
+    """S4 live mode: the rate-source stream emits 16 readings per tick with
+    the wire schema (ingest_data.py:126-146 analogue)."""
+    import tempfile
+    import time
+    import uuid
+
+    from iiot_data_engineering_lab_assignment_spark.sources.generator import generate_rate_stream
+
+    stream = generate_rate_stream(spark, interval_seconds=1)
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="live_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(1)
+        rows = spark.table(name).collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    assert len(rows) % 16 == 0  # 4 machines x 4 sensors per tick
+    assert {r["machine_id"] for r in rows} <= {"CNC-001", "LATHE-002", "PRESS-003", "WELD-004"}
+    assert set(rows[0].asDict()) == {"event_time", "machine_id", "sensor_type", "value"}
