@@ -1674,3 +1674,139 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("covar_disc_tax"),
     )
+
+
+@register(
+    "math_functions",
+    """
+    SELECT event_id,
+           ROUND(abs(value - 50.0), 6) AS dist_from_mid,
+           CAST(ceil(value) AS BIGINT) AS value_ceil,
+           CAST(floor(value) AS BIGINT) AS value_floor,
+           ROUND(sqrt(abs(value)), 6) AS value_sqrt,
+           ROUND(power(value, 2), 4) AS value_sq,
+           GREATEST(value, 50.0) AS at_least_mid,
+           LEAST(value, 50.0) AS at_most_mid,
+           CAST(sign(value - 50.0) AS DOUBLE) AS side
+    FROM events
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/sqrt/power/greatest/least/sign."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.abs(v - 50.0), 6).alias("dist_from_mid"),
+        F.ceil(v).cast("long").alias("value_ceil"),
+        F.floor(v).cast("long").alias("value_floor"),
+        F.round(F.sqrt(F.abs(v)), 6).alias("value_sqrt"),
+        F.round(F.pow(v, 2), 4).alias("value_sq"),
+        F.greatest(v, F.lit(50.0)).alias("at_least_mid"),
+        F.least(v, F.lit(50.0)).alias("at_most_mid"),
+        F.signum(v - 50.0).alias("side"),
+    )
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderstatus = 'O'
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (planned as a left-semi join by Catalyst) through the
+    SQL surface."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND o_orderstatus = 'O'
+        """
+    )
+
+
+@register(
+    "first_last_window",
+    """
+    SELECT event_id, user_id, ts, value,
+           FIRST_VALUE(value) OVER w AS day_first,
+           LAST_VALUE(value) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS day_last
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id)
+    """,
+)
+def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE analytic functions per (user, day) — the
+    session-open/close reading pattern; LAST_VALUE needs the explicit
+    unbounded frame in both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    ordered = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.first("value").over(ordered).alias("day_first"),
+        F.last("value").over(full).alias("day_last"),
+    )
+
+
+@register(
+    "percent_rank_cume_dist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(10) OVER w AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK / CUME_DIST / NTILE — the distribution-rank family."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "grouping_indicator",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicators distinguish real NULL keys from rollup
+    subtotal rows — the correct way to consume grouping-set output."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
