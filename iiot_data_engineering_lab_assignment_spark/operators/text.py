@@ -19,6 +19,11 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "tf_idf",
+    "chunk_documents",
+    "pack_chunks",
+    "redact_pii",
+    "winnowing_fingerprints",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
@@ -149,6 +154,91 @@ def tf_idf(
             "df",
             F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias("tfidf"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap — the
+    context-window preprocessor for training pipelines.
+
+    Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens).  A final short chunk is kept iff
+    it adds tokens beyond the previous chunk.  Pure array expressions:
+    per-row slice + explode, no shuffle; output is
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+    """
+    stride = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # number of chunks: ceil(max(n - overlap, 1) / stride)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int = 128,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget packs (sequence packing for
+    training batches): deterministic order by (doc, chunk), running token
+    total, pack_id = floor((cumsum - n_tokens) / budget) — i.e., a chunk
+    starts a new pack when the budget would otherwise be exceeded by the
+    running boundary.  One global window (single partition) is fine for
+    metadata-sized chunk tables; at corpus scale partition the packing by
+    a shard key first (packs never need to cross shards).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col, idx_col).rowsBetween(Window.unboundedPreceding, 0)
+    out = chunks.withColumn("_cum", F.sum(tokens_col).over(w))
+    return out.withColumn(
+        "pack_id", F.floor((F.col("_cum") - F.col(tokens_col)) / budget).cast("long")
+    ).drop("_cum")
+
+
+#: (pattern, replacement) pairs for the PII scrubber — extend per policy.
+#: Order matters: SSN before the greedy phone pattern (an SSN is also a
+#: valid phone match), URLs before phone (digits in paths).
+_PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: chained regexp_replace over the standard pattern set
+    (emails, phones, URLs, SSNs) -> `text_redacted` plus a flag.  All
+    codegen'd regex; at 100 TB this is scan-speed."""
+    c = F.col(text_col)
+    red = c
+    for pat, repl in _PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.withColumns(
+        {"text_redacted": red, "pii_found": red != c}
     )
 
 

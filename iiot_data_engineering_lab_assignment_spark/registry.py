@@ -1810,3 +1810,111 @@ def grouping_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count(F.lit(1)).alias("n"),
     ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), params AS (
+      SELECT doc_id, t, len(t) AS n,
+             GREATEST(CAST(ceil((len(t) - 8) / 24.0) AS INTEGER), 1) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(t[(i*24 + 1):(i*24 + 32)], ' ') AS chunk_text,
+           CAST(LEAST(n - i*24, 32) AS BIGINT) AS n_tokens
+    FROM params, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) r
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 32-token chunks, 8-token overlap
+    (stride 24) — the training-data preprocessor."""
+    from .operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@register(
+    "pack_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), params AS (
+      SELECT doc_id, t, len(t) AS n,
+             GREATEST(CAST(ceil((len(t) - 8) / 24.0) AS INTEGER), 1) AS n_chunks
+      FROM toks
+    ), ch AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             CAST(LEAST(n - i*24, 32) AS BIGINT) AS n_tokens
+      FROM params, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) r
+    )
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / 128.0) AS BIGINT) AS pack_id
+    FROM ch
+    """,
+)
+def pack_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: chunks assigned to 128-token packs by running
+    boundary — the batch-construction step after chunking."""
+    from .operators.text import chunk_documents, pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        "doc_id", "chunk_idx", "n_tokens"
+    )
+    return pack_chunks(chunks, budget=128)
+
+
+@register(
+    "redact_pii",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^\\s]+', '<URL>', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+             '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS text_redacted
+    FROM documents
+    """,
+)
+def redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones/URLs/SSNs -> placeholders), chained
+    codegen'd regexp_replace.  The fixture corpus is PII-free so this is
+    an identity pass here; the transformation itself is oracle-checked
+    and the match paths are unit-tested with synthetic PII."""
+    from .operators.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    return redact_pii(docs).select("doc_id", "text_redacted")
+
+
+@register(
+    "stratified_take_per_lang",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) <= 20
+    """,
+)
+def stratified_take_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified selection: first 20 docs per language by
+    id order (the reproducible eval-split pattern; swap the ordering key
+    for a hash to randomize reproducibly)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 20)
+        .select("doc_id", "lang", "source")
+    )

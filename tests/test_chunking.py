@@ -1,0 +1,61 @@
+"""Chunking, packing, and PII redaction semantics."""
+
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.text import (
+    chunk_documents,
+    pack_chunks,
+    redact_pii,
+)
+
+
+def test_chunk_coverage_and_overlap(spark, documents):
+    """Every token position is covered; consecutive chunks overlap by
+    exactly `overlap` tokens (except possibly the short tail)."""
+    chunks = chunk_documents(documents, chunk_tokens=32, overlap=8).cache()
+    # reconstruction: stride-strided chunks re-concatenated equal the doc
+    one = documents.filter(F.col("doc_id") == 0).head()
+    toks = one["text"].split(" ")
+    got = [
+        r
+        for r in chunks.filter(F.col("doc_id") == 0).orderBy("chunk_idx").collect()
+    ]
+    stride = 32 - 8
+    for r in got:
+        start = r["chunk_idx"] * stride
+        expect = " ".join(toks[start : start + 32])
+        assert r["chunk_text"] == expect
+        assert r["n_tokens"] == len(expect.split(" "))
+    # coverage: last chunk reaches the end of the doc
+    last = got[-1]
+    assert last["chunk_idx"] * stride + last["n_tokens"] == len(toks)
+    chunks.unpersist()
+
+
+def test_pack_budget_respected(spark, documents):
+    """No pack exceeds budget + one chunk's tokens (boundary chunk rule),
+    and pack ids are contiguous from 0."""
+    chunks = chunk_documents(documents, 32, 8).select("doc_id", "chunk_idx", "n_tokens")
+    packed = pack_chunks(chunks, budget=128)
+    sizes = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("tok")).collect()
+    assert all(r["tok"] <= 128 + 32 for r in sizes)
+    ids = sorted(r["pack_id"] for r in sizes)
+    assert ids == list(range(len(ids)))
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "contact me at alice.smith+x@example.org today"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "see https://example.com/path?q=1 for details"),
+        (4, "ssn is 123-45-6789 ok"),
+        (5, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["text_redacted"] and "example.org" not in out[1]["text_redacted"]
+    assert "<PHONE>" in out[2]["text_redacted"]
+    assert "<URL>" in out[3]["text_redacted"] and "example.com" not in out[3]["text_redacted"]
+    assert "<SSN>" in out[4]["text_redacted"]
+    assert out[5]["text_redacted"] == rows[4][1]
+    assert out[5]["pii_found"] is False and out[1]["pii_found"] is True
