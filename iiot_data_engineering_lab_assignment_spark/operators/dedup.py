@@ -34,6 +34,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "connected_components",
+    "assign_canonical",
 ]
 
 
@@ -314,4 +316,91 @@ def simhash_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Cluster collapse: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list of long node ids
+    -> (node, component) where component = min node id in the component.
+
+    The cluster-collapse step after any pair generator (minhash_lsh_pairs,
+    simhash_pairs, jaccard_pairs): near-dup PAIRS are not CLUSTERS until
+    transitively closed, and keep-one-per-cluster needs the closure.
+
+    Algorithm: min-label propagation with pointer jumping (hash-to-min
+    family) — per round, (1) every node takes the min label over itself
+    and its neighbors, (2) labels are path-compressed by one hop
+    (label(v) <- label(label(v))), so convergence is O(log diameter)
+    rounds, not O(diameter).  Each round is two shuffles keyed by node id;
+    labels are localCheckpoint'ed per round to truncate lineage (iterative
+    plans otherwise grow unboundedly).  Convergence is detected by the
+    monotone-decreasing sum of labels going stationary — one cheap scalar
+    agg per round, no expensive change-count join.  On a real cluster use
+    a reliable checkpoint dir instead of localCheckpoint for
+    fault-tolerance; semantics are identical.
+
+    Nodes with no edges don't appear; see assign_canonical for the
+    left-join-back convention.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .union(edges.select(F.col(dst).cast("long").alias("a"), F.col(src).cast("long").alias("b")))
+        .distinct()
+    )
+    labels = (
+        e.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select(F.col("a").alias("node"), F.least("a", "mb").alias("comp"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        nb = (
+            e.join(labels.select(F.col("node").alias("b"), "comp"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nb_comp"))
+            .select(F.col("a").alias("node"), "nb_comp")
+        )
+        lab1 = labels.join(nb, "node", "left").select(
+            "node", F.least("comp", F.coalesce("nb_comp", F.col("comp"))).alias("comp")
+        )
+        parent = lab1.select(F.col("node").alias("p_node"), F.col("comp").alias("p_comp"))
+        labels = (
+            lab1.join(parent, lab1["comp"] == parent["p_node"], "left")
+            .select("node", F.coalesce("p_comp", F.col("comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def assign_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Attach a `canonical_id` to every document: the min doc id of its
+    near-dup cluster (from the transitive closure of `pairs`), or its own
+    id if it has no near-dups.  Downstream keep-one filter is then
+    `filter(col(id_col) == col("canonical_id"))`."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        docs.join(cc.select(F.col("node").alias(id_col), "comp"), id_col, "left")
+        .withColumn("canonical_id", F.coalesce("comp", F.col(id_col)))
+        .drop("comp")
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from .functions.scalars import date_parts, iso8601, json_field
 from .operators.aggregates import grouped_stats
 from .operators.dedup import (
+    connected_components,
     exact_dedup_groups,
     exact_dedup_keep_first,
     jaccard_pairs,
@@ -1917,4 +1918,173 @@ def stratified_take_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= 20)
         .select("doc_id", "lang", "source")
+    )
+
+
+@register(
+    "connected_components_chain",
+    """
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY lang, source) AS component
+    FROM documents
+    QUALIFY COUNT(*) OVER (PARTITION BY lang, source) > 1
+    """,
+)
+def connected_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on path graphs: chain consecutive doc_ids
+    within each (lang, source) group and recover the groups via the
+    generic min-label + pointer-jumping CC operator.  Path diameter grows
+    with sf (~50 at sf0.1) so this genuinely exercises the O(log d)
+    multi-round convergence, with a window-min oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    edges = (
+        docs.select(
+            F.lag("doc_id").over(w).alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .filter(F.col("doc_a").isNotNull())
+    )
+    cc = connected_components(edges)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@register(
+    "near_dup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    )
+    SELECT node AS doc_id, MIN(comp) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): transitive closure of the
+    3-gram Jaccard >= 0.4 pair set via connected components.  The oracle
+    computes the same closure with a recursive CTE — exact cross-engine
+    check of the clustering, not just the candidate generation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.4)
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, selective filters on both fact tables,
+    grouped revenue, deterministic top-10.  At scale: customer filter is a
+    broadcast-able semi-join reducer on orders; both date predicates push
+    to parquet scans."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1998-01-01"
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way snowflake join with the local-supplier
+    correlation (c_nationkey = s_nationkey).  supplier/nation/region are
+    broadcast; the only big shuffle is orders><lineitem on orderkey."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        customer.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
     )

@@ -1,0 +1,51 @@
+"""Connected-components cluster collapse: correctness on known graphs."""
+
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+    assign_canonical,
+    connected_components,
+    jaccard_pairs,
+)
+
+
+def _cc_map(edges_df):
+    return {r["node"]: r["comp"] for r in edges_df.collect()}
+
+
+def test_two_components_and_min_label(spark):
+    # component {1,2,3,4} (path) and {10, 11} — labels collapse to minimum
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = _cc_map(connected_components(edges))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_chain_converges_in_log_rounds(spark):
+    # a 64-node path: naive propagation needs 63 rounds; pointer jumping
+    # must finish well within max_iter=10
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    got = _cc_map(connected_components(edges, max_iter=10))
+    assert set(got.values()) == {0}
+    assert len(got) == 65
+
+
+def test_assign_canonical_covers_isolated_docs(spark, documents):
+    pairs = jaccard_pairs(documents, n=3, threshold=0.4)
+    out = assign_canonical(documents, pairs)
+    assert out.count() == documents.count()
+    # canonical id is always <= own id (min-label convention)
+    assert out.filter(F.col("canonical_id") > F.col("doc_id")).count() == 0
+    # docs without near-dups keep their own id
+    paired = {r["doc_a"] for r in pairs.collect()} | {
+        r["doc_b"] for r in pairs.collect()
+    }
+    own = out.filter(~F.col("doc_id").isin(list(paired)) if paired else F.lit(True))
+    assert own.filter(F.col("canonical_id") != F.col("doc_id")).count() == 0
+    # keep-one filter drops exactly (cluster size - 1) docs per cluster
+    kept = out.filter(F.col("doc_id") == F.col("canonical_id")).count()
+    n_clusters = out.select("canonical_id").distinct().count()
+    assert kept == n_clusters
