@@ -404,3 +404,34 @@ def assign_canonical(
         .withColumn("canonical_id", F.coalesce("comp", F.col(id_col)))
         .drop("comp")
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Decontamination: corpus vs eval-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Test-set leak check: corpus documents sharing any word n-gram with
+    the evaluation set -> (doc_id, n_overlap = distinct shared n-grams).
+
+    The eval side collapses to a DISTINCT shingle set (benchmark suites
+    are tiny relative to a 100 TB corpus), so Spark broadcasts it and the
+    corpus side streams through a broadcast-hash semi-ish join — no big
+    shuffle.  Downstream: anti-join the corpus against this output before
+    training.  n=13 is the common published choice for real corpora;
+    smaller n tightens recall on short fixture docs.
+    """
+    ce = shingles(corpus, n, text_col, id_col)
+    ee = shingles(eval_docs, n, text_col, id_col).select("shingle").distinct()
+    return (
+        ce.join(F.broadcast(ee), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -24,6 +24,7 @@ __all__ = [
     "pack_chunks",
     "redact_pii",
     "winnowing_fingerprints",
+    "ngram_repetition",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
@@ -280,3 +281,32 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shuffle carries 16 bytes per row, not the document."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.withColumn("fp", F.md5(normalized))
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document repetition stats (the Gopher-style repetition
+    filter): total word n-grams, distinct n-grams, and the duplicate
+    fraction 1 - distinct/total.  Pure per-row array expressions
+    (zip_with-folded n-grams, no shuffle, no UDF); filter on
+    `dup_fraction` to drop degenerate/boilerplate documents.
+    """
+    toks = tokenize(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b))
+    total = m.cast("long")
+    distinct = F.size(F.array_distinct(acc)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(total > 0, F.round(1 - distinct / total, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )

@@ -2088,3 +2088,61 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "decontaminate_eval_overlap",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+               AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+    ), ev AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < 50
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM sh a JOIN ev ON a.shingle = ev.shingle
+    WHERE a.doc_id >= 50
+    GROUP BY a.doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: corpus docs (id >= 50) sharing any 5-gram with
+    the eval split (id < 50); the eval shingle set is broadcast."""
+    from .operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    eval_docs = docs.filter(F.col("doc_id") < 50)
+    return decontaminate(corpus, eval_docs, n=5)
+
+
+@register(
+    "ngram_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) - 1 AS BIGINT) AS total_ngrams,
+           CAST(len(list_distinct(
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           )) AS BIGINT) AS distinct_ngrams,
+           CASE WHEN len(t) - 1 > 0
+                THEN ROUND(1 - len(list_distinct(
+                       list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                     )) * 1.0 / (len(t) - 1), 6)
+                ELSE 0.0 END AS dup_fraction
+    FROM toks
+    """,
+)
+def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter inputs: per-doc duplicate-bigram
+    fraction via pure array expressions (no shuffle)."""
+    from .operators.text import ngram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_repetition(docs, n=2)

@@ -59,3 +59,37 @@ def test_redact_pii_patterns(spark):
     assert "<SSN>" in out[4]["text_redacted"]
     assert out[5]["text_redacted"] == rows[4][1]
     assert out[5]["pii_found"] is False and out[1]["pii_found"] is True
+
+
+def test_ngram_repetition_planted(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.text import ngram_repetition
+
+    rows = [
+        (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (2, "w x y z"),          # 3 total, 3 distinct
+        (3, "solo"),             # 0 bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_repetition(df, n=2).collect()}
+    assert (got[1]["total_ngrams"], got[1]["distinct_ngrams"]) == (5, 2)
+    assert got[1]["dup_fraction"] == 0.6
+    assert got[2]["dup_fraction"] == 0.0
+    assert (got[3]["total_ngrams"], got[3]["dup_fraction"]) == (0, 0.0)
+
+
+def test_decontaminate_planted(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx quick brown fox jumps over yy"),   # shares 'quick brown fox jumps over'
+            (2, "totally clean document with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(corpus, eval_docs, n=5).collect()}
+    assert got == {1: 1}
