@@ -2146,3 +2146,86 @@ def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_repetition(docs, n=2)
+
+
+@register(
+    "funnel_signup_to_purchase",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.signup_ts,
+           MIN(p.ts) AS first_purchase_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases_7d
+    FROM s JOIN p ON p.user_id = s.user_id
+       AND p.ts >= s.signup_ts
+       AND p.ts < s.signup_ts + INTERVAL '7 days'
+    GROUP BY 1, 2
+    """,
+)
+def funnel_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: first signup per user, purchases within the
+    following 7 days.  The signup side is an aggregated (small) relation
+    joined to the purchase stream on (user, time-range) — a range join
+    keyed by user, shuffle on user_id only."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return (
+        s.join(p, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (F.col("ts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.min("ts").alias("first_purchase_ts"),
+            F.count(F.lit(1)).alias("n_purchases_7d"),
+        )
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST((week - cohort_week) / 7 AS INTEGER) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firstw JOIN act USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen ISO week, counted
+    per (cohort, week-offset).  Two aggregations + one join, all keyed by
+    user_id — a single shuffle partitioning serves the whole plan."""
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        firstw.join(act, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
