@@ -2229,3 +2229,236 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- TimescaleDB-analog time-series operators -------------------------------
+# The reference's storage layer is TimescaleDB (infrastructure setup/
+# init-db.sql); its signature hypertable query surface — last(), 
+# time_bucket_gapfill + locf(), gap/downtime detection, time_weight() —
+# is reproduced here as pure DataFrame plans.
+
+
+@register(
+    "latest_reading_per_sensor",
+    """
+    SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS last_ts,
+           value AS last_value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_reading_per_sensor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``last(value, ts)`` analog: newest reading per
+    (machine, sensor) key — the dashboard "current value" query
+    (init-db.sql:19-20 indexes (machine_id, timestamp DESC) exactly for
+    this).  One shuffle on the group key; row_number + filter prunes to
+    one row per key before any further work."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "sensor_gap_report",
+    """
+    SELECT user_id, prev_ts AS gap_start, ts AS gap_end, gap_us
+    FROM (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+      FROM events)
+    WHERE gap_us > 21600000000
+    """,
+)
+def sensor_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime detection: consecutive-reading gaps per machine longer
+    than 6 hours.  lag() over an event-time sort within each key — the
+    per-key sort is local to each hash partition (no global sort), and
+    the gap arithmetic is exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us") > 6 * 3600 * 1_000_000)
+        .select(
+            "user_id",
+            F.col("prev_ts").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            "gap_us",
+        )
+    )
+
+
+@register(
+    "gapfill_locf_daily",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), spine AS (
+      SELECT u.user_id,
+             CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM users u, bounds b
+    ), daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(AVG(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.user_id, s.day,
+           last_value(d.day_avg IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day) AS locf_value
+    FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill + locf()`` analog: a dense daily
+    spine per machine, filled with the last observed daily average.  The
+    spine is sequence()+explode off a single-row global-bounds aggregate
+    (broadcast cross join — no shuffle); LOCF is last(ignorenulls) over a
+    running frame, sorted only within each user partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("lo"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("hi"),
+    )
+    users = ev.select("user_id").distinct()
+    spine = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.last("day_avg", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+@register(
+    "zscore_anomalies",
+    """
+    WITH stats AS (
+      SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38, 12))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(38, 12)) * CAST(value AS DECIMAL(38, 12))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           ROUND((e.value - s.s / s.n)
+                 / sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)), 4) AS zscore
+    FROM events e JOIN stats s USING (user_id, event_type)
+    WHERE s.n > 1
+      AND abs((e.value - s.s / s.n)
+              / sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1))) > 2.5
+    """,
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch anomaly detection: readings more than 2.5 sample standard
+    deviations from their (machine, sensor) mean.  Mean/variance come
+    from DECIMAL sums (exact, partition-order-independent — the float
+    formula would flip low bits across shuffles); the per-group stats
+    relation is tiny and broadcasts back onto the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,12)")
+    stats = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    joined = ev.join(F.broadcast(stats.filter(F.col("n") > 1)), ["user_id", "event_type"])
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return joined.filter(F.abs(z) > 2.5).select(
+        "event_id", "user_id", "event_type", F.round(z, 4).alias("zscore")
+    )
+
+
+@register(
+    "time_weighted_avg",
+    """
+    WITH seg AS (
+      SELECT user_id, event_type, value,
+             lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+      FROM events)
+    SELECT user_id, event_type,
+           ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38, 6))) AS DOUBLE)
+                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa
+    FROM seg WHERE dt_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_weight('LOCF', ...)`` analog: per-(machine,
+    sensor) average weighted by how long each reading was current
+    (value_i x (t_{i+1} - t_i), exact integer-microsecond widths).
+    Products are DECIMAL-summed for order-independence, divided once at
+    the end.  One shuffle on the key serves both the lead() sort and the
+    final aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return seg.groupBy("user_id", "event_type").agg(
+        F.round(
+            F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            6,
+        ).alias("twa")
+    )
