@@ -111,3 +111,38 @@ def test_no_python_udfs_in_core_queries(spark):
             continue
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, name
+
+
+def test_q12_shipdate_pushed_to_scan(spark):
+    """Q12's ship-date year range reaches the lineitem parquet scan."""
+    plan = plan_of(spark, "q12_priority_by_ship_month")
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "LessThan(l_shipdate," in plan
+
+
+def test_q14_q19_broadcast_part(spark):
+    """part is a broadcast dim in Q14/Q19 — no sort-merge join."""
+    for name in ("q14_promo_revenue", "q19_disjunctive_revenue"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q18_semi_join_on_having_keys(spark):
+    """Q18's qualifying-keys relation enters as a semi join."""
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "LeftSemi" in plan
+
+
+def test_gapfill_spine_no_shuffle_blowup(spark):
+    """The gapfill spine comes from a broadcast cross join of a 1-row
+    bounds aggregate — no shuffle of the exploded spine before the
+    daily-aggregate join."""
+    plan = plan_of(spark, "gapfill_locf_daily")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_zscore_stats_broadcast_back(spark):
+    """Per-group stats (tiny) broadcast onto the fact table."""
+    plan = plan_of(spark, "zscore_anomalies")
+    assert "BroadcastHashJoin" in plan
