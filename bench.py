@@ -41,6 +41,9 @@ HEADLINE = [
     "text_stats_per_doc",
     "stream_tumbling_1m",
     "stream_session_5m",
+    "gapfill_locf_daily",
+    "zscore_anomalies",
+    "q18_large_volume_customers",
 ]
 
 
