@@ -81,19 +81,46 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     return docs.select(F.col(id_col), F.explode(F.array_distinct(acc)).alias("shingle"))
 
 
+def _cap_postings(post: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """Drop shingles appearing in more than `max_shingle_df` documents.
+
+    The scale guard for posting-list self-joins: a stopword-only shingle
+    shared by D documents contributes D^2/2 candidate rows — one ubiquitous
+    gram ("of the and") can make the join quadratic in corpus size.  The
+    hot set (df > cap) is tiny under any heavy-tailed shingle distribution,
+    so it broadcasts and the postings stream through a broadcast anti-join
+    — no extra shuffle of the posting list.
+    """
+    if max_shingle_df is None:
+        return post
+    hot = (
+        post.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    return post.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
     posting-list self-join: docs only compared when they share a shingle.
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    At extreme scale, cap hot shingles (stopword-only grams) with a
-    document-frequency filter before the self-join.
+
+    ``max_shingle_df`` caps hot shingles (stopword-only grams): shingles in
+    more than that many documents are excluded from the WHOLE computation
+    (postings, sizes, intersection), so jaccard is the similarity over the
+    informative-shingle universe — a pair sharing ONLY ubiquitous grams
+    scores 0 rather than flooding the self-join with D^2 candidates.
+    None (default) = exact Jaccard over all shingles.
 
     The posting list feeds three plan subtrees (sizes + both join sides).
     Measured: persisting it is a net LOSS here — InMemoryRelation
@@ -101,7 +128,7 @@ def jaccard_pairs(
     expansion in parallel subtrees (3.1s vs 3.6s at sf0.1).  Recompute
     deliberately; revisit only if the tokenizer becomes expensive.
     """
-    post = shingles(docs, n, text_col, id_col)
+    post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = post.alias("a")
     b = post.alias("b")
@@ -135,14 +162,17 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """K-permutation MinHash signatures over word shingles.
 
     h_i(x) = xxhash64(shingle, seed=i); signature[i] = min over shingles.
     Computed as explode -> groupBy(id) -> array(min(h_0)..min(h_K-1)):
     one shuffle keyed by doc id, constant-size output per doc.
+    ``max_shingle_df`` excludes ubiquitous shingles (see _cap_postings) so
+    signatures reflect informative content only.
     """
-    post = shingles(docs, n, text_col, id_col)
+    post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -161,6 +191,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, verified with exact Jaccard.
 
@@ -169,10 +200,18 @@ def minhash_lsh_pairs(
     Candidates = pairs within a bucket; each candidate is then verified
     against the exact n-gram Jaccard so the output has no false positives
     (false negatives bounded by the S-curve of (bands, rows)).
+    ``max_shingle_df`` applies the hot-shingle cap consistently to the
+    signatures AND the verification universe (see jaccard_pairs).
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    if num_hashes % bands != 0:
+        # Silent truncation (rows_per_band = K // B ignoring the remainder)
+        # would quietly shift the S-curve; misconfiguration must fail loudly.
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col)
+    sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, max_shingle_df)
     band_cols = F.array(
         *[
             F.struct(
@@ -210,7 +249,7 @@ def minhash_lsh_pairs(
     # doc), not O(all co-shingle pairs) — the whole point of LSH.
     # Recomputed per subtree on purpose — see jaccard_pairs: persisting
     # the posting list measured slower than recomputation.
-    post = shingles(docs, n, text_col, id_col)
+    post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pa = post.select(F.col(id_col).alias("doc_a"), "shingle")
     pb = post.select(F.col(id_col).alias("doc_b"), "shingle")

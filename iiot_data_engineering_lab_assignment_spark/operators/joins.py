@@ -67,9 +67,19 @@ def salted_join(
     AQE's skew-join split handles most skew automatically (on in
     session.py); explicit salting is the manual override for the cases AQE
     can't fix — a single key too large for any one partition even after
-    splitting, or non-AQE engines.  Result rows are identical to the plain
-    join (salt columns are internal).
+    splitting, or non-AQE engines.  For ``inner``/``left`` joins the result
+    rows are identical to the plain join (salt columns are internal).
+    ``right``/``full`` are rejected: the right side is replicated
+    `salt_buckets` times, so unmatched right rows would be emitted once per
+    replica — dedup'ing them back would need a second shuffle, defeating
+    the point.  Flip the sides (salt the heavy side) instead.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only (got {how!r}): the "
+            "replicated right side would duplicate unmatched right rows under "
+            "right/full outer joins"
+        )
     salted_l = left.withColumn("_salt", (F.rand(42) * salt_buckets).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("_salt")
     salted_r = right.select("*", salts)

@@ -161,9 +161,25 @@ def upsert(
 
     ``version_col`` (defaults to `ts_col`) breaks ties when `updates`
     itself carries multiple rows per key: highest version wins.
+
+    A key whose timestamp MOVED to a different day is handled: the target
+    is probed for partitions that currently hold any updated key (a
+    key-columns-only scan with the update keys broadcast — Parquet reads
+    just the key + partition columns), and those partitions join the
+    rewrite set, so the old-day row is anti-joined away rather than
+    surviving as a duplicate.  A partition left empty by such a move is
+    deleted outright (dynamic overwrite only rewrites partitions present
+    in the new data, so emptied ones need the explicit drop).
     """
     version_col = version_col or ts_col
-    part_keys = [
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
+    latest_updates = (
+        updates.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    target = read_lake(spark, path)
+    update_part_keys = {
         (r["year"], r["month"], r["day"])
         for r in updates.select(
             F.year(ts_col).alias("year"),
@@ -172,14 +188,16 @@ def upsert(
         )
         .distinct()
         .collect()
-    ]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols).orderBy(F.desc(version_col))
-    latest_updates = (
-        updates.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    )
-    target = read_lake(spark, path)
+    }
+    update_keys = latest_updates.select(*key_cols).distinct()
+    stale_part_keys = {
+        (r["year"], r["month"], r["day"])
+        for r in target.join(F.broadcast(update_keys), key_cols, "left_semi")
+        .select("year", "month", "day")
+        .distinct()
+        .collect()
+    }
+    part_keys = sorted(update_part_keys | stale_part_keys)
     touched = target.filter(
         F.struct(F.col("year"), F.col("month"), F.col("day")).isin(
             [F.struct(F.lit(y), F.lit(m), F.lit(d)) for y, m, d in part_keys]
@@ -187,7 +205,22 @@ def upsert(
     ).drop("year", "month", "day")
     survivors = touched.join(latest_updates.select(*key_cols), key_cols, "left_anti")
     merged = survivors.unionByName(latest_updates)
+    rewritten = {
+        (r["year"], r["month"], r["day"])
+        for r in merged.select(
+            F.year(ts_col).alias("year"),
+            F.month(ts_col).alias("month"),
+            F.dayofmonth(ts_col).alias("day"),
+        )
+        .distinct()
+        .collect()
+    }
     write_partitioned_by_date(merged, path, ts_col, mode="overwrite", dynamic=True)
+    if lake_format() != "delta":
+        for y, m, d in set(part_keys) - rewritten:
+            emptied = Path(path) / f"year={y}" / f"month={m}" / f"day={d}"
+            if emptied.exists():
+                shutil.rmtree(emptied)
 
 
 def incremental_rollup_refresh(

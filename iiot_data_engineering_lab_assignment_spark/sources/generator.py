@@ -117,7 +117,12 @@ def generate_rate_stream(
         .load()
         .withColumn(
             "event_time",
-            (F.unix_timestamp("timestamp") / interval_seconds).cast("long").cast("timestamp"),
+            # Bucket to the interval grid: floor(epoch / interval) * interval keeps
+            # the value in epoch seconds (plain division would shrink the epoch
+            # itself — e.g. /5 lands every event_time in ~1981).
+            (
+                F.floor(F.unix_timestamp("timestamp") / interval_seconds) * interval_seconds
+            ).cast("timestamp"),
         )
         .select("event_time")
     )

@@ -52,32 +52,25 @@ STATE_SCHEMA = StructType(
 )
 
 
-def anomaly_detector(
-    readings: DataFrame,
-    key_col: str = "key",
-    time_col: str = "event_time",
-    value_col: str = "value",
-    z_threshold: float = 3.0,
-    min_samples: int = 10,
-    idle_timeout_ms: int | None = None,
-) -> DataFrame:
-    """Streaming per-key anomaly detection with custom state.
-
-    Input: a (possibly streaming) DataFrame with (key, time, value).
-    Output: rows whose |z-score| against the key's RUNNING distribution
-    exceeds ``z_threshold`` (after ``min_samples`` warm-up).  Welford's
-    algorithm keeps state numerically stable and O(1) per key.
-
-    ``idle_timeout_ms`` evicts idle keys in long-running continuous jobs
-    (ProcessingTimeTimeout).  Leave None for availableNow/batch replays:
-    a processing-time timeout schedules extra timeout-handling
-    micro-batches after the data is exhausted, which keeps an
-    availableNow query alive indefinitely.
-    """
+def _make_update(
+    time_col: str,
+    value_col: str,
+    z_threshold: float,
+    min_samples: int,
+    idle_timeout_ms: int | None,
+):
+    """Build the per-key state-update function (module-level so tests can
+    drive it with a stub GroupState without a running stream)."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # Timeout callback (no new data for this key within idle_timeout_ms):
+        # actually EVICT — updating state here would re-arm the timer and the
+        # key would live forever, with timeout micro-batches recurring.
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             n, mean, m2 = state.get
         else:
@@ -110,6 +103,32 @@ def anomaly_detector(
                 out_rows, columns=["key", "event_time", "value", "zscore", "n_seen"]
             )
 
+    return update
+
+
+def anomaly_detector(
+    readings: DataFrame,
+    key_col: str = "key",
+    time_col: str = "event_time",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+    min_samples: int = 10,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-key anomaly detection with custom state.
+
+    Input: a (possibly streaming) DataFrame with (key, time, value).
+    Output: rows whose |z-score| against the key's RUNNING distribution
+    exceeds ``z_threshold`` (after ``min_samples`` warm-up).  Welford's
+    algorithm keeps state numerically stable and O(1) per key.
+
+    ``idle_timeout_ms`` evicts idle keys in long-running continuous jobs
+    (ProcessingTimeTimeout).  Leave None for availableNow/batch replays:
+    a processing-time timeout schedules extra timeout-handling
+    micro-batches after the data is exhausted, which keeps an
+    availableNow query alive indefinitely.
+    """
+    update = _make_update(time_col, value_col, z_threshold, min_samples, idle_timeout_ms)
     grouped = readings.selectExpr(
         f"{key_col} AS key", f"{time_col} AS event_time", f"{value_col} AS value"
     ).groupBy("key")

@@ -167,3 +167,43 @@ def test_schema_evolution_merge_read(spark, events, tmp_path):
     assert "quality" in merged.columns
     assert merged.filter(F.col("quality") == "gold").count() == evolved.count()
     assert merged.filter(F.col("day") <= 5).filter(F.col("quality").isNotNull()).count() == 0
+
+
+def test_upsert_key_moved_to_new_day(spark, tmp_path):
+    """ADVICE r1: an updated key whose timestamp moved to a DIFFERENT day
+    must not leave its stale old-day row behind; a partition emptied by the
+    move is dropped entirely."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import upsert
+
+    path = str(tmp_path / "lake")
+    schema = "event_id long, ts timestamp, value double"
+    base = spark.createDataFrame(
+        [
+            (1, datetime(2024, 5, 1, 10, 0), 1.0),
+            (2, datetime(2024, 5, 1, 11, 0), 2.0),
+            (3, datetime(2024, 5, 2, 10, 0), 3.0),
+            (4, datetime(2024, 5, 2, 11, 0), 4.0),
+        ],
+        schema,
+    )
+    write_partitioned_by_date(base, path, "ts")
+    # keys 1 and 2 (ALL of day 1) move to day 3
+    updates = spark.createDataFrame(
+        [
+            (1, datetime(2024, 5, 3, 9, 0), -1.0),
+            (2, datetime(2024, 5, 3, 9, 30), -2.0),
+        ],
+        schema,
+    )
+    upsert(spark, path, updates, ["event_id"], "ts")
+    back = read_lake(spark, path)
+    assert back.count() == 4  # replaced, not duplicated
+    moved = {r["event_id"]: r for r in back.filter(F.col("event_id").isin(1, 2)).collect()}
+    assert len(moved) == 2
+    assert all(moved[k]["value"] < 0 and moved[k]["ts"].day == 3 for k in (1, 2))
+    # day-1 directory was emptied by the move and must be gone
+    assert not (Path(path) / "year=2024" / "month=5" / "day=1").exists()

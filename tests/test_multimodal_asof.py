@@ -128,7 +128,7 @@ def test_rate_stream_live_mode(spark):
 
     from iiot_data_engineering_lab_assignment_spark.sources.generator import generate_rate_stream
 
-    stream = generate_rate_stream(spark, interval_seconds=1)
+    stream = generate_rate_stream(spark, interval_seconds=5)
     name = f"live_{uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")
@@ -148,3 +148,8 @@ def test_rate_stream_live_mode(spark):
     assert len(rows) % 16 == 0  # 4 machines x 4 sensors per tick
     assert {r["machine_id"] for r in rows} <= {"CNC-001", "LATHE-002", "PRESS-003", "WELD-004"}
     assert set(rows[0].asDict()) == {"event_time", "machine_id", "sensor_type", "value"}
+    # event_time is bucketed to the interval grid, not epoch-divided: a /5
+    # division bug would land every timestamp in ~1981
+    for r in rows:
+        assert r["event_time"].year >= 2020
+        assert int(r["event_time"].timestamp()) % 5 == 0

@@ -51,3 +51,63 @@ def test_anomaly_detector_streaming(spark):
     assert r["value"] == 150.0
     assert abs(r["zscore"]) >= 3.0
     assert r["n_seen"] >= 20  # state from batch 1 was live in batch 2
+
+
+class _StubState:
+    """Minimal GroupState double for driving the update fn off-stream."""
+
+    def __init__(self, exists=False, value=None, timed_out=False):
+        self._exists = exists
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._exists
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timeout_callback_evicts_state():
+    """ADVICE r1: on hasTimedOut the key must be REMOVED, not re-updated
+    (re-updating re-arms the timer and the key lives forever)."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import _make_update
+
+    update = _make_update("event_time", "value", 3.0, 10, idle_timeout_ms=60_000)
+    st = _StubState(exists=True, value=(5, 1.0, 0.5), timed_out=True)
+    out = list(update(("k1",), iter([]), st))
+    assert out == []
+    assert st.removed
+    assert st.updated is None  # no re-arm
+    assert st.timeout_set is None
+
+
+def test_data_batch_arms_timeout():
+    """Normal data path still updates state and (re)arms the idle timer."""
+    import pandas as pd
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import _make_update
+
+    update = _make_update("event_time", "value", 3.0, 10, idle_timeout_ms=60_000)
+    st = _StubState(exists=False)
+    pdf = pd.DataFrame(
+        {"event_time": pd.to_datetime(["2024-05-01", "2024-05-02"]), "value": [1.0, 2.0]}
+    )
+    list(update(("k1",), iter([pdf]), st))
+    assert st.updated is not None and st.updated[0] == 2
+    assert st.timeout_set == 60_000
+    assert not st.removed

@@ -126,3 +126,15 @@ def test_winnowing_properties(spark, documents):
     assert 0.2 < ratio < 0.8  # ~2/(w+1)=0.4 expected
     # identical docs -> identical fingerprint sets (the dedup property)
     fp.unpersist()
+
+
+def test_salted_join_rejects_outer(spark):
+    """ADVICE r1: the replicated right side would duplicate unmatched right
+    rows under right/full outer — reject loudly."""
+    import pytest
+
+    o = spark.createDataFrame([(1, 10)], "o_custkey long, v long")
+    c = spark.createDataFrame([(1,)], "c_custkey long")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(o, c, "o_custkey", "c_custkey", salt_buckets=4, how=how)
