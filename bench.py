@@ -5,8 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "headline_total", "value": <sec>, "unit": "sec",
      "queries": {"<name>": <sec>, ...}, "sf": <sf>}
 
-Each query is fully executed (count() action over the final plan) —
-timings include scan, shuffle, and aggregation, not plan construction.
+Each query is fully materialized via a noop-format write — unlike a
+count() action, the noop sink forces EVERY output column to be computed
+(count() lets Catalyst prune the payload of map-only plans, which would
+make map-heavy timings measure a row count instead of the work).
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ HEADLINE = [
     "customer_order_revenue",
     "order_lineitem_join_agg",
     "rank_orders_per_customer",
-    "dedup_exact_groups",
+    "dedup_exact_fingerprint",
     "minhash_lsh_pairs",
     "cosine_topk",
     "cosine_dup_pairs_blocked",
@@ -47,6 +49,13 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> None:
+    """Execute the full plan with every output column computed: the noop
+    sink consumes all columns, so Catalyst cannot prune the payload the
+    way it can under count()."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -55,11 +64,13 @@ def main() -> None:
     # Warm the three execution paths once so per-query numbers measure the
     # engine at steady state, not first-call class loading: JVM codegen,
     # the Python (Arrow/pandas) worker pool, and the streaming machinery.
-    registry.QUERIES["events_passthrough"].fn(spark, sf_dir).count()
-    spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy("k").applyInPandas(
-        lambda pdf: pdf, "k long, v double"
-    ).count()
-    registry.QUERIES["stream_tumbling_1m"].fn(spark, "/root/testdata/sf0.001").count()
+    _materialize(registry.QUERIES["events_passthrough"].fn(spark, sf_dir))
+    _materialize(
+        spark.createDataFrame([(0, 1.0)], "k long, v double").groupBy("k").applyInPandas(
+            lambda pdf: pdf, "k long, v double"
+        )
+    )
+    _materialize(registry.QUERIES["stream_tumbling_1m"].fn(spark, "/root/testdata/sf0.001"))
 
     # min of 2 runs per query: the environment is shared, and a single
     # noisy run misrepresents the engine; min is the standard
@@ -70,7 +81,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            spec.fn(spark, sf_dir).count()
+            _materialize(spec.fn(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 

@@ -28,6 +28,8 @@ from .text import tokenize
 __all__ = [
     "exact_dedup_groups",
     "exact_dedup_keep_first",
+    "exact_dedup_groups_fp",
+    "exact_dedup_keep_first_fp",
     "shingles",
     "jaccard_pairs",
     "minhash_signatures",
@@ -61,6 +63,37 @@ def exact_dedup_keep_first(docs: DataFrame, text_col: str = "text", id_col: str 
     the heavy side only shuffles its key columns."""
     keep = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
     return docs.join(keep, [text_col, id_col], "left_semi")
+
+
+def exact_dedup_groups_fp(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup groups keyed by the 16-byte md5 fingerprint of the
+    whitespace-normalized text — the at-scale form of
+    :func:`exact_dedup_groups`: the shuffle key is 32 hex chars per row
+    regardless of document length, so a 100 TB corpus shuffles ~fingerprint
+    bytes, not document bytes.  Normalization (lowercase, collapsed
+    whitespace) also catches trivially-reformatted dups the raw-text
+    groupBy misses."""
+    from .text import fingerprint
+
+    return fingerprint(docs, text_col).groupBy("fp").agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def exact_dedup_keep_first_fp(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-lowest-id dedup keyed by md5 fingerprint: both the groupBy and
+    the semi-join back carry (fp, id) — never the full text (the raw-text
+    variant re-shuffles documents twice)."""
+    from .text import fingerprint
+
+    fp = fingerprint(docs, text_col)
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fp", id_col], "left_semi").drop("fp")
 
 
 # ---------------------------------------------------------------------------

@@ -784,6 +784,45 @@ def dedup_keep_first_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_fingerprint",
+    """
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale exact-dedup path: group on the 16-byte md5 fingerprint
+    of normalized text instead of the raw document, so the shuffle carries
+    fingerprints, not documents (VERDICT r1 item 3)."""
+    from .operators.dedup import exact_dedup_groups_fp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups_fp(docs)
+
+
+@register(
+    "dedup_keep_first_fingerprint",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      ORDER BY doc_id) = 1
+    """,
+)
+def dedup_keep_first_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-lowest-id dedup where both shuffles are fingerprint-keyed —
+    the raw text is never a shuffle key."""
+    from .operators.dedup import exact_dedup_keep_first_fp
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_keep_first_fp(docs)
+
+
+@register(
     "ngram_jaccard_pairs",
     """
     WITH toks AS (
