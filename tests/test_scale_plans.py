@@ -146,3 +146,39 @@ def test_zscore_stats_broadcast_back(spark):
     """Per-group stats (tiny) broadcast onto the fact table."""
     plan = plan_of(spark, "zscore_anomalies")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q2_decorrelated_no_cartesian(spark):
+    """Q2's correlated min subquery is decorrelated: one aggregate +
+    equi-join-back, no cartesian/nested-loop over parts, and the final
+    top-100 avoids a global sort."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # eu dim + part broadcast
+
+
+def test_q21_semi_anti_co_partitioned(spark):
+    """Q21's EXISTS/NOT EXISTS are semi/anti joins, all keyed on
+    l_orderkey — no cartesian, supplier broadcasts."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_filters_push_to_scans(spark):
+    """Q10: the quarter range reaches the orders scan and the returnflag
+    reaches the lineitem scan, both below the join."""
+    plan = plan_of(spark, "q10_returned_item_customers")
+    assert "GreaterThanOrEqual(o_orderdate," in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_date_pushdown_and_dim_broadcasts(spark):
+    """Q7: ship-date range at the lineitem scan; supplier and both nation
+    legs broadcast (no sort-merge against a dimension)."""
+    plan = plan_of(spark, "q7_two_nation_volume")
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "BroadcastHashJoin" in plan
