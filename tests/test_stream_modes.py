@@ -1,0 +1,146 @@
+"""Streaming output-mode breadth (VERDICT r1 item 8): append mode emits
+exactly the watermark-CLOSED windows with final values; update mode emits
+a delta row per changed window per micro-batch whose last value converges
+to the batch rollup.  Both parities are asserted against the batch
+windowed_rollup restricted appropriately.
+
+The replay feeds three explicit micro-batches through a file source
+(processAllAvailable between appends) because watermarks lag one batch:
+a single availableNow batch can never close a window in append mode.
+"""
+
+import tempfile
+import uuid
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.windows import windowed_rollup
+from iiot_data_engineering_lab_assignment_spark.streaming.jobs import streaming_rollup
+
+SCHEMA = "key string, ts timestamp, value double"
+T = lambda m, s: datetime(2024, 5, 1, 10, m, s)  # noqa: E731
+
+#: three micro-batches; windows are 1 minute, watermark 5 seconds.
+BATCH_1 = [("m1", T(0, 10), 10.0), ("m1", T(0, 20), 30.0), ("m1", T(1, 5), 7.0)]
+BATCH_2 = [("m1", T(1, 20), 9.0), ("m1", T(2, 30), 100.0)]
+#: includes one event far behind the watermark (10:00:30 when the
+#: watermark is 10:02:25) — must be dropped, not reopen the 10:00 window.
+BATCH_3 = [("m1", T(3, 0), 50.0), ("m1", T(0, 30), 999.0)]
+
+
+def _replay(spark, output_mode):
+    """Feed the three batches through a parquet file stream; return the
+    memory-sink rows accumulated under the given output mode."""
+    src = tempfile.mkdtemp(prefix=f"modes_{output_mode}_src_")
+    name = f"modes_{output_mode}_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    agg = streaming_rollup(stream, "ts", "1 minute", "5 seconds", [])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="modes_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (BATCH_1, BATCH_2, BATCH_3):
+            spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).collect()
+
+
+def _batch_oracle(spark):
+    """Batch rollup over all NON-LATE events (the watermark drops the
+    999.0 straggler before it reaches any window)."""
+    rows = [r for r in BATCH_1 + BATCH_2 + BATCH_3 if r[2] != 999.0]
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        r["window_start"]: r
+        for r in windowed_rollup(df, "ts", "1 minute", None, []).collect()
+    }
+
+
+def test_append_mode_emits_closed_windows_final(spark):
+    """Append emits each window EXACTLY ONCE, after the watermark passes
+    its end, with values equal to the batch rollup of that window."""
+    rows = _replay(spark, "append")
+    oracle = _batch_oracle(spark)
+    # final watermark seen by batch 3 = max(batch 2) - 5s = 10:02:25, so
+    # exactly the 10:00 and 10:01 windows are closed and emitted
+    assert sorted(r["window_start"] for r in rows) == [T(0, 0), T(1, 0)]
+    for r in rows:
+        o = oracle[r["window_start"]]
+        assert r["count_readings"] == o["count_readings"]
+        assert r["avg_value"] == o["avg_value"]
+        assert r["min_value"] == o["min_value"]
+        assert r["max_value"] == o["max_value"]
+    # the late 999.0 event did not resurrect the closed 10:00 window
+    w00 = next(r for r in rows if r["window_start"] == T(0, 0))
+    assert w00["max_value"] == 30.0 and w00["count_readings"] == 2
+
+
+def test_update_mode_deltas_converge_to_batch(spark):
+    """Update emits one row per CHANGED window per batch; the last update
+    per window (count is monotone per window) equals the batch rollup."""
+    rows = _replay(spark, "update")
+    oracle = _batch_oracle(spark)
+    # the 10:01 window changed in two different batches -> >1 update row
+    per_window: dict = {}
+    for r in rows:
+        cur = per_window.get(r["window_start"])
+        if cur is None or r["count_readings"] > cur["count_readings"]:
+            per_window[r["window_start"]] = r
+    assert len(rows) > len(per_window)  # at least one window updated twice
+    assert sum(1 for r in rows if r["window_start"] == T(1, 0)) == 2
+    # every window the stream saw (the late row never creates one)
+    assert set(per_window) == set(oracle)
+    for ws, r in per_window.items():
+        o = oracle[ws]
+        assert r["count_readings"] == o["count_readings"]
+        assert r["avg_value"] == o["avg_value"]
+        assert r["min_value"] == o["min_value"]
+        assert r["max_value"] == o["max_value"]
+
+
+def test_session_window_append_mode(spark):
+    """Session windows under append mode: a session closes once the
+    watermark passes (last event + gap); the emitted row covers the whole
+    merged session."""
+    src = tempfile.mkdtemp(prefix="modes_sess_src_")
+    name = f"modes_sess_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    # session windows in streaming REQUIRE a grouping key (Spark rejects
+    # global session aggregation), so group by the sensor key
+    agg = streaming_rollup(stream, "ts", "1 minute", "5 seconds", ["key"], session_gap="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="modes_sess_ckpt_"))
+        .start()
+    )
+    # session A: 10:00:00 + 10:00:30 (merges; ends 10:01:30); session B:
+    # 10:06:00 (ends 10:07:00) closes A; batch 3's 10:08:00 pushes the
+    # watermark to 10:07:55 which closes B too; the 10:08 session stays
+    # open and is never emitted
+    b1 = [("m1", T(0, 0), 1.0), ("m1", T(0, 30), 3.0)]
+    b2 = [("m1", T(6, 0), 5.0)]
+    b3 = [("m1", T(8, 0), 7.0)]
+    try:
+        for batch in (b1, b2, b3):
+            spark.createDataFrame(batch, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r["window_start"])
+    assert [r["window_start"] for r in rows] == [T(0, 0), T(6, 0)]
+    a, b = rows
+    assert a["window_end"] == T(1, 30)  # last event + gap, merged session
+    assert a["count_readings"] == 2
+    assert a["min_value"] == 1.0 and a["max_value"] == 3.0
+    assert b["window_end"] == T(7, 0) and b["count_readings"] == 1
