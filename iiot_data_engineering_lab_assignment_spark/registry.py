@@ -3007,3 +3007,39 @@ def q7_two_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(volume).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "ngram_jaccard_pairs_capped",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), cold AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ), shc AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    """,
+)
+def ngram_jaccard_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jaccard_pairs with the hot-shingle document-frequency cap (df <= 50)
+    — the 100 TB-safe form of the posting-list self-join (a stopword-only
+    shingle shared by D docs contributes D^2/2 candidates), oracle-backed:
+    DuckDB expresses the same cap as a HAVING filter on shingle df."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.4, max_shingle_df=50)
