@@ -182,3 +182,27 @@ def test_q7_date_pushdown_and_dim_broadcasts(spark):
     plan = plan_of(spark, "q7_two_nation_volume")
     assert "GreaterThanOrEqual(l_shipdate," in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_q6_all_predicates_at_scan(spark):
+    """Q6 is pure pushdown: date range, discount band, quantity cutoff all
+    reach the lineitem parquet scan; no join in the plan."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate," in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    assert "Join" not in plan
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """Q15's MAX(total_revenue) enters as a broadcast (1-row scalar), not
+    a shuffle; no cartesian blow-up from the scalar join."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_stats(spark):
+    plan = plan_of(spark, "q22_idle_balance_customers")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
