@@ -37,6 +37,7 @@ from ..sources.readers import _ensure_session_confs
 __all__ = [
     "events_file_stream",
     "streaming_rollup",
+    "streaming_dedup",
     "run_events_stream_rollup",
     "fan_out_two_sinks",
 ]
@@ -100,6 +101,34 @@ def streaming_rollup(
             "count_readings",
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "ts",
+    watermark: str = "10 seconds",
+    bounded_state: bool = True,
+) -> DataFrame:
+    """In-flight duplicate removal (at-least-once upstream -> effectively-
+    once downstream): drop events whose `keys` were already seen.
+
+    ``bounded_state=True`` uses dropDuplicatesWithinWatermark — the key
+    state is EVICTED once the watermark passes it, so state size is
+    (event rate x watermark horizon), not all keys ever seen.  That is
+    the only viable form for an unbounded 100 TB/day stream; the
+    tradeoff is that a duplicate arriving later than the watermark
+    horizon is re-emitted (upstream redelivery windows are short —
+    Kafka producer retries land within seconds).  ``bounded_state=False``
+    keeps every key forever (exact, for short replays only).
+
+    The event-time column must be among the state keys' carried columns;
+    Spark requires a watermark BEFORE this operator in either form.
+    """
+    s = stream.withWatermark(time_col, watermark)
+    if bounded_state:
+        return s.dropDuplicatesWithinWatermark(keys)
+    return s.dropDuplicates(keys)
 
 
 def run_events_stream_rollup(

@@ -144,3 +144,36 @@ def test_session_window_append_mode(spark):
     assert a["count_readings"] == 2
     assert a["min_value"] == 1.0 and a["max_value"] == 3.0
     assert b["window_end"] == T(7, 0) and b["count_readings"] == 1
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """In-flight dedup: duplicate event_ids within the watermark horizon
+    (same batch AND a redelivery in the next batch) are dropped; unique
+    events all survive.  State is bounded by the watermark, not by total
+    distinct keys (dropDuplicatesWithinWatermark)."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import streaming_dedup
+
+    src = tempfile.mkdtemp(prefix="sdedup_src_")
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    schema = "event_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_dedup(stream, ["event_id"], "ts", watermark="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdedup_ckpt_"))
+        .start()
+    )
+    # batch 1 contains an in-batch duplicate of id 1; batch 2 redelivers
+    # ids 1 and 2 (within the 1-minute horizon) and adds id 3
+    b1 = [(1, T(0, 10), 1.0), (1, T(0, 10), 1.0), (2, T(0, 20), 2.0)]
+    b2 = [(1, T(0, 10), 1.0), (2, T(0, 20), 2.0), (3, T(0, 40), 3.0)]
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
