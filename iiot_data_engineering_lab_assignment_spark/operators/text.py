@@ -25,6 +25,7 @@ __all__ = [
     "redact_pii",
     "winnowing_fingerprints",
     "ngram_repetition",
+    "token_budget_shards",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
@@ -309,4 +310,52 @@ def ngram_repetition(
         F.when(total > 0, F.round(1 - distinct / total, 6))
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
+    )
+
+
+def token_budget_shards(
+    docs: DataFrame,
+    budget: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_span: int = 1_000,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards in a stable
+    order: shard_id = (running token total BEFORE this doc) div budget.
+
+    The running sum is a GLOBAL prefix sum, which a naive
+    ``Window.orderBy(id)`` computes on ONE task — a scale-killer.  This is
+    the distributed two-pass form: (1) docs are ranged into coarse buckets
+    by id, per-bucket token totals (one tiny row per bucket) are
+    prefix-summed with the global window — over bucket SUMMARIES, not
+    rows; (2) the per-bucket offsets broadcast back and each bucket
+    computes its interior running sum independently.  Work per task is
+    O(bucket), the single-task step is O(n_buckets) metadata rows.
+
+    Output: (doc_id, n_tokens, cum_tokens inclusive, shard_id).
+    """
+    from pyspark.sql import Window
+
+    t = docs.select(
+        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    ).withColumn("bucket", F.expr(f"{id_col} div {bucket_span}"))
+    per_bucket = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("offset")
+    )
+    wi = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_tokens", F.col("offset") + F.sum("n_tokens").over(wi))
+        .select(
+            id_col,
+            "n_tokens",
+            "cum_tokens",
+            F.expr(f"(cum_tokens - n_tokens) div {budget}").alias("shard_id"),
+        )
     )

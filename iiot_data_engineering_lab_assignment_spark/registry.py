@@ -3247,3 +3247,54 @@ def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal").cast("double").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "token_budget_shards",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens) // 10000 AS shard_id
+    FROM t
+    """,
+)
+def token_budget_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment by cumulative token budget (10k tokens
+    per shard) — distributed two-pass prefix sum (the oracle's single
+    global window is the semantics, not the plan; see
+    operators.text.token_budget_shards)."""
+    from .operators.text import token_budget_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_shards(docs, budget=10_000)
+
+
+@register("multimodal_resize", None)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary media (deterministic fake codec): the
+    Arrow-batch contract (payload bytes scale with target area) is what's
+    tested; the real codec swaps in behind the same mapInPandas schema."""
+    from .operators.multimodal import media_from_documents, resize_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(media_from_documents(docs), 64, 64, fake=True).select(
+        "media_id", "mime", "width", "height", F.length("payload").alias("n_payload")
+    )
+
+
+@register("multimodal_frames", None)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling from binary media (fake codec): one output row per
+    sampled frame with frame index + byte offsets — the video-to-frames
+    fan-out shape (explode inside mapInPandas batches)."""
+    from .operators.multimodal import media_from_documents, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(media_from_documents(docs), every_n_bytes=64, max_frames=4, fake=True)

@@ -111,3 +111,51 @@ def test_data_batch_arms_timeout():
     assert st.updated is not None and st.updated[0] == 2
     assert st.timeout_set == 60_000
     assert not st.removed
+
+
+def test_transform_with_state_sessionizer(spark):
+    """Spark 4 transformWithState: per-key ValueState sessionizer emits one
+    row per CLOSED session (gap > 300s), within and across micro-batches."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import sessionize
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    schema = "key string, event_time timestamp, value double"
+    t = lambda m, s=0: datetime(2024, 5, 1, 10, m, s)  # noqa: E731
+
+    # m1: session closes across batches; m2: closes within one batch
+    b1 = [("m1", t(0, 0), 1.0), ("m1", t(0, 30), 2.0),
+          ("m2", t(0, 0), 9.0), ("m2", t(20, 0), 4.0)]
+    b2 = [("m1", t(10, 0), 4.0)]
+    b3 = [("m1", t(30, 0), 8.0)]
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = sessionize(stream, gap_seconds=300)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="tws_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (b1, b2, b3):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(spark.table(name).collect(), key=lambda r: (r["key"], r["session_start"]))
+    got = [
+        (r["key"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in rows
+    ]
+    assert got == [
+        ("m1", t(0, 0), t(0, 30), 2, 3.0),   # closed by the 10:10 event
+        ("m1", t(10, 0), t(10, 0), 1, 4.0),  # closed by the 10:30 event
+        ("m2", t(0, 0), t(0, 0), 1, 9.0),    # closed in-batch by 10:20
+    ]
