@@ -206,3 +206,13 @@ def test_q22_anti_join_and_scalar_stats(spark):
     plan = plan_of(spark, "q22_idle_balance_customers")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q8_q9_single_fact_shuffle(spark):
+    """Q8/Q9: every dimension leg broadcasts; the only sort-merge join (if
+    any) is lineitem-orders; no cartesian."""
+    for name in ("q8_market_share", "q9_product_type_profit"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("SortMergeJoin") <= 1, name
