@@ -21,6 +21,8 @@ __all__ = [
     "hyperplane_bucket",
     "lsh_topk",
     "centroids",
+    "assign_cells",
+    "kmeans_train",
 ]
 
 
@@ -305,3 +307,89 @@ def centroids(
         F.col(label_col), F.posexplode(_as_double(F.col(emb_col))).alias("pos", "v")
     )
     return exploded.groupBy(label_col, "pos").agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    cents: dict[int, list[float]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment as a pure JVM expression: squared L2 to
+    each centroid is |v|^2 - 2 v.c + |c|^2 with the centroid as a literal
+    array (k x d doubles — the parameter-server pattern: broadcast
+    parameters, never shuffle data to them).  argmin via array_min over
+    (dist, cell) structs — lexicographic struct ordering gives the
+    deterministic lowest-cell tiebreak."""
+    e = _as_double(F.col(emb_col))
+    vnorm = dot(e, e)
+    entries = []
+    for cell, c in sorted(cents.items()):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = float(sum(x * x for x in c))
+        d2 = vnorm - F.lit(2.0) * dot(e, carr) + F.lit(cnorm)
+        entries.append(F.struct(d2.alias("d2"), F.lit(cell).alias("cell")))
+    best = F.array_min(F.array(*entries))
+    return embeddings.select(F.col(id_col), F.col(emb_col), best["cell"].alias("cell"))
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd's k-means — the IVF coarse-quantizer trainer
+    (:func:`centroids` IS the update step; this adds the loop).
+
+    Per iteration: ONE scan computing nearest-centroid assignment
+    (assign_cells, centroids as broadcast literals) + one scalar-row
+    shuffle for the update aggregate ((cell, pos, partial-sum) triples).
+    The k x d centroid table collects to the driver between iterations —
+    that is parameters, not data (same scale posture as ivf_topk's
+    centroid lookup).
+
+    Init is deterministic farthest-first over a hash-sampled candidate
+    pool (4k rows by xxhash64(id) order — pseudo-random spread computed
+    as a distributed TakeOrdered, never a full sort): k-lowest-id init
+    collapses when ids correlate with cluster layout (they do in any
+    partition-ordered ingest), and farthest-first guarantees one seed
+    per well-separated blob.  Converges when max centroid movement < tol.
+
+    Returns (assignments DataFrame (id, cell), centroid dict, n_iter).
+    """
+    pool = [
+        [float(x) for x in r[emb_col]]
+        for r in embeddings.orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        ).limit(4 * k).collect()
+    ]
+    chosen = [pool[0]]
+    while len(chosen) < k:
+        best, best_d = None, -1.0
+        for v in pool:
+            d = min(
+                sum((a - b) * (a - b) for a, b in zip(v, c)) for c in chosen
+            )
+            if d > best_d:
+                best, best_d = v, d
+        chosen.append(best)
+    cents = {i: c for i, c in enumerate(chosen)}
+    assigned = None
+    for it in range(1, max_iter + 1):
+        assigned = assign_cells(embeddings, cents, id_col, emb_col)
+        rows = centroids(assigned, "cell", emb_col).collect()
+        new: dict[int, list[float]] = {
+            c: list(v) for c, v in ((cell, cents[cell]) for cell in cents)
+        }
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["centroid_v"]
+        moved = max(
+            max(abs(a - b) for a, b in zip(cents[c], new[c])) for c in cents
+        )
+        cents = new
+        if moved < tol:
+            break
+    return assign_cells(embeddings, cents, id_col, emb_col), cents, it

@@ -3438,3 +3438,17 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "o_year")
         .agg(F.sum("profit").cast("double").alias("total_profit"))
     )
+
+
+@register("kmeans_assignments", None)
+def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=8, <=5
+    iterations): per-iteration cost is one scan + one scalar-row shuffle;
+    centroids move driver-side as parameters (k x d).  Rows-only check
+    (iterative, not SQL-expressible); cluster-recovery quality is asserted
+    in tests/test_dedup_similarity.py on planted clusters."""
+    from .operators.similarity import kmeans_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans_train(emb, k=8, max_iter=5)
+    return assigned.select("vec_id", "cell")

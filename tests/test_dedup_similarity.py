@@ -239,3 +239,24 @@ def test_ivf_topk_recall_floor_on_clustered_data(spark):
     approx = {r["vec_id"] for r in ivf_topk(emb, qvec, nprobe=2, k=10).collect()}
     recall = len(approx & set(exact)) / len(exact)
     assert recall >= 0.9
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Lloyd k-means (k = number of planted blobs) recovers the planted
+    partition: every learned cell is >=95% one true label, and learned
+    centroids land within noise distance of true centers."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import kmeans_train
+
+    emb = _clustered_embeddings(spark, n_clusters=6, per=40, d=16, seed=5).cache()
+    assigned, cents, n_iter = kmeans_train(emb, k=6, max_iter=15, tol=1e-9)
+    rows = assigned.join(emb.select("vec_id", "label"), "vec_id").collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["label"])
+    # purity: each cell dominated by one true label
+    purity = sum(max(labels.count(l) for l in set(labels)) for labels in by_cell.values()) / len(rows)
+    assert purity >= 0.95
+    assert len(by_cell) == 6  # no collapsed cells on well-separated blobs
+    assert n_iter <= 15
