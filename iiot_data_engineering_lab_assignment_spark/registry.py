@@ -3452,3 +3452,48 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _, _ = kmeans_train(emb, k=8, max_iter=5)
     return assigned.select("vec_id", "cell")
+
+
+@register(
+    "corpus_curation_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dis
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, text, n_tok FROM scored
+      WHERE LEAST(1.0, n_tok / 50.0) * 0.5 + (n_dis / n_tok) * 0.3
+            + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2
+            >= 0.5
+    ), deduped AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
+      FROM kept
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+           (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens) // 10000 AS shard_id
+    FROM deduped
+    """,
+)
+def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation flagship, one composed plan:
+    quality gate (heuristic score >= 0.5) -> exact dedup keyed by md5
+    fingerprint (keep lowest id; fingerprint shuffle, never raw text) ->
+    token-budget shard assignment (distributed two-pass prefix sum).
+    Catalyst fuses the stages: the quality filter evaluates inside the
+    scan, the dedup semi-join and the shard windows share the survivor
+    relation — no intermediate materialization."""
+    from .operators.dedup import exact_dedup_keep_first_fp
+    from .operators.text import token_budget_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    deduped = exact_dedup_keep_first_fp(kept.select("doc_id", "text"))
+    return token_budget_shards(deduped, budget=10_000)
