@@ -3497,3 +3497,29 @@ def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
     deduped = exact_dedup_keep_first_fp(kept.select("doc_id", "text"))
     return token_budget_shards(deduped, budget=10_000)
+
+
+@register(
+    "media_dedup_hash",
+    """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_media_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def media_dedup_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-content dedup for media tables: group by md5 of the RAW
+    PAYLOAD BYTES (the only dedup that works for opaque image/audio blobs
+    — no text normalization exists).  Oracle-checkable because the
+    synthetic payload is the UTF-8 encoding of the text column, so
+    DuckDB's md5(text) hashes identical bytes."""
+    from .operators.multimodal import media_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = media_from_documents(docs)
+    return media.groupBy(F.md5("payload").alias("content_hash")).agg(
+        F.min("media_id").alias("keep_media_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
