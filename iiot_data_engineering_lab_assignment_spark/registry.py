@@ -3523,3 +3523,171 @@ def media_dedup_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("keep_media_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), nat AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_12'
+    ), held AS (
+      SELECT ps.l_partkey, ps.qty
+      FROM ps JOIN nat ON ps.l_suppkey = nat.s_suppkey
+    )
+    SELECT l_partkey, CAST(SUM(qty) AS DOUBLE) AS part_value
+    FROM held
+    GROUP BY l_partkey
+    HAVING SUM(qty) * 10000 > (SELECT SUM(qty) FROM held)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part aggregate HAVING > fraction-of-global-
+    total — a scalar subquery over the SAME relation as the group-by.
+    The nation-filtered holdings relation feeds both aggregates; the
+    1-row global total broadcasts into the HAVING.  Exact-decimal
+    cross-multiply (sum*10000 > total) instead of a double fraction.
+    partsupp analog: lineitem quantity per (part, supplier)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_12"
+    ).select("n_nationkey")
+    nat = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
+    )
+    held = ps.join(F.broadcast(nat), ps.l_suppkey == nat.s_suppkey).select(
+        "l_partkey", "qty"
+    )
+    total = held.agg(F.sum("qty").alias("grand_total"))
+    return (
+        held.groupBy("l_partkey")
+        .agg(F.sum("qty").alias("pv"))
+        .join(F.broadcast(total))
+        .filter(F.col("pv") * 10000 > F.col("grand_total"))
+        .select("l_partkey", F.col("pv").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    WITH bad AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    ), pairs AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    )
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_size IN (1, 4, 9, 14, 19, 23)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute with a
+    NOT IN exclusion subquery — an anti join against the excluded
+    supplier set (negative balance stands in for the complaints LIKE;
+    fixture has no s_comment) before the distinct aggregation.
+    partsupp analog: distinct (part, supplier) pairs from lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    pairs = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_stock_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+      FROM lineitem
+      GROUP BY 1, 2
+    ), y97 AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty97
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    ), qualifying AS (
+      SELECT s.l_suppkey
+      FROM shipped s
+      JOIN y97 ON y97.l_partkey = s.l_partkey AND y97.l_suppkey = s.l_suppkey
+      JOIN part p ON p.p_partkey = s.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND s.total_qty * 2 > y97.qty97 * 5
+      GROUP BY s.l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_13'
+      AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    """,
+)
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chains (suppliers -> qualifying
+    part-supplier holdings -> part name pattern) collapsed to aggregates
+    + semi joins.  'Stock' analog: total shipped quantity per
+    (part, supplier); the excess test (stock > 0.5x of 1997 demand x5,
+    i.e. 2*total > 5*qty97) is an exact-decimal cross-multiply.  Both
+    aggregates shuffle lineitem on the SAME (part, supplier) key —
+    one exchange reused."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_13"
+    ).select("n_nationkey")
+    qdec = F.col("l_quantity").cast("decimal(18,4)")
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qdec).alias("total_qty"))
+    y97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qdec).alias("qty97"))
+    )
+    qualifying = (
+        shipped.join(y97, ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey, "left_semi")
+        .filter(F.col("total_qty") * 2 > F.col("qty97") * 5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
