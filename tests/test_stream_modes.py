@@ -177,3 +177,49 @@ def test_streaming_dedup_within_watermark(spark):
         q.stop()
     rows = spark.table(name).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """T4: a streaming query stopped and RESTARTED from its checkpoint
+    neither loses nor duplicates data — source offsets come from the
+    checkpoint, and the idempotent batch_id-keyed sink overwrites any
+    partially-written batch."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        idempotent_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, value double"
+    writer = idempotent_batch_writer(sink)
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(lambda df, bid: writer(df, bid))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    b1 = [(i, T(0, i), float(i)) for i in range(10)]
+    b2 = [(i, T(1, i - 10), float(i)) for i in range(10, 20)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()  # simulated shutdown between batches
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    q = start()  # NEW query object, SAME checkpoint
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(f"{sink}/batch_id=*")
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == list(range(20))  # nothing lost, nothing duplicated
