@@ -93,3 +93,55 @@ def test_decontaminate_planted(spark):
     )
     got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(corpus, eval_docs, n=5).collect()}
     assert got == {1: 1}
+
+
+def test_token_budget_shards_invariants(spark, documents):
+    """Shard packing invariants: cum_tokens is the exact prefix sum in
+    doc_id order, every shard's token span fits the budget (the shard of
+    a doc is determined by the tokens BEFORE it), and shard ids are
+    contiguous from 0."""
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        token_budget_shards,
+    )
+
+    budget = 1_000
+    out = token_budget_shards(documents, budget=budget).orderBy("doc_id").collect()
+    running = 0
+    for r in out:
+        assert r["shard_id"] == running // budget  # tokens-before rule
+        running += r["n_tokens"]
+        assert r["cum_tokens"] == running  # exact prefix sum
+    shard_ids = [r["shard_id"] for r in out]
+    assert shard_ids == sorted(shard_ids)  # monotone in doc order
+    assert set(shard_ids) == set(range(max(shard_ids) + 1))  # contiguous
+
+
+def test_curation_pipeline_composition(spark):
+    """The composed curation pipeline equals its stages run separately."""
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark import registry
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        exact_dedup_keep_first_fp,
+    )
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        quality_score,
+        token_budget_shards,
+    )
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    composed = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["shard_id"])
+        for r in registry.QUERIES["corpus_curation_pipeline"].fn(spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
+    deduped = exact_dedup_keep_first_fp(kept.select("doc_id", "text"))
+    staged = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"], r["shard_id"])
+        for r in token_budget_shards(deduped, budget=10_000).collect()
+    }
+    assert composed == staged and len(composed) > 0

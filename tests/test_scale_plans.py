@@ -216,3 +216,12 @@ def test_q8_q9_single_fact_shuffle(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert plan.count("SortMergeJoin") <= 1, name
+
+
+def test_capped_jaccard_hot_set_broadcasts(spark):
+    """The hot-shingle exclusion in the capped jaccard enters as a
+    BROADCAST anti join — the postings never reshuffle for the cap."""
+    plan = plan_of(spark, "ngram_jaccard_pairs_capped")
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
