@@ -6,12 +6,14 @@ extraction / resizing / frame sampling run as Arrow-batched pandas
 functions over ``mapInPandas`` so each task processes a columnar batch of
 blobs without JVM round-trips per row.
 
-The actual codec step is STUBBED here (this runtime has no image/audio
-libraries): ``decode_media`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic hash-derived decode stands
-in.  Everything AROUND the codec — schema contract, batch iteration,
-partition sizing, output shape — is real and tested; swapping in
-Pillow/ffmpeg is a one-function change inside the pandas iterator.
+Codec status (round 3): BMP and PPM decode/encode plus nearest-neighbor
+resize are REAL — pure-numpy implementations in
+``operators.imagecodec`` run inside the Arrow batches, and the registry
+oracles check the decoded pixel statistics against closed-form SQL
+predictions.  Formats that genuinely need external libraries
+(JPEG/PNG/video — no Pillow/ffmpeg in this runtime, pip has no network)
+still raise ``NotImplementedError``; ``fake=True`` keeps the
+deterministic hash-derived stand-in for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -24,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -32,7 +35,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "media_from_documents", "decode_media", "extract_features", "resize_media", "sample_frames"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_from_documents",
+    "media_images_from_documents",
+    "decode_media",
+    "extract_features",
+    "resize_media",
+    "sample_frames",
+]
 
 #: The multimodal table contract: opaque payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -64,34 +75,125 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str 
     )
 
 
-def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode the binary payload into (width, height, channels) metadata.
+def media_images_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-image media table: each document becomes a small
+    RGB gradient image, encoded as an actual BMP (even ids) or binary PPM
+    (odd ids) payload by the pure-numpy codecs.
 
-    Real deployments replace the body of ``_decode_batch`` with an actual
-    codec (PIL.Image.open / soundfile / pyav).  With ``fake=True`` a
-    deterministic pseudo-decode derives dimensions from the payload hash —
-    same schema, same batch shape, zero codec dependency.
+    The pixel formula is closed-form in ``doc_id`` so a SQL oracle can
+    predict every decode statistic without a codec of its own::
+
+        w = 4 + id % 13          h = 4 + id % 7
+        pixel(r, c, ch) = (id*31 + r + 85*ch) % 256      (column-invariant)
+
+    The row gradient catches a missed BMP bottom-up flip, the channel
+    offset catches a BGR/RGB swap, and the odd widths exercise BMP's
+    4-byte row padding — any of those bugs shifts ``top_left`` /
+    ``bottom_right`` / ``mean_pixel`` and fails the cross-engine gate.
     """
-    out_schema = StructType(list(MEDIA_SCHEMA.fields) + _DECODED_FIELDS)
+    out_schema = MEDIA_SCHEMA
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imagecodec import encode_bmp, encode_ppm
+
+        for pdf in batches:
+            payloads, mimes = [], []
+            for did in pdf["media_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 4 + did % 7
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :]
+                img = ((did * 31 + r + 85 * ch) % 256).astype(np.uint8)
+                img = np.broadcast_to(img, (h, w, 3))
+                if did % 2 == 0:
+                    payloads.append(encode_bmp(img))
+                    mimes.append("image/bmp")
+                else:
+                    payloads.append(encode_ppm(img))
+                    mimes.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": mimes,
+                    "n_bytes": pd.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(_gen, out_schema)
+
+
+#: Extra columns emitted by the real decode path (NULL under ``fake=True``).
+_PIXEL_STAT_FIELDS = [
+    StructField("mean_pixel", DoubleType(), True),
+    StructField("top_left", IntegerType(), True),
+    StructField("bottom_right", IntegerType(), True),
+]
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode the binary payload into (width, height, channels) metadata
+    plus pixel statistics.
+
+    With ``fake=False`` the REAL pure-numpy BMP/PPM codecs run inside the
+    Arrow batches (``operators.imagecodec``); payloads in any other
+    format raise ``NotImplementedError`` inside the task — the pipeline
+    never silently fabricates pixels.  ``mean_pixel`` is emitted as the
+    raw double (exact integer sum / count); callers round it at the
+    query level so Spark and the oracle round the same value.
+
+    With ``fake=True`` a deterministic pseudo-decode derives dimensions
+    from the payload hash — same schema (pixel stats NULL), same batch
+    shape, zero codec dependency — kept for format-agnostic plumbing
+    tests and non-image payloads.
+    """
+    out_schema = StructType(list(MEDIA_SCHEMA.fields) + _DECODED_FIELDS + _PIXEL_STAT_FIELDS)
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
+        import numpy as np
+
+        from .imagecodec import decode_image
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs unavailable in this runtime; pass fake=True "
-                    "or swap in a real decoder (PIL/ffmpeg) here"
+            if "n_bytes" not in pdf.columns:  # e.g. decoding resize_media output
+                pdf = pdf.assign(
+                    n_bytes=pd.array([len(bytes(b)) for b in pdf["payload"]], dtype="int64")
                 )
-            # crc32, not hash(): Python's hash is process-salted and would
-            # break run-to-run determinism
-            h = pdf["payload"].map(lambda b: zlib.crc32(bytes(b)) & 0x7FFFFFFF)
-            pdf = pdf.assign(
-                width=(h % 1920 + 1).astype("int32"),
-                height=(h // 1920 % 1080 + 1).astype("int32"),
-                channels=(h % 3 + 1).astype("int32"),
+            if fake:
+                # crc32, not hash(): Python's hash is process-salted and
+                # would break run-to-run determinism
+                h = pdf["payload"].map(lambda b: zlib.crc32(bytes(b)) & 0x7FFFFFFF)
+                yield pdf.assign(
+                    width=(h % 1920 + 1).astype("int32"),
+                    height=(h // 1920 % 1080 + 1).astype("int32"),
+                    channels=(h % 3 + 1).astype("int32"),
+                    mean_pixel=pd.array([None] * len(pdf), dtype="float64"),
+                    top_left=pd.array([None] * len(pdf), dtype="Int32"),
+                    bottom_right=pd.array([None] * len(pdf), dtype="Int32"),
+                )
+                continue
+            widths, heights, chans, means, tls, brs = [], [], [], [], [], []
+            for b in pdf["payload"]:
+                img = decode_image(bytes(b))
+                h_, w_, c_ = img.shape
+                widths.append(w_)
+                heights.append(h_)
+                chans.append(c_)
+                means.append(int(img.sum(dtype=np.int64)) / img.size)
+                tls.append(int(img[0, 0, 0]))
+                brs.append(int(img[-1, -1, -1]))
+            yield pdf.assign(
+                width=pd.array(widths, dtype="int32"),
+                height=pd.array(heights, dtype="int32"),
+                channels=pd.array(chans, dtype="int32"),
+                mean_pixel=pd.array(means, dtype="float64"),
+                top_left=pd.array(tls, dtype="Int32"),
+                bottom_right=pd.array(brs, dtype="Int32"),
             )
-            yield pdf
 
     return media.mapInPandas(_decode_batch, out_schema)
 
@@ -129,11 +231,18 @@ def resize_media(
     media: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = False
 ) -> DataFrame:
     """Resize step (the preprocessing normalizer before feature
-    extraction).  Real version: PIL/cv2 resize inside the same Arrow batch
-    iterator.  Fake version is deterministic: payload is re-sampled to a
-    byte budget proportional to target area (stride slicing), and the
-    metadata records the new dimensions — preserving the contract that
-    output payload size scales with target resolution."""
+    extraction).
+
+    Real path (``fake=False``): decode the BMP/PPM payload, nearest-
+    neighbor resample with the floor mapping (``imagecodec.nearest_resize``
+    — SQL-reproducible, so the oracle can verify the resized pixels), and
+    re-encode the result as BMP.  Composing ``decode_media`` after this
+    round-trips encode -> decode twice, which is the strongest offline
+    check the codecs can get.
+
+    Fake path: deterministic byte-budget stride slicing — kept for
+    format-agnostic plumbing tests (payload size scales with target
+    area)."""
     out_schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -146,9 +255,24 @@ def resize_media(
     budget = max(16, (target_w * target_h) // 1024)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import decode_image, encode_bmp, nearest_resize
+
         for pdf in batches:
             if not fake:
-                raise NotImplementedError("image resize unavailable; pass fake=True")
+                payloads = [
+                    encode_bmp(nearest_resize(decode_image(bytes(b)), target_w, target_h))
+                    for b in pdf["payload"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "payload": payloads,
+                        "mime": ["image/bmp"] * len(pdf),
+                        "width": pd.array([target_w] * len(pdf), dtype="int32"),
+                        "height": pd.array([target_h] * len(pdf), dtype="int32"),
+                    }
+                )
+                continue
             payloads = []
             for b in pdf["payload"]:
                 raw = bytes(b)

@@ -1237,16 +1237,58 @@ def stream_sliding_1m_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode", None)
+@register(
+    "multimodal_decode",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, h - 1)) AS r
+      FROM dims
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (doc_id * 31 + r + 85 * ch.ch) % 256 AS v
+      FROM rws CROSS JOIN (SELECT unnest([0, 1, 2]) AS ch) ch
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                ELSE 'image/x-portable-pixmap' END AS mime,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_pixel,
+           CAST((doc_id * 31) % 256 AS INTEGER) AS top_left,
+           CAST((doc_id * 31 + (MAX(h) - 1) + 170) % 256 AS INTEGER) AS bottom_right
+    FROM px
+    GROUP BY doc_id
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents -> binary media table -> Arrow-batched
-    mapInPandas decode (deterministic fake codec; see operators.multimodal
-    for the real-codec swap point)."""
-    from .operators.multimodal import decode_media, media_from_documents
+    """REAL image decode end-to-end: documents -> deterministic BMP/PPM
+    payloads (pure-numpy encoders) -> Arrow-batched mapInPandas decode
+    (pure-numpy parsers, operators.imagecodec) -> pixel statistics.
+
+    The oracle predicts every statistic in closed form from the pixel
+    formula pixel(r,c,ch) = (id*31 + r + 85*ch) % 256, so a padding,
+    bottom-up-flip, or BGR-swap bug in either codec direction fails the
+    hash check.  Parity target: the reference treats media as opaque
+    payloads end-to-end; this adds the decode stage a training-data
+    pipeline needs."""
+    from .operators.multimodal import decode_media, media_images_from_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_media(media_from_documents(docs), fake=True).select(
-        "media_id", "mime", "n_bytes", "width", "height", "channels"
+    return decode_media(media_images_from_documents(docs), fake=False).select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "top_left",
+        "bottom_right",
     )
 
 
@@ -3276,16 +3318,52 @@ def token_budget_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_shards(docs, budget=10_000)
 
 
-@register("multimodal_resize", None)
+@register(
+    "multimodal_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 7 AS h
+      FROM documents
+    ),
+    rws AS (
+      SELECT doc_id, h, unnest(generate_series(0, 7)) AS rp
+      FROM dims
+    ),
+    px AS (
+      SELECT doc_id, h,
+             (doc_id * 31 + (rp * h) // 8 + 85 * ch.ch) % 256 AS v
+      FROM rws CROSS JOIN (SELECT unnest([0, 1, 2]) AS ch) ch
+    )
+    SELECT doc_id AS media_id,
+           'image/bmp' AS mime,
+           CAST(8 AS INTEGER) AS width,
+           CAST(8 AS INTEGER) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_pixel,
+           CAST((doc_id * 31) % 256 AS INTEGER) AS top_left,
+           CAST((doc_id * 31 + (7 * MAX(h)) // 8 + 170) % 256 AS INTEGER) AS bottom_right
+    FROM px
+    GROUP BY doc_id
+    """,
+)
 def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing over binary media (deterministic fake codec): the
-    Arrow-batch contract (payload bytes scale with target area) is what's
-    tested; the real codec swaps in behind the same mapInPandas schema."""
-    from .operators.multimodal import media_from_documents, resize_media
+    """REAL resize round-trip: deterministic BMP/PPM payloads -> pure-numpy
+    decode -> nearest-neighbor resample to 8x8 (floor mapping, SQL-
+    reproducible) -> re-encode as BMP -> decode AGAIN for verification.
+    Two full encode/decode cycles per row; the oracle predicts the
+    resized pixel statistics in closed form (source images are
+    column-invariant, so only the row mapping (rp*h)//8 matters)."""
+    from .operators.multimodal import decode_media, media_images_from_documents, resize_media
 
     docs = load_table(spark, sf_dir, "documents")
-    return resize_media(media_from_documents(docs), 64, 64, fake=True).select(
-        "media_id", "mime", "width", "height", F.length("payload").alias("n_payload")
+    resized = resize_media(media_images_from_documents(docs), 8, 8, fake=False)
+    return decode_media(resized, fake=False).select(
+        "media_id",
+        "mime",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "top_left",
+        "bottom_right",
     )
 
 

@@ -153,3 +153,104 @@ def test_rate_stream_live_mode(spark):
     for r in rows:
         assert r["event_time"].year >= 2020
         assert int(r["event_time"].timestamp()) % 5 == 0
+
+
+def test_imagecodec_roundtrip_property():
+    """encode->decode is the identity for both BMP (incl. odd widths that
+    exercise 4-byte row padding) and PPM, on random pixel content."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 13), (10, 16), (6, 17)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img), (h, w)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_imagecodec_bmp_layout_is_spec_conformant():
+    """Byte-level spec checks (not just self-consistency): bottom-up row
+    order, BGR channel order, rows padded to 4 bytes, pixel offset 54."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import encode_bmp
+
+    img = np.zeros((2, 1, 3), dtype=np.uint8)
+    img[0, 0] = [10, 20, 30]  # top row RGB
+    img[1, 0] = [40, 50, 60]  # bottom row
+    data = encode_bmp(img)
+    assert data[:2] == b"BM" and data[10] == 54
+    stride = 4  # 1 px * 3 bytes padded to 4
+    first_stored = data[54 : 54 + 3]
+    assert list(first_stored) == [60, 50, 40]  # bottom row first, BGR
+    assert list(data[54 + stride : 54 + stride + 3]) == [30, 20, 10]
+
+
+def test_imagecodec_rejects_unknown_formats():
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import decode_image
+
+    with _pytest.raises(NotImplementedError, match="codecs unavailable"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    # truncated BMP header
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import decode_bmp
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"BMshort")
+
+
+def test_real_decode_matches_formula(spark, documents):
+    """The Spark-side decode of real BMP/PPM payloads reproduces the
+    closed-form pixel statistics the oracle predicts."""
+    from iiot_data_engineering_lab_assignment_spark.operators.multimodal import (
+        decode_media,
+        media_images_from_documents,
+    )
+
+    out = decode_media(media_images_from_documents(documents.limit(40)), fake=False).collect()
+    assert len(out) == 40
+    for r in out:
+        did = r["media_id"]
+        assert r["width"] == 4 + did % 13
+        assert r["height"] == 4 + did % 7
+        assert r["channels"] == 3
+        assert r["top_left"] == (did * 31) % 256
+        assert r["bottom_right"] == (did * 31 + r["height"] - 1 + 170) % 256
+        expected_mean = sum(
+            (did * 31 + rr + 85 * ch) % 256 for rr in range(r["height"]) for ch in range(3)
+        ) / (r["height"] * 3)
+        assert abs(r["mean_pixel"] - expected_mean) < 1e-9, did
+
+
+def test_real_resize_roundtrip_pixels(spark, documents):
+    """resize(fake=False) re-encodes actual resampled pixels: decoding the
+    output equals nearest_resize applied to the decoded input."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import (
+        decode_image,
+        nearest_resize,
+    )
+    from iiot_data_engineering_lab_assignment_spark.operators.multimodal import (
+        media_images_from_documents,
+        resize_media,
+    )
+
+    media = media_images_from_documents(documents.limit(20))
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = resize_media(media, 8, 8, fake=False).collect()
+    assert len(out) == 20
+    for r in out:
+        got = decode_image(bytes(r["payload"]))
+        want = nearest_resize(decode_image(src[r["media_id"]]), 8, 8)
+        assert np.array_equal(got, want), r["media_id"]
