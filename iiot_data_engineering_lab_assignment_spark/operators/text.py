@@ -9,6 +9,8 @@ Python in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -318,7 +320,7 @@ def token_budget_shards(
     budget: int = 10_000,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bucket_span: int = 1_000,
+    bucket_span: int | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training shards in a stable
     order: shard_id = (running token total BEFORE this doc) div budget.
@@ -329,12 +331,30 @@ def token_budget_shards(
     by id, per-bucket token totals (one tiny row per bucket) are
     prefix-summed with the global window — over bucket SUMMARIES, not
     rows; (2) the per-bucket offsets broadcast back and each bucket
-    computes its interior running sum independently.  Work per task is
-    O(bucket), the single-task step is O(n_buckets) metadata rows.
+    computes its interior running sum independently.
+
+    ``bucket_span`` defaults to a value DERIVED FROM THE DATA (round-2
+    verdict ask #3): one cheap id-bounds + count aggregate picks the span
+    so n_buckets ~= sqrt(n_docs) — the single-task summary window and the
+    per-bucket interior windows are then BOTH O(sqrt(n)) rows, instead of
+    a fixed span whose summary row count grows linearly with the corpus
+    (10^9 summary rows on one task at 10^12 docs with span 1000).  The
+    output is invariant to the span choice; pass an explicit span only to
+    pin plans in tests.
 
     Output: (doc_id, n_tokens, cum_tokens inclusive, shard_id).
     """
     from pyspark.sql import Window
+
+    if bucket_span is None:
+        lo, hi, n = docs.agg(
+            F.min(id_col).cast("long"), F.max(id_col).cast("long"), F.count(F.lit(1))
+        ).first()
+        if n == 0 or n is None:
+            bucket_span = 1
+        else:
+            id_range = int(hi) - int(lo) + 1
+            bucket_span = max(1, id_range // max(1, math.isqrt(int(n))))
 
     t = docs.select(
         F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
