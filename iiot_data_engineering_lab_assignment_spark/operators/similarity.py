@@ -360,12 +360,24 @@ def kmeans_train(
 
     Returns (assignments DataFrame (id, cell), centroid dict, n_iter).
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     pool = [
         [float(x) for x in r[emb_col]]
         for r in embeddings.orderBy(
             F.xxhash64(F.col(id_col)), F.col(id_col)
         ).limit(4 * k).collect()
     ]
+    if not pool:
+        raise ValueError("cannot train k-means on an empty embeddings table")
+    distinct_pool = {tuple(v) for v in pool}
+    if len(distinct_pool) < k:
+        raise ValueError(
+            f"sampled candidate pool has only {len(distinct_pool)} distinct "
+            f"vectors for k={k}; duplicate seed centroids would collapse cells"
+        )
     chosen = [pool[0]]
     while len(chosen) < k:
         best, best_d = None, -1.0

@@ -204,20 +204,37 @@ def upsert(
         )
     ).drop("year", "month", "day")
     survivors = touched.join(latest_updates.select(*key_cols), key_cols, "left_anti")
-    merged = survivors.unionByName(latest_updates)
-    rewritten = {
-        (r["year"], r["month"], r["day"])
-        for r in merged.select(
-            F.year(ts_col).alias("year"),
-            F.month(ts_col).alias("month"),
-            F.dayofmonth(ts_col).alias("day"),
+    # persist: the merged plan (target scan + anti-join + window) feeds BOTH
+    # the rewritten-partition collect and the write — without it the
+    # heaviest stage of every upsert runs twice
+    merged = survivors.unionByName(latest_updates).persist()
+    try:
+        rewritten = {
+            (r["year"], r["month"], r["day"])
+            for r in merged.select(
+                F.year(ts_col).alias("year"),
+                F.month(ts_col).alias("month"),
+                F.dayofmonth(ts_col).alias("day"),
+            )
+            .distinct()
+            .collect()
+        }
+        write_partitioned_by_date(merged, path, ts_col, mode="overwrite", dynamic=True)
+    finally:
+        merged.unpersist()
+    emptied_keys = set(part_keys) - rewritten
+    if not emptied_keys:
+        return
+    if lake_format() == "delta":
+        # dynamic overwrite only rewrites partitions PRESENT in the new
+        # data, so a partition fully emptied by keys moving days would
+        # survive as stale duplicates — delete it transactionally
+        cond = " OR ".join(
+            f"(year = {y} AND month = {m} AND day = {d})" for y, m, d in sorted(emptied_keys)
         )
-        .distinct()
-        .collect()
-    }
-    write_partitioned_by_date(merged, path, ts_col, mode="overwrite", dynamic=True)
-    if lake_format() != "delta":
-        for y, m, d in set(part_keys) - rewritten:
+        spark.sql(f"DELETE FROM delta.`{path}` WHERE {cond}")  # noqa: S608 (ints, not user input)
+    else:
+        for y, m, d in emptied_keys:
             emptied = Path(path) / f"year={y}" / f"month={m}" / f"day={d}"
             if emptied.exists():
                 shutil.rmtree(emptied)

@@ -260,3 +260,30 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert purity >= 0.95
     assert len(by_cell) == 6  # no collapsed cells on well-separated blobs
     assert n_iter <= 15
+
+
+def test_kmeans_train_validates_edge_inputs(spark):
+    """Advice fix: degenerate inputs raise immediately instead of
+    NameError/IndexError deep in the loop."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import kmeans_train
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(0.0)).alias("embedding"),
+    )
+    empty = emb.filter(F.lit(False))
+    with _pytest.raises(ValueError, match="max_iter"):
+        kmeans_train(emb, k=2, max_iter=0)
+    with _pytest.raises(ValueError, match="k must be"):
+        kmeans_train(emb, k=0)
+    with _pytest.raises(ValueError, match="empty"):
+        kmeans_train(empty, k=2, max_iter=1)
+    # all-identical vectors: pool has 1 distinct vector < k
+    dup = spark.range(10).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(1.0)).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="distinct"):
+        kmeans_train(dup, k=3, max_iter=1)

@@ -53,18 +53,29 @@ def main() -> None:
         j.groupBy().agg(F.count(F.lit(1))).collect()
         return round(time.time() - t0, 2)
 
-    out = {
-        "metric": "skew_join_probe",
-        "n_rows": n,
-        "hot_key_share": 0.2,
-        "seconds": {
-            "sortmerge_no_aqe": run("plain", aqe=False, salted=False),
-            "salted_no_aqe": run("salted", aqe=False, salted=True),
-            "plain_aqe_skew_split": run("aqe", aqe=True, salted=False),
-        },
+    saved = {
+        key: spark.conf.get(key, None)
+        for key in ("spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    try:
+        out = {
+            "metric": "skew_join_probe",
+            "n_rows": n,
+            "hot_key_share": 0.2,
+            "seconds": {
+                "sortmerge_no_aqe": run("plain", aqe=False, salted=False),
+                "salted_no_aqe": run("salted", aqe=False, salted=True),
+                "plain_aqe_skew_split": run("aqe", aqe=True, salted=False),
+            },
+        }
+    finally:
+        # restore the ORIGINAL values even if a probe fails — a dangling
+        # AQE-off / broadcast-off session would poison later work
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
     print(json.dumps(out))
     spark.stop()
 
