@@ -1171,6 +1171,26 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_percentile_order_value", None)
+def approx_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED-cardinality percentile path (round-2 verdict ask #5):
+    per-CUSTOMER order-value quantiles via approx_percentile.
+
+    Exact `percentile` buffers every group's values — fine for 3 order
+    statuses, a memory bomb for 10^8 customers.  approx_percentile keeps a
+    fixed-size mergeable sketch per group (rank error <= n/accuracy), so
+    per-key quantiles over arbitrary key cardinality stay one partial+final
+    hash aggregate.  Sketch internals are engine-specific => rows-only;
+    tests assert the estimate hits the exact value within the rank-error
+    bound (at fixture group sizes the sketch is exact)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).alias("ap50"),
+        F.round(F.expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).alias("ap90"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 @register(
     "bpe_token_count",
     """

