@@ -177,6 +177,70 @@ def run_events_stream_rollup(
     return spark.table(name)
 
 
+def run_stream_stream_range_join(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: str = "30 minutes",
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Stream-stream interval join (Structured Streaming's hardest
+    operator): two watermarked legs of the events stream — purchases and
+    clicks — joined on user + an event-time range (click within
+    ``interval`` before the purchase).
+
+    Both sides carry watermarks, so Spark bounds the join STATE by the
+    watermark + range arithmetic: a buffered click can be evicted once
+    the purchase-side watermark passes click_ts + interval — state is
+    (rate x horizon), not the whole stream, which is what makes the
+    operator viable on an unbounded feed.  Inner-join matches emit as
+    soon as both rows arrive (append mode); the fixture replay is a
+    single availableNow batch, so the result equals the batch range join
+    exactly — that parity is the oracle.
+    """
+    stream = events_file_stream(spark, sf_dir)
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def idempotent_batch_writer(base_path: str):
     """T4 exactly-once sink for foreachBatch: each micro-batch writes to a
     directory keyed by its batch_id with OVERWRITE mode, so a retried
