@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 log = logging.getLogger("iiot.orchestrator")
 
-__all__ = ["StepResult", "NightlyFlow"]
+__all__ = ["StepResult", "NightlyFlow", "verify_written_counts", "run_nightly_etl"]
 
 
 @dataclass
@@ -80,3 +80,76 @@ class NightlyFlow:
             if not self.step(name, fn).ok:
                 return False
         return True
+
+
+def verify_written_counts(spark, path: str, expected_total: int) -> str:
+    """The PDF Task-5 'verify Delta data' deliverable as a concrete step:
+    read the WRITTEN table back (never trust the writer's own view), count
+    per date partition, and compare the total against the source count.
+
+    Partition counts come from a count-aggregate over the partition
+    columns only — Parquet answers it from footer metadata + partition
+    pruning, no data columns read.  Raises on mismatch so the flow's
+    retry/abort logic engages; returns the per-partition breakdown as the
+    step detail for the run log.
+    """
+    from .lifecycle import read_lake
+
+    df = read_lake(spark, path)
+    part_cols = [c for c in ("year", "month", "day") if c in df.columns]
+    rows = df.groupBy(*part_cols).count().collect() if part_cols else [(df.count(),)]
+    per_part = sorted(
+        (tuple(int(r[c]) for c in part_cols), int(r["count"])) for r in rows
+    )
+    total = sum(n for _, n in per_part)
+    if total != expected_total:
+        raise ValueError(
+            f"written count {total} != source count {expected_total} "
+            f"(partitions: {per_part})"
+        )
+    return f"total={total} partitions=" + ",".join(
+        f"{'-'.join(map(str, k))}:{n}" for k, n in per_part
+    )
+
+
+def run_nightly_etl(
+    spark,
+    source,
+    path: str,
+    ts_col: str = "ts",
+    flow: NightlyFlow | None = None,
+) -> bool:
+    """Wire the Task-5 sequence to the real engine steps: source
+    connectivity = the source DataFrame answers a count; lake
+    connectivity = the target path's filesystem accepts a probe; job =
+    partitioned write; verify = read-back per-partition counts equal the
+    source count (``verify_written_counts``)."""
+    from pathlib import Path
+
+    from .lifecycle import write_partitioned_by_date
+
+    flow = flow or NightlyFlow()
+    state: dict[str, int] = {}
+
+    def check_source() -> str:
+        state["n"] = source.count()
+        if state["n"] == 0:
+            raise ValueError("source has no rows")
+        return f"source rows={state['n']}"
+
+    def check_lake() -> str:
+        parent = Path(path).parent
+        parent.mkdir(parents=True, exist_ok=True)
+        probe = parent / ".connectivity_probe"
+        probe.write_text("ok")
+        probe.unlink()
+        return f"lake path writable: {parent}"
+
+    def run_job() -> str:
+        write_partitioned_by_date(source, path, ts_col, mode="overwrite", dynamic=False)
+        return f"wrote {path}"
+
+    def verify() -> str:
+        return verify_written_counts(spark, path, state["n"])
+
+    return flow.run_etl_flow(check_source, check_lake, run_job, verify)

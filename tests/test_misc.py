@@ -128,3 +128,67 @@ def test_driver_window_is_first_50_and_family_complete():
         "stream_sliding_1m_30s", "multimodal_decode",
     ]:
         assert required in registry.DRIVER_WINDOW, required
+
+
+def test_nightly_etl_counts_verified(spark, events, tmp_path):
+    """Task-5 wiring end-to-end: the flow writes the partitioned table and
+    the verify step reads back per-partition counts that sum to the
+    source count."""
+    from iiot_data_engineering_lab_assignment_spark.plans.orchestrator import NightlyFlow, run_nightly_etl
+
+    flow = NightlyFlow(max_retries=2, retry_delay_s=0.01)
+    path = str(tmp_path / "nightly")
+    ok = run_nightly_etl(spark, events.limit(500), path, ts_col="ts", flow=flow)
+    assert ok
+    names = [r.name for r in flow.results]
+    assert names == ["check_source", "check_lake", "run_spark_job", "verify_counts"]
+    detail = flow.results[-1].detail
+    assert detail.startswith("total=500 partitions=")
+    # the reported per-partition counts sum to the total
+    parts = detail.split("partitions=")[1].split(",")
+    assert sum(int(p.split(":")[1]) for p in parts) == 500
+
+
+def test_nightly_etl_detects_count_mismatch(spark, events, tmp_path):
+    """A verify step that reads back FEWER rows than the source must fail
+    the flow (after exhausting retries), not pass silently."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import write_partitioned_by_date
+    from iiot_data_engineering_lab_assignment_spark.plans.orchestrator import (
+        NightlyFlow,
+        verify_written_counts,
+    )
+
+    path = str(tmp_path / "short")
+    write_partitioned_by_date(events.limit(100), path, "ts", mode="overwrite", dynamic=False)
+    flow = NightlyFlow(max_retries=2, retry_delay_s=0.01)
+    r = flow.step("verify_counts", lambda: verify_written_counts(spark, path, 101))
+    assert not r.ok and r.attempts == 2
+    assert "100 != source count 101" in r.detail
+
+
+def test_step_retry_schedule_fails_twice_succeeds_third(spark, events, tmp_path, monkeypatch):
+    """Round-2 verdict ask #8: a transient step failing twice succeeds on
+    the third attempt, the retry delays follow the configured schedule,
+    and the final detail carries the verified counts."""
+    from iiot_data_engineering_lab_assignment_spark.plans import orchestrator as orch
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import write_partitioned_by_date
+
+    path = str(tmp_path / "flaky")
+    write_partitioned_by_date(events.limit(200), path, "ts", mode="overwrite", dynamic=False)
+
+    sleeps: list[float] = []
+    monkeypatch.setattr(orch.time, "sleep", sleeps.append)
+
+    calls = {"n": 0}
+
+    def flaky_verify() -> str:
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError(f"transient outage #{calls['n']}")
+        return orch.verify_written_counts(spark, path, 200)
+
+    flow = orch.NightlyFlow(max_retries=3, retry_delay_s=7.5)
+    r = flow.step("verify_counts", flaky_verify)
+    assert r.ok and r.attempts == 3
+    assert sleeps == [7.5, 7.5]  # one delay between each failed attempt, none after success
+    assert r.detail.startswith("total=200 partitions=")
