@@ -14,6 +14,7 @@ make map-heavy timings measure a row count instead of the work).
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -72,18 +73,33 @@ def main() -> None:
     )
     _materialize(registry.QUERIES["stream_tumbling_1m"].fn(spark, "/root/testdata/sf0.001"))
 
-    # min of 2 runs per query: the environment is shared, and a single
-    # noisy run misrepresents the engine; min is the standard
-    # steady-state estimator for warm benchmarks
+    # Noise-proofing (round-2 verdict ask #2): sub-second timings in this
+    # shared sandbox swing +-3x run to run, so (1) a calibration run sizes
+    # an inner repeat count that makes every measured pass >= ~2 s of
+    # cumulative work (repeat the materialization N times, divide by N),
+    # and (2) the reported number is the min of 3 such passes — the
+    # standard steady-state estimator, now applied to a quantity large
+    # enough to carry signal.  Each repetition rebuilds the DataFrame from
+    # scratch (spec.fn inside the timed region), so Spark cannot skip
+    # shuffle map stages across repetitions via same-RDD stage reuse.
+    target_s = 2.0
+    max_reps = 8
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name in HEADLINE:
         spec = registry.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.time()
+        _materialize(spec.fn(spark, sf_dir))
+        t_cal = time.time() - t0
+        reps = 1 if t_cal >= target_s else min(max_reps, math.ceil(target_s / max(t_cal, 0.05)))
+        best = t_cal if reps == 1 else float("inf")
+        for _ in range(3):
             t0 = time.time()
-            _materialize(spec.fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
+            for _ in range(reps):
+                _materialize(spec.fn(spark, sf_dir))
+            best = min(best, (time.time() - t0) / reps)
         timings[name] = round(best, 3)
+        reps_used[name] = reps
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +109,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps_used,
                 "sf": sf,
             }
         )
