@@ -11,11 +11,14 @@ engine itself:
   shuffles from fragmenting into 200 empty tasks.
 * Arrow on for any pandas-UDF path (extension operators only - the core
   surface is pure JVM expressions).
-* ``spark.sql.legacy.parquet.nanosAsLong`` because the `events` fixture
-  carries TIMESTAMP(NANOS) which Spark's vectorized reader otherwise
-  rejects; sources.readers converts ns->microsecond TimestampType right
-  after the scan, so downstream plans see a plain timestamp column and
-  min/max row-group skipping on the int64 still applies.
+* ``spark.sql.legacy.parquet.nanosAsLong`` so that if the `events` fixture
+  carries TIMESTAMP(NANOS) (one of the two layouts the generator has
+  produced; the other is plain TIMESTAMP(MICROS)) Spark's vectorized
+  reader accepts it as int64 instead of rejecting the file;
+  sources.readers detects the layout at scan time and converts
+  ns->microsecond TimestampType when needed, so downstream plans always
+  see a plain timestamp column and row-group min/max skipping applies
+  on either layout.
 
 Delta Lake is the intended lake format at deployment (the reference writes
 Delta 2.4, timescale_to_deltalake.py:33-37); the runtime here has no

@@ -58,22 +58,32 @@ def load_table(
     name: str,
     time_range: tuple | None = None,
 ) -> DataFrame:
-    """Scan one fixture table, normalizing TIMESTAMP(NANOS) columns to
-    microsecond TimestampType.
+    """Scan one fixture table, normalizing the event-time column to
+    microsecond TimestampType whatever the file's physical layout is.
 
-    Predicates on the CONVERTED timestamp column do NOT reach parquet
-    row-group statistics (Catalyst won't rewrite ``timestamp_micros(ts
-    div 1000) >= lit`` into a raw-int comparison), so time-range scans
-    should pass ``time_range=(start, end)``: the bound is applied to the
-    raw int64 nanos column *before* conversion, where it IS pushed down
-    and skips row groups.  Equivalent under truncation:
-    ``us(ts) in [s, e)  <=>  ns in [s*1000, e*1000)``.  Bounds are
-    datetimes or 'YYYY-MM-DD[ HH:MM:SS]' strings; either side may be None.
+    Two layouts exist in the wild (the fixture generator has produced
+    both): TIMESTAMP(MICROS), which Spark reads natively as TimestampType,
+    and TIMESTAMP(NANOS), which the session reads as int64
+    (spark.sql.legacy.parquet.nanosAsLong) and this scan converts.
+
+    ``time_range=(start, end)`` applies a half-open event-time bound at
+    the scan.  On the native-timestamp layout the predicate pushes down
+    as-is.  On the nanos layout, predicates on the CONVERTED column do
+    NOT reach parquet row-group statistics (Catalyst won't rewrite
+    ``timestamp_micros(ts div 1000) >= lit`` into a raw-int comparison),
+    so the bound is applied to the raw int64 nanos column *before*
+    conversion, where it IS pushed down and skips row groups.  Equivalent
+    under truncation: ``us(ts) in [s, e)  <=>  ns in [s*1000, e*1000)``.
+    Bounds are datetimes or 'YYYY-MM-DD[ HH:MM:SS]' strings; either side
+    may be None.
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
             if time_range is not None:
                 start, end = time_range
                 if start is not None:
@@ -85,6 +95,22 @@ def load_table(
             # integer `div`, not `/`: float division of int64 nanos loses
             # sub-microsecond bits (ulp(1e18) = 256 ns) and mis-truncates
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype.startswith("timestamp"):
+            # Bound the raw column BEFORE any type normalization: a filter
+            # on the stored type (incl. TIMESTAMP_NTZ) reaches PushedFilters
+            # and skips row groups, while a filter above a cast would not.
+            if time_range is not None:
+                start, end = time_range
+                if start is not None:
+                    df = df.filter(F.col(c) >= F.lit(start).cast(dtype))
+                if end is not None:
+                    df = df.filter(F.col(c) < F.lit(end).cast(dtype))
+            if dtype == "timestamp_ntz":
+                # parquet isAdjustedToUTC=false arrives as TIMESTAMP_NTZ;
+                # the engine contract downstream (unix_micros arithmetic,
+                # streaming watermarks) is TimestampType.  Under the UTC
+                # session timezone the cast is value-identical.
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -58,8 +58,13 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not link.exists():
         link.symlink_to(Path(path).resolve())
     stream = spark.readStream.schema(schema).parquet(str(stage))
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TimestampType ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+        # TYPE]); value-identical cast under the UTC session timezone.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
