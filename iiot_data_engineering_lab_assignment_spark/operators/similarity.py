@@ -23,6 +23,7 @@ __all__ = [
     "centroids",
     "assign_cells",
     "kmeans_train",
+    "semantic_dedup_pairs",
 ]
 
 
@@ -405,3 +406,77 @@ def kmeans_train(
         if moved < tol:
             break
     return assign_cells(embeddings, cents, id_col, emb_col), cents, it
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    pairs ONLY within each cluster — (id_a, id_b, cell, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    This is the embedding-space member of the dedup cascade: exact /
+    MinHash / SimHash catch textual duplication, this tier catches
+    paraphrases and re-encodings whose surface forms share no shingles.
+
+    Scale shape: the cluster id is the blocking key.  Candidate
+    generation is the k-means assignment scan (centroids broadcast as
+    literals, no shuffle of vectors to parameters); the pair computation
+    is one ``applyInPandas`` group per cell doing a dense unit-normalized
+    GEMM over that cell's slab — replication factor 1 (each vector lands
+    in exactly one cell, vs ~n_blocks/2 in ``cosine_dup_pairs_blocked``),
+    at the documented SemDeDup cost of missing the rare pair that
+    straddles a cluster boundary.  At 10^9 vectors raise k so each cell's
+    slab (n/k x d doubles) fits an executor's memory; cells are
+    independent tasks, so k also sets the parallelism.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    assigned, _cents, _ = kmeans_train(
+        embeddings, k=k, max_iter=max_iter, id_col=id_col, emb_col=emb_col
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("cell", IntegerType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def cell_gemm(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        (cell,) = key
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cell": [], "cosine": []})
+        M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        ia, ib = np.where(S >= threshold)
+        ids = pdf[id_col].to_numpy()
+        keep = ids[ia] < ids[ib]  # upper triangle once, no self-pairs
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia][keep],
+                "id_b": ids[ib][keep],
+                "cell": np.full(int(keep.sum()), cell, dtype=np.int32),
+                "cosine": np.round(S[ia, ib][keep], 6),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(cell_gemm, out_schema)

@@ -3816,6 +3816,107 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup_pairs", None)
+def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs, SemDeDup-style: k-means
+    clusters the corpus, pairs are compared only within a cluster (the
+    cluster id is the blocking key; one dense GEMM per cell, replication
+    factor 1).  Rows-only check (k-means is iterative, not
+    SQL-expressible); pair recall on planted duplicate blobs is asserted
+    in tests/test_dedup_similarity.py.  Threshold 0.4 matches the other
+    cosine-dup entries: the fixture embeddings are near-uniform (no
+    0.95-cosine pairs exist at all), and the point of the registry row is
+    to exercise the cluster-blocked path on rows that actually survive."""
+    from .operators.similarity import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, k=8, threshold=0.4, max_iter=5)
+
+
+@register(
+    "source_mixture_weights",
+    """
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+             COUNT(*) AS n_sources
+      FROM per_src
+    )
+    SELECT source, n_docs, total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6) AS token_share,
+           ROUND(CAST(corpus_tokens AS DOUBLE) / (n_sources * total_tokens), 6)
+             AS sample_weight
+    FROM per_src, tot
+    """,
+)
+def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: per-source token share and the
+    resampling weight that flattens the mixture to uniform-over-sources
+    (weight = target_share / actual_share).  The corpus totals come from
+    a 1-row aggregate broadcast back onto the per-source relation — the
+    same no-collect scalar-broadcast shape as TF-IDF's document count, so
+    the whole plan is two hash aggregates and zero driver round-trips."""
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("total_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
+        ).alias("token_share"),
+        F.round(
+            F.col("corpus_tokens").cast("double")
+            / (F.col("n_sources") * F.col("total_tokens")),
+            6,
+        ).alias("sample_weight"),
+    )
+
+
+@register(
+    "token_length_histogram",
+    """
+    SELECT lang,
+           LEAST(CAST(FLOOR(len(string_split(text, ' ')) / 10.0) AS INTEGER), 9)
+             AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(len(string_split(text, ' '))) AS min_tokens,
+           MAX(len(string_split(text, ' '))) AS max_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length-distribution audit: per-language histogram of
+    document token counts (width-10 buckets, top bucket open-ended) —
+    the pre-training sanity check that catches truncation bugs and
+    length-biased source mixes.  Single scan, one hash aggregate; the
+    bucket expression is pure codegen (no token array materialized)."""
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    bucket = F.least(F.floor(n_tok / F.lit(10.0)), F.lit(9)).cast("int")
+    return docs.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(n_tok).alias("min_tokens"),
+        F.max(n_tok).alias("max_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -3875,9 +3976,12 @@ DRIVER_WINDOW: list[str] = [
     # TPC-H shapes never driver-checked before round 3
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
-    # LLM-pipeline: dedup cascade, decontamination, curation, sharding
+    # LLM-pipeline: dedup cascade, decontamination, curation, sharding.
+    # (dedup_keep_first_fingerprint was here rounds 2-3 and is driver-green
+    # in CORRECTNESS_r02; its slot now carries the mixture-reweighting
+    # family instead of a second exact-fingerprint variant.)
     "dedup_exact_fingerprint",
-    "dedup_keep_first_fingerprint",
+    "source_mixture_weights",
     "ngram_jaccard_pairs_capped",
     "minhash_lsh_pairs",
     "connected_components_chain",

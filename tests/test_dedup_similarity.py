@@ -287,3 +287,26 @@ def test_kmeans_train_validates_edge_inputs(spark):
     )
     with _pytest.raises(ValueError, match="distinct"):
         kmeans_train(dup, k=3, max_iter=1)
+
+
+def test_semantic_dedup_pairs_recall_on_planted_blobs(spark):
+    """SemDeDup-style within-cluster pairing vs the exact all-pairs
+    operator: every reported pair is exactly verified (subset of the
+    exact pair set), and cluster blocking loses at most the rare
+    boundary-straddling pair (recall >= 0.95 on well-separated blobs)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        cosine_dup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = _clustered_embeddings(spark, n_clusters=6, per=30, d=16, seed=5).cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(emb, threshold=0.99).collect()
+    }
+    sem_rows = semantic_dedup_pairs(emb, k=6, threshold=0.99, max_iter=10).collect()
+    sem = {(r["id_a"], r["id_b"]) for r in sem_rows}
+    assert exact, "planted blobs must contain high-cosine pairs"
+    assert sem <= exact  # exact in-cell verification: no false positives
+    assert len(sem & exact) / len(exact) >= 0.95
+    assert all(r["cosine"] >= 0.99 for r in sem_rows)
