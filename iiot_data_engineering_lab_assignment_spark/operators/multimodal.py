@@ -10,9 +10,11 @@ Codec status (round 3): BMP and PPM decode/encode plus nearest-neighbor
 resize are REAL — pure-numpy implementations in
 ``operators.imagecodec`` run inside the Arrow batches, and the registry
 oracles check the decoded pixel statistics against closed-form SQL
-predictions.  Formats that genuinely need external libraries
-(JPEG/PNG/video — no Pillow/ffmpeg in this runtime, pip has no network)
-still raise ``NotImplementedError``; ``fake=True`` keeps the
+predictions.  PCM16 mono WAV decode is REAL too
+(``operators.audiocodec``), with the same oracle trick on sample
+statistics.  Formats that genuinely need external libraries
+(JPEG/PNG/MP3/video — no Pillow/ffmpeg in this runtime, pip has no
+network) still raise ``NotImplementedError``; ``fake=True`` keeps the
 deterministic hash-derived stand-in for format-agnostic plumbing tests.
 """
 
@@ -39,7 +41,9 @@ __all__ = [
     "MEDIA_SCHEMA",
     "media_from_documents",
     "media_images_from_documents",
+    "media_audio_from_documents",
     "decode_media",
+    "decode_audio",
     "extract_features",
     "resize_media",
     "sample_frames",
@@ -123,6 +127,104 @@ def media_images_from_documents(docs: DataFrame, id_col: str = "doc_id") -> Data
             )
 
     return docs.select(F.col(id_col).alias("media_id")).mapInPandas(_gen, out_schema)
+
+
+def media_audio_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-audio media table: each document becomes a short
+    PCM16 mono WAV clip encoded by the pure-numpy codec
+    (``operators.audiocodec``).
+
+    The waveform is closed-form in ``doc_id`` so a SQL oracle can predict
+    every decode statistic with ``generate_series`` instead of a codec::
+
+        n_samples   = 256 + id % 97
+        sample_rate = 8000 + (id % 3) * 4000
+        sample(i)   = (((id*31 + i*7) % 201) - 100) * 250     (int16)
+
+    The sawtooth covers the full ±25000 range (201 and 7 are coprime, so
+    i*7 mod 201 cycles every residue within 201 samples < n_samples),
+    which makes peak/RMS sensitive to any byte-order or sample-width bug
+    in the codec."""
+    out_schema = MEDIA_SCHEMA
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .audiocodec import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            rates = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                n = 256 + did % 97
+                rate = 8000 + (did % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                v = ((((did * 31 + i * 7) % 201) - 100) * 250).astype(np.int16)
+                payloads.append(encode_wav(v, rate))
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": ["audio/wav"] * len(pdf),
+                    "n_bytes": pd.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(_gen, out_schema)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each WAV payload inside the Arrow batch
+    and emit per-clip statistics — (sample_rate, n_samples, duration_ms,
+    peak, mean_amp, rms).  Non-WAV/compressed payloads raise
+    ``NotImplementedError`` inside the task (the pipeline never silently
+    fabricates samples).  Floats are emitted raw; callers round at the
+    query level so Spark and the oracle round identically."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("mime", StringType(), True),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_samples", IntegerType(), True),
+            StructField("duration_ms", DoubleType(), True),
+            StructField("peak", IntegerType(), True),
+            StructField("mean_amp", DoubleType(), True),
+            StructField("rms", DoubleType(), True),
+        ]
+    )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .audiocodec import decode_wav
+
+        for pdf in batches:
+            rates, counts, durs, peaks, means, rmss = [], [], [], [], [], []
+            for b in pdf["payload"]:
+                samples, rate = decode_wav(bytes(b))
+                f = samples.astype(np.float64)
+                rates.append(rate)
+                counts.append(len(samples))
+                durs.append(len(samples) * 1000.0 / rate)
+                peaks.append(int(np.abs(samples.astype(np.int64)).max()))
+                means.append(f.mean())
+                rmss.append(float(np.sqrt((f * f).mean())))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_samples": pd.array(counts, dtype="int32"),
+                    "duration_ms": pd.array(durs, dtype="float64"),
+                    "peak": pd.array(peaks, dtype="int32"),
+                    "mean_amp": pd.array(means, dtype="float64"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(_decode_batch, out_schema)
 
 
 #: Extra columns emitted by the real decode path (NULL under ``fake=True``).

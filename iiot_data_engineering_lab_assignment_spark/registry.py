@@ -1312,6 +1312,62 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             256 + doc_id % 97 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i
+      FROM base
+    ),
+    smp AS (
+      SELECT doc_id, n, rate,
+             (((doc_id * 31 + i * 7) % 201) - 100) * 250 AS v
+      FROM idx
+    )
+    SELECT doc_id AS media_id,
+           'audio/wav' AS mime,
+           CAST(MAX(rate) AS INTEGER) AS sample_rate,
+           CAST(MAX(n) AS INTEGER) AS n_samples,
+           ROUND(MAX(n) * 1000.0 / MAX(rate), 6) AS duration_ms,
+           CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+           ROUND(AVG(v), 6) AS mean_amp,
+           ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) AS rms
+    FROM smp
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: documents -> deterministic PCM16 WAV
+    payloads (pure-numpy RIFF encoder) -> Arrow-batched mapInPandas decode
+    (operators.audiocodec) -> per-clip sample statistics.
+
+    The oracle rebuilds the closed-form sawtooth with generate_series and
+    predicts sample_rate / n_samples / duration / peak / mean / RMS, so a
+    byte-order, sample-width, or chunk-walking bug in either codec
+    direction fails the hash check.  Same parity posture as
+    multimodal_decode: the reference treats media as opaque payloads; this
+    adds the decode stage a training-data pipeline needs."""
+    from .operators.multimodal import decode_audio, media_audio_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio(media_audio_from_documents(docs)).select(
+        "media_id",
+        "mime",
+        "sample_rate",
+        "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        "peak",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte-histogram stand-in for
@@ -3992,9 +4048,10 @@ DRIVER_WINDOW: list[str] = [
     # text + similarity
     "text_stats_per_doc",
     "cosine_topk",
-    # multimodal (real BMP/PPM codec as of round 3 -> oracle-backed)
+    # multimodal (real BMP/PPM + WAV codecs as of round 3 -> oracle-backed;
+    # one slot per modality — multimodal_resize stays in the local gate)
     "multimodal_decode",
-    "multimodal_resize",
+    "multimodal_audio_decode",
     # time-series + product analytics
     "gapfill_locf_daily",
     "zscore_anomalies",

@@ -254,3 +254,83 @@ def test_real_resize_roundtrip_pixels(spark, documents):
         got = decode_image(bytes(r["payload"]))
         want = nearest_resize(decode_image(src[r["media_id"]]), 8, 8)
         assert np.array_equal(got, want), r["media_id"]
+
+
+def test_audiocodec_roundtrip_property():
+    """encode_wav -> decode_wav is the identity on samples and rate, for
+    varied lengths/rates including odd byte counts (RIFF word alignment)."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    for n, rate in [(1, 8000), (255, 16000), (256, 44100), (1001, 22050)]:
+        s = rng.randint(-32768, 32768, size=n).astype(np.int16)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate
+        assert np.array_equal(out, s)
+
+
+def test_audiocodec_walks_extra_chunks_and_rejects_garbage():
+    """Spec-correct chunk walking (a LIST chunk before data is skipped by
+    its declared size); non-WAV, compressed, stereo, and truncated
+    payloads raise instead of returning garbage."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.arange(-5, 5, dtype=np.int16)
+    wav = encode_wav(s, 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    listed = wav[:fmt_end] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[fmt_end:]
+    out, r = decode_wav(listed)
+    assert r == 8000 and np.array_equal(out, s)
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"ID3\x03" + bytes(40))  # mp3-ish
+    stereo = bytearray(wav)
+    struct.pack_into("<H", stereo, 12 + 8 + 2, 2)  # channels=2
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
+    compressed = bytearray(wav)
+    struct.pack_into("<H", compressed, 12 + 8, 85)  # format tag = MP3
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(compressed))
+
+
+def test_real_audio_decode_matches_formula(spark, documents):
+    """decode_audio over real WAV payloads reproduces the closed-form
+    waveform statistics (the pure-python ground truth, no Spark)."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.multimodal import (
+        decode_audio,
+        media_audio_from_documents,
+    )
+
+    sample = (
+        decode_audio(media_audio_from_documents(documents.limit(20)))
+        .collect()
+    )
+    assert len(sample) == 20
+    for r in sample:
+        did = r["media_id"]
+        n = 256 + did % 97
+        rate = 8000 + (did % 3) * 4000
+        i = np.arange(n, dtype=np.int64)
+        v = (((did * 31 + i * 7) % 201) - 100) * 250
+        assert r["n_samples"] == n
+        assert r["sample_rate"] == rate
+        assert r["peak"] == int(np.abs(v).max()) == 25000
+        assert abs(r["mean_amp"] - v.mean()) < 1e-9
+        assert abs(r["rms"] - np.sqrt((v.astype(np.float64) ** 2).mean())) < 1e-6

@@ -225,3 +225,12 @@ def test_capped_jaccard_hot_set_broadcasts(spark):
     assert "LeftAnti, BuildRight" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     )
+
+
+def test_mixture_weights_broadcasts_totals(spark):
+    """source_mixture_weights joins the 1-row corpus-totals aggregate back
+    onto the per-source relation via broadcast — never a shuffle join, and
+    only two hash aggregates in the whole plan."""
+    plan = plan_of(spark, "source_mixture_weights")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
