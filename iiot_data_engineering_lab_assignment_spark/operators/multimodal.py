@@ -6,16 +6,22 @@ extraction / resizing / frame sampling run as Arrow-batched pandas
 functions over ``mapInPandas`` so each task processes a columnar batch of
 blobs without JVM round-trips per row.
 
-Codec status (round 3): BMP and PPM decode/encode plus nearest-neighbor
-resize are REAL — pure-numpy implementations in
-``operators.imagecodec`` run inside the Arrow batches, and the registry
-oracles check the decoded pixel statistics against closed-form SQL
-predictions.  PCM16 mono WAV decode is REAL too
-(``operators.audiocodec``), with the same oracle trick on sample
-statistics.  Formats that genuinely need external libraries
-(JPEG/PNG/MP3/video — no Pillow/ffmpeg in this runtime, pip has no
-network) still raise ``NotImplementedError``; ``fake=True`` keeps the
-deterministic hash-derived stand-in for format-agnostic plumbing tests.
+Codec status (round 3): every modality has one REAL pure-numpy codec,
+each oracle-checked against closed-form SQL predictions of its decode
+statistics —
+
+* image: 24-bit BMP + binary PPM, with nearest-neighbor resize
+  (``operators.imagecodec``);
+* audio: PCM16 mono WAV with spec-correct RIFF chunk walking
+  (``operators.audiocodec``);
+* video: uncompressed C444 YUV4MPEG2 with real frame demuxing
+  (``operators.videocodec``) — sampled frames re-encode as BMP and feed
+  the image pipeline.
+
+Formats that genuinely need external libraries (JPEG/PNG/MP3/MP4 — no
+Pillow/ffmpeg in this runtime, pip has no network) still raise
+``NotImplementedError``; ``fake=True`` keeps the deterministic
+hash-derived stand-in for format-agnostic plumbing tests.
 """
 
 from __future__ import annotations
@@ -42,8 +48,10 @@ __all__ = [
     "media_from_documents",
     "media_images_from_documents",
     "media_audio_from_documents",
+    "media_video_from_documents",
     "decode_media",
     "decode_audio",
+    "demux_frames",
     "extract_features",
     "resize_media",
     "sample_frames",
@@ -225,6 +233,111 @@ def decode_audio(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode_batch, out_schema)
+
+
+def media_video_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-video media table: each document becomes a short
+    C444 Y4M clip encoded by the pure-numpy codec
+    (``operators.videocodec``).
+
+    Frame pixels are closed-form in ``doc_id`` so a SQL oracle can
+    predict per-frame statistics with ``generate_series``::
+
+        t_frames = 2 + id % 5       w = 4 + id % 9      h = 4 + id % 5
+        pixel(t, r, c, ch) = (id*17 + t*29 + r + 85*ch) % 256
+
+    (column-invariant, like the image fixture).  The frame index term
+    catches a demuxer that mis-seeks frame boundaries; the row/channel
+    terms catch plane-order bugs."""
+    out_schema = MEDIA_SCHEMA
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .videocodec import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["media_id"]:
+                did = int(did)
+                t, w, h = 2 + did % 5, 4 + did % 9, 4 + did % 5
+                tt = np.arange(t, dtype=np.int64)[:, None, None, None]
+                r = np.arange(h, dtype=np.int64)[None, :, None, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, None, :]
+                vid = ((did * 17 + tt * 29 + r + 85 * ch) % 256).astype(np.uint8)
+                vid = np.ascontiguousarray(np.broadcast_to(vid, (t, h, w, 3)))
+                payloads.append(encode_y4m(vid))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": ["video/x-yuv4mpeg"] * len(pdf),
+                    "n_bytes": pd.array([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col).alias("media_id")).mapInPandas(_gen, out_schema)
+
+
+def demux_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL frame sampling: demux each Y4M payload inside the Arrow batch
+    and emit one row per kept frame (``every_n`` strides the frame index)
+    with per-frame pixel statistics and the frame re-encoded as a BMP —
+    so the sampled frames feed straight back into the image pipeline
+    (``decode_media`` / ``resize_media``).
+
+    One-to-many ``mapInPandas``: a T-frame clip yields ceil(T/every_n)
+    rows; frames stream out of the iterator without materializing the
+    whole clip's frame set beyond the current batch.  Non-Y4M payloads
+    raise ``NotImplementedError`` inside the task."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("n_frames", IntegerType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+            StructField("mean_pixel", DoubleType(), False),
+            StructField("top_left", IntegerType(), False),
+            StructField("frame_bmp", BinaryType(), False),
+        ]
+    )
+
+    def _demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .imagecodec import encode_bmp
+        from .videocodec import decode_y4m
+
+        for pdf in batches:
+            ids, idxs, nfs, ws, hs, means, tls, bmps = [], [], [], [], [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                frames, _fps = decode_y4m(bytes(b))
+                t, h, w, _ = frames.shape
+                for k in range(0, t, every_n):
+                    fr = frames[k]
+                    ids.append(mid)
+                    idxs.append(k)
+                    nfs.append(t)
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(int(fr.sum(dtype=np.int64)) / fr.size)
+                    tls.append(int(fr[0, 0, 0]))
+                    bmps.append(encode_bmp(fr))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "n_frames": pd.array(nfs, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "mean_pixel": pd.array(means, dtype="float64"),
+                    "top_left": pd.array(tls, dtype="int32"),
+                    "frame_bmp": bmps,
+                }
+            )
+
+    return media.mapInPandas(_demux, out_schema)
 
 
 #: Extra columns emitted by the real decode path (NULL under ``fake=True``).

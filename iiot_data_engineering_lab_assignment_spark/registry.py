@@ -1368,6 +1368,62 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_video_frames",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             2 + doc_id % 5 AS t,
+             4 + doc_id % 9 AS w,
+             4 + doc_id % 5 AS h
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, t, w, h, unnest(generate_series(0, t - 1)) AS k FROM dims
+    ),
+    rws AS (
+      SELECT doc_id, t, w, h, k, unnest(generate_series(0, h - 1)) AS r FROM fr
+    ),
+    px AS (
+      SELECT doc_id, t, w, h, k,
+             (doc_id * 17 + k * 29 + r + 85 * ch.ch) % 256 AS v
+      FROM rws CROSS JOIN (SELECT unnest([0, 1, 2]) AS ch) ch
+    )
+    SELECT doc_id AS media_id,
+           CAST(k AS INTEGER) AS frame_idx,
+           CAST(MAX(t) AS INTEGER) AS n_frames,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_pixel,
+           CAST((doc_id * 17 + k * 29) % 256 AS INTEGER) AS top_left
+    FROM px
+    GROUP BY doc_id, k
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: documents -> deterministic
+    C444 Y4M clips (pure-numpy encoder) -> Arrow-batched one-to-many
+    demux (operators.videocodec) -> per-frame pixel statistics.
+
+    The oracle rebuilds pixel(t,r,c,ch) = (id*17 + t*29 + r + 85*ch) % 256
+    with generate_series, so a frame-boundary seek bug, plane-order swap,
+    or off-by-one in the FRAME marker walk fails the hash check.  The
+    demuxer also re-encodes each frame as BMP (dropped here, exercised in
+    tests) so sampled frames feed the image pipeline directly."""
+    from .operators.multimodal import demux_frames, media_video_from_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return demux_frames(media_video_from_documents(docs), every_n=1).select(
+        "media_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        "top_left",
+    )
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte-histogram stand-in for
@@ -3991,9 +4047,11 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # section-2 IIoT core: windows, sessions, projections, filters, scalars
+    # section-2 IIoT core: windows, sessions, projections, filters, scalars.
+    # (sensor_rollup_5m_by_user held a slot rounds 2-3 and is driver-green
+    # in CORRECTNESS_r02; multi-key grouping stays covered there and in the
+    # local gate, freeing the slot for the video modality below.)
     "sensor_rollup_1m",
-    "sensor_rollup_5m_by_user",
     "sliding_rollup_1m_30s",
     "session_rollup_5m",
     "events_passthrough",
@@ -4048,10 +4106,12 @@ DRIVER_WINDOW: list[str] = [
     # text + similarity
     "text_stats_per_doc",
     "cosine_topk",
-    # multimodal (real BMP/PPM + WAV codecs as of round 3 -> oracle-backed;
-    # one slot per modality — multimodal_resize stays in the local gate)
+    # multimodal (real BMP/PPM + WAV + Y4M codecs as of round 3 ->
+    # oracle-backed; one slot per modality — multimodal_resize stays in
+    # the local gate)
     "multimodal_decode",
     "multimodal_audio_decode",
+    "multimodal_video_frames",
     # time-series + product analytics
     "gapfill_locf_daily",
     "zscore_anomalies",

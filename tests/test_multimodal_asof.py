@@ -334,3 +334,68 @@ def test_real_audio_decode_matches_formula(spark, documents):
         assert r["peak"] == int(np.abs(v).max()) == 25000
         assert abs(r["mean_amp"] - v.mean()) < 1e-9
         assert abs(r["rms"] - np.sqrt((v.astype(np.float64) ** 2).mean())) < 1e-6
+
+
+def test_videocodec_roundtrip_property():
+    """encode_y4m -> decode_y4m is the identity on frames and fps for
+    varied clip shapes (including 1-frame and odd dimensions)."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.videocodec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(13)
+    for t, h, w in [(1, 1, 1), (3, 5, 7), (4, 8, 6)]:
+        clip = rng.randint(0, 256, size=(t, h, w, 3)).astype(np.uint8)
+        out, fps = decode_y4m(encode_y4m(clip, fps=(30, 1)))
+        assert fps == (30, 1)
+        assert np.array_equal(out, clip)
+
+
+def test_videocodec_rejects_unsupported_streams():
+    import numpy as np
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.videocodec import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"\x00\x00\x00 ftypisom" + bytes(32))  # mp4-ish
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + bytes(24))
+    clip = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    truncated = encode_y4m(clip)[:-5]
+    with _pytest.raises(ValueError):
+        decode_y4m(truncated)
+
+
+def test_demux_frames_feed_image_pipeline(spark, documents):
+    """The demuxer's BMP re-encode composes with decode_media: sampled
+    frames run through the REAL image codec and reproduce the closed-form
+    video pixel stats — video -> frames -> image pipeline, all real."""
+    from iiot_data_engineering_lab_assignment_spark.operators.multimodal import (
+        decode_media,
+        demux_frames,
+        media_video_from_documents,
+    )
+
+    frames = demux_frames(
+        media_video_from_documents(documents.limit(10)), every_n=2
+    )
+    as_media = frames.select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame_bmp").alias("payload"),
+        F.lit("image/bmp").alias("mime"),
+    )
+    decoded = {r["media_id"]: r for r in decode_media(as_media, fake=False).collect()}
+    for r in frames.collect():
+        d = decoded[r["media_id"] * 1000 + r["frame_idx"]]
+        did, k = r["media_id"], r["frame_idx"]
+        assert k % 2 == 0  # every_n=2 strides the frame index
+        assert d["width"] == 4 + did % 9 and d["height"] == 4 + did % 5
+        assert d["top_left"] == (did * 17 + k * 29) % 256
+        assert abs(d["mean_pixel"] - r["mean_pixel"]) < 1e-9
