@@ -36,7 +36,43 @@ __all__ = [
     "read_lake",
     "apply_retention",
     "compact",
+    "zorder_key",
 ]
+
+
+def zorder_key(cols, bits: int = 8):
+    """Morton/Z-order interleave of non-negative integer columns — the
+    multi-column extension of the D2 sort-within-partitions index analog
+    (Delta Lake's ``OPTIMIZE ZORDER BY``, Hudi's space-filling curves).
+
+    A single-column sort gives tight row-group min/max bounds on that
+    column only; sorting by the interleaved key gives *every* input
+    column locality proportional to its bit share, so point/range
+    predicates on ANY of the columns skip row groups.  Pure JVM bit
+    arithmetic (``bits`` low bits per column, clamped into range), stays
+    inside whole-stage codegen, and is exactly reproducible in SQL — the
+    registry query's DuckDB oracle recomputes the same key bit-for-bit.
+
+    ``len(cols) * bits`` must fit in a signed 64-bit key.  Callers
+    pre-bucket continuous values (e.g. ``value % 256``) to the bit
+    budget; clamping keeps out-of-range inputs ordered at the domain
+    edge instead of wrapping.
+    """
+    n = len(cols)
+    if n < 1:
+        raise ValueError("zorder_key needs at least one column")
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a 63-bit key")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cs):
+        v = F.least(
+            F.greatest(c.cast("long"), F.lit(0)), F.lit((1 << bits) - 1)
+        )
+        for i in range(bits):
+            # disjoint target bits, so + is bitwise OR
+            key = key + F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * n + j)
+    return key
 
 
 def lake_format() -> str:

@@ -15,6 +15,11 @@ from __future__ import annotations
 
 import logging
 import time
+
+#: Retry-delay indirection: tests patch THIS, not the global time.sleep —
+#: patching the global no-ops every background poll loop (py4j, progress
+#: reporting) and turns them into busy-spins.
+_sleep = time.sleep
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -57,7 +62,7 @@ class NightlyFlow:
                 last_err = e
                 log.warning("step %s failed attempt %d/%d: %s", name, attempt, self.max_retries, e)
                 if attempt < self.max_retries:
-                    time.sleep(self.retry_delay_s)
+                    _sleep(self.retry_delay_s)
         r = StepResult(name, False, self.max_retries, time.time() - t0, str(last_err))
         self.results.append(r)
         return r

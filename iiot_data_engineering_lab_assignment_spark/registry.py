@@ -1424,6 +1424,43 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zorder_key_events",
+    """
+    WITH b AS (
+      SELECT event_id,
+             user_id % 256 AS ux,
+             CAST(FLOOR(value) AS BIGINT) % 256 AS vx
+      FROM events
+    ),
+    bits AS (SELECT unnest(generate_series(0, 7)) AS i)
+    SELECT event_id, ux, vx,
+           CAST(SUM((((ux >> i) & 1) << (2 * i))
+                  + (((vx >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+    FROM b CROSS JOIN bits
+    GROUP BY event_id, ux, vx
+    """,
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, value bucket) —
+    the multi-column data-skipping layout key (Delta OPTIMIZE ZORDER
+    analog; plans/lifecycle.py:zorder_key).  Pure codegen bit arithmetic;
+    the oracle recomputes the interleave bit-for-bit with generate_series.
+    FLOOR (not CAST) buckets the double column because DuckDB's
+    double->BIGINT cast rounds while Spark's truncates."""
+    from .plans.lifecycle import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    ux = F.col("user_id") % 256
+    vx = F.floor(F.col("value")).cast("long") % 256
+    return ev.select(
+        "event_id",
+        ux.alias("ux"),
+        vx.alias("vx"),
+        zorder_key([ux, vx], bits=8).alias("zkey"),
+    )
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte-histogram stand-in for

@@ -207,3 +207,67 @@ def test_upsert_key_moved_to_new_day(spark, tmp_path):
     assert all(moved[k]["value"] < 0 and moved[k]["ts"].day == 3 for k in (1, 2))
     # day-1 directory was emptied by the move and must be gone
     assert not (Path(path) / "year=2024" / "month=5" / "day=1").exists()
+
+
+def test_zorder_key_interleaves_and_tightens_both_columns(spark, events, tmp_path):
+    """Z-order clustering: (1) the key is the exact Morton interleave of
+    the two bucketed columns (checked against a pure-python reference on
+    the events fixture); (2) sorting a multi-row-group file by it
+    tightens row-group min/max spans on BOTH columns vs the unsorted
+    layout — the multi-column data skip a single-column sort cannot
+    give."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import zorder_key
+
+    ux = F.col("user_id") % 256
+    vx = F.floor(F.col("value")).cast("long") % 256
+    keyed = events.select(
+        ux.alias("ux"), vx.alias("vx"), zorder_key([ux, vx], bits=8).alias("zkey")
+    )
+
+    def morton(x, y):
+        k = 0
+        for i in range(8):
+            k |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    for r in keyed.limit(200).collect():
+        assert r["zkey"] == morton(r["ux"], r["vx"])
+
+    # span check needs many row groups -> a bigger synthetic frame with
+    # both dimensions uniformly scattered (worst case for any layout)
+    big = spark.range(0, 60000, 1, 1).select(
+        ((F.col("id") * 2654435761) % 256).alias("ux"),
+        ((F.col("id") * 40503) % 256).alias("vx"),
+    )
+    big = big.withColumn("zkey", zorder_key(["ux", "vx"], bits=8))
+
+    def spans(path):
+        md = pq.ParquetFile(path).metadata
+        names = {md.schema.column(c).name: c for c in range(md.num_columns)}
+        assert md.num_row_groups >= 4, "need multiple row groups to measure skipping"
+        out = {}
+        for col in ("ux", "vx"):
+            tot = 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                tot += st.max - st.min
+            out[col] = tot / md.num_row_groups
+        return out
+
+    plain = str(tmp_path / "plain.parquet")
+    zsorted = str(tmp_path / "zsorted.parquet")
+    big.coalesce(1).write.option("parquet.block.size", "16384").mode(
+        "overwrite"
+    ).parquet(plain)
+    big.coalesce(1).sortWithinPartitions("zkey").write.option(
+        "parquet.block.size", "16384"
+    ).mode("overwrite").parquet(zsorted)
+    p = spans(next(Path(plain).glob("*.parquet")))
+    z = spans(next(Path(zsorted).glob("*.parquet")))
+    # scattered layout leaves each row group spanning ~the full 0..255
+    # domain on both columns; the z-sorted layout must cut both spans
+    assert z["ux"] < 0.5 * p["ux"]
+    assert z["vx"] < 0.5 * p["vx"]

@@ -177,7 +177,7 @@ def test_step_retry_schedule_fails_twice_succeeds_third(spark, events, tmp_path,
     write_partitioned_by_date(events.limit(200), path, "ts", mode="overwrite", dynamic=False)
 
     sleeps: list[float] = []
-    monkeypatch.setattr(orch.time, "sleep", sleeps.append)
+    monkeypatch.setattr(orch, "_sleep", sleeps.append)
 
     calls = {"n": 0}
 
