@@ -33,6 +33,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     s = np.asarray(samples)
     if s.ndim != 1:
         raise ValueError(f"expected a 1-D sample array, got shape {s.shape}")
+    if s.size == 0:
+        raise ValueError("refusing to encode an empty clip")
     if s.dtype != np.int16:
         raise ValueError(f"expected int16 samples, got {s.dtype}")
     if sample_rate <= 0:
@@ -59,6 +61,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             if csize < 16:
                 raise NotImplementedError(f"fmt chunk too short ({csize} bytes)")
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
@@ -79,4 +83,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + csize + (csize & 1)
     if not fmt_seen or samples is None:
         raise ValueError("missing fmt or data chunk")
+    if samples.size == 0:
+        raise ValueError("empty data chunk")
+    if rate <= 0:
+        raise ValueError(f"non-positive sample rate {rate}")
     return samples, rate

@@ -162,7 +162,6 @@ def media_audio_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataF
 
         for pdf in batches:
             payloads = []
-            rates = []
             for did in pdf["media_id"]:
                 did = int(did)
                 n = 256 + did % 97
@@ -170,7 +169,6 @@ def media_audio_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataF
                 i = np.arange(n, dtype=np.int64)
                 v = ((((did * 31 + i * 7) % 201) - 100) * 250).astype(np.int16)
                 payloads.append(encode_wav(v, rate))
-                rates.append(rate)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -279,29 +277,36 @@ def media_video_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataF
     return docs.select(F.col(id_col).alias("media_id")).mapInPandas(_gen, out_schema)
 
 
-def demux_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+def demux_frames(media: DataFrame, every_n: int = 1, with_bmp: bool = True) -> DataFrame:
     """REAL frame sampling: demux each Y4M payload inside the Arrow batch
     and emit one row per kept frame (``every_n`` strides the frame index)
-    with per-frame pixel statistics and the frame re-encoded as a BMP —
-    so the sampled frames feed straight back into the image pipeline
-    (``decode_media`` / ``resize_media``).
+    with per-frame pixel statistics and — when ``with_bmp`` — the frame
+    re-encoded as a BMP, so sampled frames feed straight back into the
+    image pipeline (``decode_media`` / ``resize_media``).
+
+    ``with_bmp=False`` skips the re-encode and the binary column
+    entirely: Spark cannot prune columns produced inside ``mapInPandas``,
+    so a stats-only caller would otherwise pay per-frame encode work plus
+    Arrow transfer of bytes it drops one operator later.
 
     One-to-many ``mapInPandas``: a T-frame clip yields ceil(T/every_n)
     rows; frames stream out of the iterator without materializing the
     whole clip's frame set beyond the current batch.  Non-Y4M payloads
     raise ``NotImplementedError`` inside the task."""
-    out_schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("frame_idx", IntegerType(), False),
-            StructField("n_frames", IntegerType(), False),
-            StructField("width", IntegerType(), False),
-            StructField("height", IntegerType(), False),
-            StructField("mean_pixel", DoubleType(), False),
-            StructField("top_left", IntegerType(), False),
-            StructField("frame_bmp", BinaryType(), False),
-        ]
-    )
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    fields = [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_pixel", DoubleType(), False),
+        StructField("top_left", IntegerType(), False),
+    ]
+    if with_bmp:
+        fields.append(StructField("frame_bmp", BinaryType(), False))
+    out_schema = StructType(fields)
 
     def _demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -323,19 +328,20 @@ def demux_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                     hs.append(h)
                     means.append(int(fr.sum(dtype=np.int64)) / fr.size)
                     tls.append(int(fr[0, 0, 0]))
-                    bmps.append(encode_bmp(fr))
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "frame_idx": pd.array(idxs, dtype="int32"),
-                    "n_frames": pd.array(nfs, dtype="int32"),
-                    "width": pd.array(ws, dtype="int32"),
-                    "height": pd.array(hs, dtype="int32"),
-                    "mean_pixel": pd.array(means, dtype="float64"),
-                    "top_left": pd.array(tls, dtype="int32"),
-                    "frame_bmp": bmps,
-                }
-            )
+                    if with_bmp:
+                        bmps.append(encode_bmp(fr))
+            out = {
+                "media_id": ids,
+                "frame_idx": pd.array(idxs, dtype="int32"),
+                "n_frames": pd.array(nfs, dtype="int32"),
+                "width": pd.array(ws, dtype="int32"),
+                "height": pd.array(hs, dtype="int32"),
+                "mean_pixel": pd.array(means, dtype="float64"),
+                "top_left": pd.array(tls, dtype="int32"),
+            }
+            if with_bmp:
+                out["frame_bmp"] = bmps
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(_demux, out_schema)
 

@@ -1413,7 +1413,12 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import demux_frames, media_video_from_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    return demux_frames(media_video_from_documents(docs), every_n=1).select(
+    # with_bmp=False: the stats path must not pay per-frame BMP re-encode
+    # plus Arrow transfer of a binary column it would drop — mapInPandas
+    # output cannot be column-pruned by Catalyst
+    return demux_frames(
+        media_video_from_documents(docs), every_n=1, with_bmp=False
+    ).select(
         "media_id",
         "frame_idx",
         "n_frames",
@@ -1433,11 +1438,20 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value) AS BIGINT) % 256 AS vx
       FROM events
     ),
+    -- zorder_key clamps each input into [0, 2^bits): mirror it so the
+    -- oracle agrees even if a regenerated fixture carries negatives
+    -- (DuckDB's >> on a negative value sign-extends and would diverge)
+    c AS (
+      SELECT event_id, ux, vx,
+             LEAST(GREATEST(ux, 0), 255) AS cux,
+             LEAST(GREATEST(vx, 0), 255) AS cvx
+      FROM b
+    ),
     bits AS (SELECT unnest(generate_series(0, 7)) AS i)
     SELECT event_id, ux, vx,
-           CAST(SUM((((ux >> i) & 1) << (2 * i))
-                  + (((vx >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
-    FROM b CROSS JOIN bits
+           CAST(SUM((((cux >> i) & 1) << (2 * i))
+                  + (((cvx >> i) & 1) << (2 * i + 1))) AS BIGINT) AS zkey
+    FROM c CROSS JOIN bits
     GROUP BY event_id, ux, vx
     """,
 )

@@ -399,3 +399,55 @@ def test_demux_frames_feed_image_pipeline(spark, documents):
         assert d["width"] == 4 + did % 9 and d["height"] == 4 + did % 5
         assert d["top_left"] == (did * 17 + k * 29) % 256
         assert abs(d["mean_pixel"] - r["mean_pixel"]) < 1e-9
+
+
+def test_audiocodec_rejects_degenerate_clips():
+    """Review fixes: empty clips refuse to encode; zero-sample and
+    zero-rate payloads (craftable even though encode_wav refuses them)
+    raise ValueError instead of crashing downstream statistics; a fmt
+    chunk truncated by end-of-file raises ValueError, not struct.error."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    with _pytest.raises(ValueError, match="empty"):
+        encode_wav(np.array([], dtype=np.int16), 8000)
+
+    wav = bytearray(encode_wav(np.arange(4, dtype=np.int16), 8000))
+    zero_rate = bytearray(wav)
+    struct.pack_into("<I", zero_rate, 12 + 8 + 4, 0)  # fmt.sample_rate = 0
+    with _pytest.raises(ValueError, match="sample rate"):
+        decode_wav(bytes(zero_rate))
+    empty_data = wav[: 12 + 8 + 16] + b"data" + struct.pack("<I", 0)
+    with _pytest.raises(ValueError, match="empty data"):
+        decode_wav(bytes(empty_data))
+    truncated_fmt = bytes(wav[: 12 + 8 + 10])  # fmt declares 16, file ends at 10
+    with _pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(truncated_fmt)
+
+
+def test_demux_frames_validates_stride_and_prunes_bmp(spark, documents):
+    """Review fixes: non-positive strides raise at the API boundary (a
+    negative stride silently produced zero frames); with_bmp=False drops
+    the binary column from the schema so the stats path never pays the
+    re-encode."""
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.multimodal import (
+        demux_frames,
+        media_video_from_documents,
+    )
+
+    media = media_video_from_documents(documents.limit(3))
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="every_n"):
+            demux_frames(media, every_n=bad)
+    stats = demux_frames(media, every_n=1, with_bmp=False)
+    assert "frame_bmp" not in stats.columns
+    assert stats.count() > 0
