@@ -34,6 +34,7 @@ __all__ = [
     "jaccard_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_md5",
     "simhash",
     "simhash_pairs",
     "connected_components",
@@ -283,6 +284,94 @@ def minhash_lsh_pairs(
     # Recomputed per subtree on purpose — see jaccard_pairs: persisting
     # the posting list measured slower than recomputation.
     post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = post.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = post.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cands.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a DuckDB-reproducible hash family.
+
+    Identical plan shape to :func:`minhash_lsh_pairs` (banded signatures ->
+    bucket-equality candidates -> exact-Jaccard verify), but the K hash
+    functions are ``substr(md5(seed || ':' || shingle), 1, 16)`` compared
+    lexicographically — a valid min-wise family (md5 is uniform over hex
+    strings) that an ANSI-SQL oracle can replicate bit-for-bit, unlike
+    xxhash64.  This makes the LSH output itself hash-checkable by the
+    external DuckDB gate: both engines derive the SAME candidate set, so
+    the comparison is exact regardless of the S-curve's recall.  The
+    xxhash64 variant remains the production path (integer min beats string
+    min on CPU); this one is the verification twin.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    post = shingles(docs, n, text_col, id_col)
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), 1, 16)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = post.groupBy(id_col).agg(*aggs)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     pa = post.select(F.col(id_col).alias("doc_a"), "shingle")
     pb = post.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -861,6 +861,56 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3, threshold=0.4)
 
 
+@register(
+    "minhash_lsh_pairs_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), hashes AS (
+      SELECT doc_id, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+      FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM hashes GROUP BY doc_id, seed // 4
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    """,
+)
+def minhash_lsh_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) with md5-substring hash functions — the
+    DuckDB-reproducible verification twin of minhash_lsh_pairs (round-3
+    verdict ask #5a).  Both engines compute identical signatures, buckets,
+    and candidate sets, so the driver's value-hash check covers the LSH
+    path end-to-end; the xxhash64 variant stays the production tier."""
+    from .operators.dedup import minhash_lsh_pairs_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs_md5(docs, num_hashes=16, bands=4, n=3, threshold=0.4)
+
+
 @register("simhash_pairs", None)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming <= 3, banded blocking)."""
@@ -3508,10 +3558,10 @@ def q22_idle_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, n_tokens,
-           SUM(n_tokens) OVER (ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-           (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-            - n_tokens) // 10000 AS shard_id
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens) // 10000 AS BIGINT) AS shard_id
     FROM t
     """,
 )
@@ -3761,10 +3811,10 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id) = 1
     )
     SELECT doc_id, n_tokens,
-           SUM(n_tokens) OVER (ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) AS cum_tokens,
-           (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-            - n_tokens) // 10000 AS shard_id
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens) // 10000 AS BIGINT) AS shard_id
     FROM deduped
     """,
 )
@@ -4098,17 +4148,25 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # section-2 IIoT core: windows, sessions, projections, filters, scalars.
-    # (sensor_rollup_5m_by_user held a slot rounds 2-3 and is driver-green
-    # in CORRECTNESS_r02; multi-key grouping stays covered there and in the
-    # local gate, freeing the slot for the video modality below.)
+    # Round-4 rotation (r3 verdict ask #3): 10 stable, family-redundant
+    # slots that were driver-green in r03 (and mostly r01-r02 too) moved to
+    # the local gate — date_partition_derivation + filter_user_time_range
+    # (scalar/filter cousins of scalar_roundtrip/events_passthrough/
+    # retention_filter), sliding_rollup_1m_30s + session_rollup_5m (their
+    # streaming twins keep W2/session in-window), set_except_inactive
+    # (set-ops keep union+intersect), rollup_order_totals (superseded by
+    # grouping_sets_revenue, which subsumes ROLLUP), lag_delta_per_user
+    # (window funcs keep rank+range-frame, gain moving-avg),
+    # salted_join_revenue (skew technique, joins family rich),
+    # zscore_anomalies (time-series gains time_weighted_avg + cohort), and
+    # minhash_lsh_pairs (no_oracle by design — replaced by its new
+    # hash-checkable md5 twin).  Every evicted query stays in
+    # tools/check_oracles.py's full gate.
+    #
+    # section-2 IIoT core: windows, sessions, projections, scalars.
     "sensor_rollup_1m",
-    "sliding_rollup_1m_30s",
-    "session_rollup_5m",
     "events_passthrough",
-    "date_partition_derivation",
     "json_extract_props",
-    "filter_user_time_range",
     "scalar_roundtrip",
     "retention_filter",
     # streaming replays (batch-parity checked)
@@ -4124,48 +4182,47 @@ DRIVER_WINDOW: list[str] = [
     "left_join_order_counts",
     "union_high_value_parties",
     "set_intersect_buyers",
-    "set_except_inactive",
-    "rollup_order_totals",
-    # window functions: ranking, lag, range frames
+    "grouping_sets_revenue",
+    # window functions: ranking, range frames, moving averages
     "rank_orders_per_customer",
-    "lag_delta_per_user",
     "range_frame_hourly_avg",
+    "moving_avg_per_user",
     # subqueries, pivot, percentiles
     "correlated_scalar_subquery",
     "pivot_event_counts",
     "percentile_order_value",
-    # temporal joins + skew handling
+    # temporal joins
     "asof_join_purchase_click",
     "range_join_purchase_click",
-    "salted_join_revenue",
-    # TPC-H shapes never driver-checked before round 3
+    # TPC-H shapes (q2/q21 first checked r03; q3/q9/q14 first checked r04)
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
-    # LLM-pipeline: dedup cascade, decontamination, curation, sharding.
-    # (dedup_keep_first_fingerprint was here rounds 2-3 and is driver-green
-    # in CORRECTNESS_r02; its slot now carries the mixture-reweighting
-    # family instead of a second exact-fingerprint variant.)
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "q14_promo_revenue",
+    # LLM-pipeline: dedup cascade, decontamination, curation, sharding
     "dedup_exact_fingerprint",
     "source_mixture_weights",
     "ngram_jaccard_pairs_capped",
-    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_md5",
+    "near_dup_clusters",
     "connected_components_chain",
     "decontaminate_eval_overlap",
     "corpus_curation_pipeline",
     "token_budget_shards",
+    "token_length_histogram",
     "media_dedup_hash",
     # text + similarity
     "text_stats_per_doc",
     "cosine_topk",
-    # multimodal (real BMP/PPM + WAV + Y4M codecs as of round 3 ->
-    # oracle-backed; one slot per modality — multimodal_resize stays in
-    # the local gate)
+    # multimodal (one slot per modality; multimodal_resize in local gate)
     "multimodal_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
     # time-series + product analytics
     "gapfill_locf_daily",
-    "zscore_anomalies",
+    "time_weighted_avg",
+    "cohort_weekly_retention",
     "funnel_signup_to_purchase",
 ]
 

@@ -119,15 +119,27 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # judge-named swap-ins that had never been through the driver's gate
+    # round-4 rotation: never-driver-checked family representatives swapped
+    # in for stable r03-green cousins (r3 verdict ask #3), plus the
+    # hash-checkable md5 LSH twin replacing the no_oracle xxhash64 row
     for required in [
-        "q2_min_cost_supplier", "q21_waiting_suppliers", "gapfill_locf_daily",
-        "zscore_anomalies", "corpus_curation_pipeline", "token_budget_shards",
-        "media_dedup_hash", "connected_components_chain",
-        "range_frame_hourly_avg", "funnel_signup_to_purchase",
-        "stream_sliding_1m_30s", "multimodal_decode",
+        "grouping_sets_revenue", "moving_avg_per_user",
+        "q3_shipping_priority", "q9_product_type_profit",
+        "q14_promo_revenue", "time_weighted_avg", "cohort_weekly_retention",
+        "near_dup_clusters", "token_length_histogram",
+        "minhash_lsh_pairs_md5",
+        # families that must never lose their in-window representative
+        "sensor_rollup_1m", "stream_tumbling_1m", "stream_session_5m",
+        "q1_pricing_summary", "dedup_exact_fingerprint", "cosine_topk",
+        "multimodal_decode", "multimodal_audio_decode",
+        "multimodal_video_frames", "gapfill_locf_daily",
+        "funnel_signup_to_purchase", "corpus_curation_pipeline",
+        "token_budget_shards",
     ]:
         assert required in registry.DRIVER_WINDOW, required
+    # every window entry except rows-only-by-design ones must carry an oracle
+    for name in registry.DRIVER_WINDOW:
+        assert registry.QUERIES[name].oracle is not None, name
 
 
 def test_nightly_etl_counts_verified(spark, events, tmp_path):

@@ -81,12 +81,29 @@ def main() -> int:
         try:
             ores = con.sql(spec.oracle)
             ocols = [c.lower() for c in ores.columns]
+            otypes = [str(t).upper() for t in ores.types]
             orows = ores.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)
             continue
         ok = True
+        # Driver-faithful dtype gate: the driver's value-hasher normalizes
+        # DuckDB HUGEINT (int128) / DECIMAL differently than this script's
+        # str(), so such oracles hash-mismatch at the driver even when every
+        # value is identical (seen r3: uncast windowed SUM -> HUGEINT).
+        # Fail loudly here so the local gate predicts the driver.
+        bad_types = [
+            (c, t)
+            for c, t in zip(ocols, otypes)
+            if any(k in t for k in ("HUGEINT", "DECIMAL"))
+        ]
+        if bad_types:
+            print(
+                f"FAIL {name}: oracle emits driver-unsafe dtypes {bad_types}"
+                " — add CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+            )
+            ok = False
         if sorted(c.lower() for c in scols) != sorted(ocols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duck={sorted(ocols)}")
             ok = False
