@@ -91,13 +91,27 @@ def main() -> None:
         t0 = time.time()
         _materialize(spec.fn(spark, sf_dir))
         t_cal = time.time() - t0
-        reps = 1 if t_cal >= target_s else min(max_reps, math.ceil(target_s / max(t_cal, 0.05)))
-        best = t_cal if reps == 1 else float("inf")
-        for _ in range(3):
+        reps = min(max_reps, max(1, math.ceil(target_s / max(t_cal, 0.05))))
+        # Measure min-of-3 at the chosen rep count; if the steady-state
+        # minimum drifts below the noise floor the calibration targeted
+        # (cold calibration pass >> warm passes — seen round 3 on
+        # minhash_lsh_pairs: 2.3 s cold, 1.5 s warm, reps stuck at 1),
+        # re-derive reps from the best pass observed and restart the
+        # measurement, so every reported number rests on >= target_s of
+        # cumulative timed work (or reps == max_reps).
+        best = float("inf")
+        passes = 0
+        while passes < 3:
             t0 = time.time()
             for _ in range(reps):
                 _materialize(spec.fn(spark, sf_dir))
             best = min(best, (time.time() - t0) / reps)
+            passes += 1
+            needed = min(max_reps, math.ceil(target_s / max(best, 0.05)))
+            if needed > reps:
+                reps = needed
+                best = float("inf")
+                passes = 0
         timings[name] = round(best, 3)
         reps_used[name] = reps
 

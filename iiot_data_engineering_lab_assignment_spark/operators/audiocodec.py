@@ -78,6 +78,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             if len(body) < csize:
                 raise ValueError("truncated data chunk")
+            if csize & 1:
+                # would otherwise surface as numpy's generic "buffer size
+                # must be a multiple of element size"
+                raise ValueError("odd data chunk size for 16-bit samples")
+            if samples is not None:
+                # last-wins would silently drop audio; the canonical form
+                # has exactly one data chunk
+                raise ValueError("multiple data chunks in WAV payload")
             samples = np.frombuffer(body[:csize], dtype="<i2")
         # chunks are word-aligned: odd sizes carry one pad byte
         pos += 8 + csize + (csize & 1)

@@ -300,14 +300,27 @@ def centroids(
 ) -> DataFrame:
     """Per-label centroid, long form: (label, pos, centroid value).
 
-    posexplode -> groupBy(label, pos) -> avg: the shuffle carries scalar
-    (label, pos, partial-sum) triples — the standard distributed layout for
-    elementwise vector means (also the k-means update step / the IVF
-    coarse-quantizer trainer)."""
+    posexplode -> groupBy(label, pos) -> sum/count: the shuffle carries
+    scalar (label, pos, partial-sum) triples — the standard distributed
+    layout for elementwise vector means (also the k-means update step /
+    the IVF coarse-quantizer trainer).
+
+    The mean goes through an exact DECIMAL(28,14) sum, not a float avg:
+    float partial sums depend on partition order, and a centroid value
+    sitting on a rounding boundary could flip a borderline vector's cell
+    assignment between runs (round-3 advice).  Decimal addition is
+    associative, so the centroid — and everything derived from it
+    (assignments, semantic-dedup pair sets) — is partition-order
+    independent."""
     exploded = embeddings.select(
         F.col(label_col), F.posexplode(_as_double(F.col(emb_col))).alias("pos", "v")
     )
-    return exploded.groupBy(label_col, "pos").agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+    mean = (
+        F.sum(F.col("v").cast("decimal(28,14)")) / F.count(F.lit(1))
+    ).cast("double")
+    return exploded.groupBy(label_col, "pos").agg(
+        F.round(mean, 6).alias("centroid_v")
+    )
 
 
 def assign_cells(

@@ -307,6 +307,21 @@ def test_audiocodec_walks_extra_chunks_and_rejects_garbage():
     with _pytest.raises(NotImplementedError):
         decode_wav(bytes(compressed))
 
+    # odd data chunk size: codec-level message, not numpy's generic
+    # buffer-size ValueError (round-3 advice)
+    data_hdr = 12 + 8 + 16  # start of the 'data' chunk header
+    odd = bytearray(wav)
+    struct.pack_into("<I", odd, data_hdr + 4, len(s) * 2 - 1)
+    with _pytest.raises(ValueError, match="odd data chunk"):
+        decode_wav(bytes(odd))
+
+    # two data chunks: last-wins would silently drop audio — reject
+    body = wav[data_hdr:]
+    doubled = wav + body  # append a second identical data chunk
+    doubled = b"RIFF" + struct.pack("<I", len(doubled) - 8) + doubled[8:]
+    with _pytest.raises(ValueError, match="multiple data chunks"):
+        decode_wav(doubled)
+
 
 def test_real_audio_decode_matches_formula(spark, documents):
     """decode_audio over real WAV payloads reproduces the closed-form
