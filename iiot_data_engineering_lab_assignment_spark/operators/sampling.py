@@ -1,0 +1,108 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Every operator here derives its randomness from ``md5(salt:key)`` instead
+of ``rand()``, which matters at 100 TB for three reasons:
+
+* **Reproducibility.** ``rand()`` is seeded per task attempt: a retried
+  or speculatively-executed task resamples different rows, so two runs of
+  the "same" job ship different training sets.  A hash of a stable key
+  yields the same decision on every run, every retry, every cluster size.
+* **Stability under growth.** When new documents land, hash-bucketed
+  membership never reassigns an existing document (doc 42 is in `val`
+  forever), so eval contamination cannot creep in across dataset
+  versions.
+* **Plan shape.** The decision is a pure codegen expression - a filter
+  or projection evaluated inside the scan, no shuffle, no state, and
+  Catalyst pushes the sampling filter below joins where legal.
+
+The uniform variate is the first 13 hex digits of the md5 (52 bits) over
+2^52: a dyadic rational that doubles represent exactly, so the float
+comparison against any threshold is bit-identical in any engine that
+implements md5 - which also makes every operator here expressible as an
+ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform",
+    "sample_fraction",
+    "train_val_test_split",
+    "stratified_sample",
+]
+
+#: 2^52 - the 13-hex-digit hash fits in a double's mantissa exactly.
+_DENOM = float(1 << 52)
+
+
+def hash_uniform(key: Column | str, salt: str = "sample") -> Column:
+    """Deterministic U[0,1) from a stable key: md5(salt:key) -> 52 bits
+    -> /2^52.  Exact in double; reproducible across engines and runs."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat_ws(":", F.lit(salt), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 13), 16, 10).cast("long") / F.lit(_DENOM)).alias(
+        "u"
+    )
+
+
+def sample_fraction(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by key hash.
+    Unlike ``DataFrame.sample`` this is exactly repeatable and stable
+    under repartitioning/retries; the filter is a scan-level expression."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(key_col, salt) < F.lit(fraction))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a ``split`` label (train/val/test) by key hash.
+
+    The standard corpus split, made idempotent: membership depends only
+    on (salt, key), so regenerating the dataset - or appending to it -
+    never moves a document between splits."""
+    if len(weights) != 3 or any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be 3 non-negative values summing to 1, got {weights}")
+    u = hash_uniform(key_col, salt)
+    t1, t2 = weights[0], weights[0] + weights[1]
+    split = (
+        F.when(u < F.lit(t1), F.lit("train"))
+        .when(u < F.lit(t2), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "stratified",
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling - the source-rebalancing
+    primitive (e.g. keep 50% of English, all of everything else).
+
+    ``fractions`` is known at plan time, so the per-row threshold is a
+    literal CASE expression: no join, no shuffle - the whole decision
+    runs inside the scan's codegen stage even when the stratum column
+    has millions of rows per value."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for stratum {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+    frac = F.lit(default_fraction)
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(frac)
+    return df.filter(hash_uniform(key_col, salt) < frac)

@@ -4130,6 +4130,182 @@ def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "train_val_test_split",
+    """
+    SELECT doc_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM documents
+    )
+    """,
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 corpus split keyed by md5(doc_id): stable
+    under retries, repartitioning, and dataset growth (a doc never
+    changes split), unlike rand()-seeded sampling which resamples per
+    task attempt.  Pure scan-level expression — no shuffle, no state."""
+    from .operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, key_col="doc_id").select("doc_id", "split")
+
+
+@register(
+    "stratified_sample_by_lang",
+    """
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             CAST(('0x' || substr(md5('stratified:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM documents
+    )
+    WHERE u < (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END)
+    """,
+)
+def stratified_sample_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: deterministically keep 50% of English
+    documents and all others.  The per-stratum threshold is a literal
+    CASE (fractions known at plan time), so the sampler is a single
+    codegen'd filter inside the scan — no join, no shuffle, and exactly
+    repeatable across runs."""
+    from .operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, {"en": 0.5}, strata_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "gapfill_interpolate_daily",
+    """
+    WITH bounds AS (
+      SELECT CAST(MIN(date_trunc('day', ts)) AS DATE) AS lo,
+             CAST(MAX(date_trunc('day', ts)) AS DATE) AS hi
+      FROM events
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), spine AS (
+      SELECT u.user_id,
+             CAST(unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM users u, bounds b
+    ), daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(AVG(value), 6) AS day_avg
+      FROM events GROUP BY 1, 2
+    ), j AS (
+      SELECT s.user_id, s.day, d.day_avg
+      FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ), f AS (
+      SELECT user_id, day, day_avg,
+             last_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             first_value(day_avg IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT user_id, day,
+           CASE WHEN day_avg IS NOT NULL THEN day_avg
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE CAST(ROUND(
+                       (CAST(ROUND(pv * 1000000.0, 0) AS BIGINT)
+                          * date_diff('day', day, nd)
+                        + CAST(ROUND(nv * 1000000.0, 0) AS BIGINT)
+                          * date_diff('day', pd, day)) * 1.0
+                       / date_diff('day', pd, nd), 0) AS BIGINT) / 1000000.0
+           END AS interp_value
+    FROM f
+    """,
+)
+def gapfill_interpolate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill + interpolate()`` analog: dense
+    daily spine per user, gaps filled by LINEAR interpolation between the
+    neighboring observed daily averages (LOCF's sibling;
+    reference parity: the lab's TimescaleDB leg exposes both).  Same
+    broadcast spine as gapfill_locf_daily; the neighbor lookups are four
+    ignore-nulls window functions over the user partition — no extra
+    shuffle beyond the one partitionBy(user).  Days outside the observed
+    range stay NULL (interpolation, not extrapolation)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.date_trunc("day", "ts")).cast("date").alias("lo"),
+        F.max(F.date_trunc("day", "ts")).cast("date").alias("hi"),
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_avg"))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    f = j.select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("day_avg", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    # Interpolate in exact integer MICRO-units: pv/nv are 6-decimal
+    # rounded doubles (bit-identical across engines, proven by the LOCF
+    # twin), so *1e6 -> round -> BIGINT is exact; the weighted sum is
+    # integer arithmetic; and the single double division N/m (m = gap
+    # days <= spine length) can only land on a .5 boundary when the exact
+    # rational IS x.5 (denominator 2 -> exactly representable), which
+    # every engine rounds away from zero identically.  A naive
+    # ROUND(double, 6) here hash-mismatched at sf0.001: midpoints of
+    # 2-day gaps with odd micro-sums sit exactly on the 5e-7 grid, where
+    # Spark (shortest-decimal HALF_UP) and binary-value rounding split.
+    pv6 = F.round(F.col("pv") * F.lit(1000000.0), 0).cast("long")
+    nv6 = F.round(F.col("nv") * F.lit(1000000.0), 0).cast("long")
+    k = F.datediff("day", "pd").cast("long")
+    mk = F.datediff("nd", "day").cast("long")
+    m = F.datediff("nd", "pd").cast("long")
+    interp = (
+        F.round((pv6 * mk + nv6 * k) * F.lit(1.0) / m, 0).cast("long")
+        / F.lit(1000000.0)
+    )
+    return f.select(
+        "user_id",
+        "day",
+        F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None).cast("double"))
+        .otherwise(interp)
+        .alias("interp_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

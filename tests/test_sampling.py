@@ -1,0 +1,105 @@
+"""Deterministic sampling / splitting operators (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.sampling import (
+    hash_uniform,
+    sample_fraction,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+def test_split_deterministic_and_repartition_stable(spark, documents):
+    """The whole point vs rand(): identical assignment on every run and
+    under any physical partitioning."""
+    a = train_val_test_split(documents).select("doc_id", "split").collect()
+    b = train_val_test_split(documents.repartition(7)).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_split_proportions_and_total(spark, documents):
+    counts = dict(
+        train_val_test_split(documents)
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    total = sum(counts.values())
+    assert total == documents.count()
+    # 52-bit uniform at n=500: generous tolerance, exact check is determinism
+    assert counts["train"] / total == pytest.approx(0.8, abs=0.08)
+    assert counts.get("val", 0) / total == pytest.approx(0.1, abs=0.06)
+    assert counts.get("test", 0) / total == pytest.approx(0.1, abs=0.06)
+
+
+def test_membership_stable_under_growth(spark, documents):
+    """Appending documents must never move an existing doc between
+    splits - the eval-contamination guard."""
+    subset = documents.filter(F.col("doc_id") < 100)
+    full = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(documents).select("doc_id", "split").collect()
+    }
+    small = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(subset).select("doc_id", "split").collect()
+    }
+    assert small == {k: v for k, v in full.items() if k < 100}
+
+
+def test_sample_fraction_subset_and_monotone(spark, documents):
+    """A smaller fraction's sample is a subset of a larger fraction's
+    (threshold semantics on one fixed uniform)."""
+    s30 = {r["doc_id"] for r in sample_fraction(documents, 0.3).select("doc_id").collect()}
+    s60 = {r["doc_id"] for r in sample_fraction(documents, 0.6).select("doc_id").collect()}
+    assert s30 <= s60
+    n = documents.count()
+    assert len(s30) / n == pytest.approx(0.3, abs=0.08)
+    assert len(s60) / n == pytest.approx(0.6, abs=0.08)
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark, documents):
+    before = dict(documents.groupBy("lang").count().collect())
+    after = dict(
+        stratified_sample(documents, {"en": 0.5}, strata_col="lang")
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    # non-en strata untouched (fraction 1.0 keeps everything)
+    for lang, n in before.items():
+        if lang != "en":
+            assert after.get(lang, 0) == n
+    assert after["en"] / before["en"] == pytest.approx(0.5, abs=0.12)
+
+
+def test_hash_uniform_range_and_salt_independence(spark, documents):
+    rows = documents.select(
+        hash_uniform("doc_id", "a").alias("ua"),
+        hash_uniform("doc_id", "b").alias("ub"),
+    ).collect()
+    assert all(0.0 <= r["ua"] < 1.0 and 0.0 <= r["ub"] < 1.0 for r in rows)
+    # different salts decorrelate: the two streams must not be identical
+    assert any(r["ua"] != r["ub"] for r in rows)
+
+
+def test_sampler_is_scan_level_no_shuffle(spark, documents):
+    """Plan hygiene: the sampling filter must evaluate without any
+    exchange - it is a pure projection/filter over the scan."""
+    plan = sample_fraction(documents, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_validation_errors(spark, documents):
+    with pytest.raises(ValueError):
+        sample_fraction(documents, 1.5)
+    with pytest.raises(ValueError):
+        train_val_test_split(documents, weights=(0.5, 0.2, 0.2))
+    with pytest.raises(ValueError):
+        stratified_sample(documents, {"en": -0.1})
+    with pytest.raises(ValueError):
+        stratified_sample(documents, {"en": 0.5}, default_fraction=2.0)
