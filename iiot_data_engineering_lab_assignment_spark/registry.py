@@ -2760,6 +2760,50 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_anomalies",
+    """
+    WITH med AS (
+      SELECT user_id, event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1, 2
+    ), dev AS (
+      SELECT e.event_id, e.user_id, e.event_type, e.value, m.med
+      FROM events e JOIN med m USING (user_id, event_type)
+    ), mad AS (
+      SELECT user_id, event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM dev GROUP BY 1, 2
+    )
+    SELECT d.event_id, d.user_id, d.event_type,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (user_id, event_type)
+    WHERE m.mad > 0
+      AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+    """,
+)
+def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median / median-absolute-deviation
+    z-scores (threshold 3.5, the Iglewicz-Hoaglin rule) — the outlier
+    detector that, unlike ``zscore_anomalies``'s mean/stddev, is not
+    itself corrupted by the outliers it hunts (50% breakdown point vs
+    0%).  Two grouped exact medians (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, shared interpolation formula); both per-group
+    stats relations are tiny and broadcast back onto the fact — the
+    fact table never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("user_id", "event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), ["user_id", "event_type"])
+    mad = dev.groupBy("user_id", "event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    d = dev.join(F.broadcast(mad.filter(F.col("mad") > 0)), ["user_id", "event_type"])
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return d.filter(F.abs(z) > 3.5).select(
+        "event_id", "user_id", "event_type", F.round(z, 4).alias("robust_z")
+    )
+
+
+@register(
     "time_weighted_avg",
     """
     WITH seg AS (
@@ -4181,6 +4225,56 @@ def stratified_sample_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, {"en": 0.5}, strata_col="lang").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "mixture_downsample_uniform",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM documents
+    ), per_src AS (
+      SELECT source, SUM(n_tok) AS src_tokens FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT SUM(src_tokens) AS total, COUNT(*) AS n_src FROM per_src
+    )
+    SELECT t.doc_id, t.source
+    FROM tok t JOIN per_src p USING (source), tot
+    WHERE t.u < LEAST(1.0, (tot.total * 1.0 / tot.n_src) / p.src_tokens)
+    """,
+)
+def mixture_downsample_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic source-mixture rebalancing, one plan end-to-end: compute
+    each source's token share, derive the keep-fraction that flattens the
+    mixture to uniform (over-represented sources downsampled, the rest
+    kept whole), and apply it with the deterministic md5 uniform — no
+    driver round-trip between "measure" and "apply".  The per-source and
+    1-row totals relations broadcast; the documents relation never
+    shuffles.  The at-scale companion to source_mixture_weights (which
+    only REPORTS the weights this query enforces)."""
+    from .operators.sampling import hash_uniform
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+        hash_uniform("doc_id", "mix"),
+    )
+    per_src = tok.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    tot = per_src.agg(
+        F.sum("src_tokens").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    joined = tok.join(F.broadcast(per_src), "source").crossJoin(F.broadcast(tot))
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("total") * F.lit(1.0) / F.col("n_src")) / F.col("src_tokens"),
+    )
+    return joined.filter(F.col("u") < frac).select("doc_id", "source")
 
 
 @register(

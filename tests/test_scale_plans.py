@@ -234,3 +234,53 @@ def test_mixture_weights_broadcasts_totals(spark):
     plan = plan_of(spark, "source_mixture_weights")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_round4_window_entries_no_cartesian_no_global_window(spark):
+    """Every query rotated into the round-4 driver window keeps the two
+    cardinal scale invariants: no cartesian product, and no un-partitioned
+    (single-task) window over event-scale data."""
+    for name in (
+        "q3_shipping_priority", "q14_promo_revenue", "cohort_weekly_retention",
+        "time_weighted_avg", "moving_avg_per_user", "grouping_sets_revenue",
+        "near_dup_clusters", "token_length_histogram", "minhash_lsh_pairs_md5",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_q3_broadcasts_dims_and_takeordered(spark):
+    """Q3: customer/orders legs broadcast into the lineitem scan side and
+    the top-10 uses TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_sets_partial_agg_through_expand(spark):
+    """GROUPING SETS expands rows BEFORE the exchange but still combines
+    map-side: partial_sum must appear under the Expand."""
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan
+    assert "partial_sum" in plan
+
+
+def test_interpolate_gapfill_spine_broadcasts(spark):
+    """The daily spine comes from a 1-row bounds aggregate crossed via
+    broadcast (BroadcastNestedLoopJoin on a single row is the intended
+    shape); the day-level join is hash-based, never cartesian."""
+    plan = plan_of(spark, "gapfill_interpolate_daily")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # windows are partitioned by user_id - no single-partition exchange
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_md5_lsh_candidate_join_is_equi(spark):
+    """The md5-banded LSH twin generates candidates through an equi-join
+    on (band, bucket) - hash-joinable, no nested-loop fallback."""
+    plan = plan_of(spark, "minhash_lsh_pairs_md5")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
