@@ -103,3 +103,38 @@ def test_validation_errors(spark, documents):
         stratified_sample(documents, {"en": -0.1})
     with pytest.raises(ValueError):
         stratified_sample(documents, {"en": 0.5}, default_fraction=2.0)
+
+
+def test_split_is_streaming_safe_and_batch_parity(spark, tmp_path):
+    """The sampler is a stateless scan-level expression, so it applies
+    unchanged to a Structured Streaming source - and an availableNow
+    replay assigns exactly the batch splits (determinism across
+    execution modes, not just runs)."""
+    import uuid
+
+    batch = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    src = str(tmp_path / "docs")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    name = f"split_parity_{uuid.uuid4().hex[:8]}"
+    q = (
+        train_val_test_split(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql(f"SELECT doc_id, split FROM {name}").collect()
+    }
+    want = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            spark.read.parquet(src)
+        ).select("doc_id", "split").collect()
+    }
+    assert got == want and len(got) == 300

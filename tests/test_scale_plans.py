@@ -284,3 +284,41 @@ def test_md5_lsh_candidate_join_is_equi(spark):
     plan = plan_of(spark, "minhash_lsh_pairs_md5")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_eliminates_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts join
+    with NO exchange on either side - the write-once/join-free layout
+    for recurring fact-fact joins (orders x lineitem) at scale."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import write_bucketed
+
+    orders = registry.load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = registry.load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "bkt_orders", "o_orderkey", num_buckets=8,
+                   sort_col="o_orderkey")
+    write_bucketed(lineitem, "bkt_lineitem", "l_orderkey", num_buckets=8,
+                   sort_col="l_orderkey")
+    try:
+        bo = spark.table("bkt_orders")
+        bl = spark.table("bkt_lineitem")
+        joined = bo.join(
+            bl.hint("merge"), bo.o_orderkey == bl.l_orderkey
+        ).groupBy("o_orderkey").agg(F.sum("l_quantity").alias("qty"))
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        # the bucketed layout replaces BOTH join exchanges; the only
+        # remaining exchange would be for the aggregate - but grouping on
+        # the bucket key makes even that unnecessary
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == lineitem.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
