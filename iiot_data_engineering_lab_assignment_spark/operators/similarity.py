@@ -93,15 +93,17 @@ def lsh_topk(
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose hyperplane bucket is
     within `probe_hamming` bits of the query's bucket (multi-probe LSH).
 
-    At scale the bucket column is precomputed and used as a partition /
-    Z-ORDER key, so the filter prunes file scans; here it prunes rows.
+    At scale the bucket column is PRECOMPUTED at ingest and used as a
+    partition / Z-ORDER key, so the probe filter prunes file scans —
+    pass its name as ``bucket_col``.  When omitted (ad-hoc exploration),
+    the bucket is derived inline, which costs an extra
+    len(planes) x dim multiply-adds per row on top of the scoring scan.
     """
-    nbits = len(planes)
-    bucket = hyperplane_bucket(F.col(emb_col), planes)
     qrow = [(query,)]
     spark = SparkSession.getActiveSession()
     qbucket = (
@@ -109,8 +111,14 @@ def lsh_topk(
         .select(hyperplane_bucket(F.col("q"), planes).alias("b"))
         .collect()[0][0]
     )
-    with_bucket = embeddings.withColumn("_bucket", bucket)
-    ham = F.bit_count(F.col("_bucket").bitwiseXOR(F.lit(int(qbucket))))
+    if bucket_col is None:
+        with_bucket = embeddings.withColumn(
+            "_bucket", hyperplane_bucket(F.col(emb_col), planes)
+        )
+        bucket_col = "_bucket"
+    else:
+        with_bucket = embeddings
+    ham = F.bit_count(F.col(bucket_col).bitwiseXOR(F.lit(int(qbucket))))
     probed = with_bucket.filter(ham <= probe_hamming)
     return brute_force_topk(probed, query, k, id_col, emb_col)
 
@@ -123,6 +131,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_col: str = "label",
+    cents: dict | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: score only vectors whose
     coarse cell is among the ``nprobe`` cells nearest the query.
@@ -133,13 +142,21 @@ def ivf_topk(
     (cells x dim) so ranking cells is a driver-side parameter lookup, like
     fetching the query vector; the probe filter prunes the scan — at rest,
     partition or Z-ORDER by the cell id so probing skips whole files.
+
+    Pass ``cents`` ({cell: centroid vector}, from an offline training
+    run) to skip the in-query centroid aggregation — the production
+    shape: the quantizer is trained once at ingest, and each query costs
+    only the probe-cell scan.
     """
     import math as _math
 
-    cents = centroids(embeddings, cell_col, emb_col).collect()
-    by_cell: dict = {}
-    for r in cents:
-        by_cell.setdefault(r[cell_col], [0.0] * len(query))[r["pos"]] = r["centroid_v"]
+    if cents is None:
+        rows = centroids(embeddings, cell_col, emb_col).collect()
+        by_cell: dict = {}
+        for r in rows:
+            by_cell.setdefault(r[cell_col], [0.0] * len(query))[r["pos"]] = r["centroid_v"]
+    else:
+        by_cell = cents
     qn = _math.sqrt(sum(x * x for x in query))
 
     def cell_cos(v: list[float]) -> float:

@@ -322,3 +322,42 @@ def test_bucketed_join_eliminates_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_lsh_bucket_partition_pruning(spark, tmp_path):
+    """The stored-bucket LSH probe is a PARTITION filter: the Hamming
+    predicate over the bucket partition column reaches PartitionFilters,
+    so probing reads a file subset, not a row subset."""
+    import math
+
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        hyperplane_bucket,
+        lsh_topk,
+    )
+
+    d, planes = 8, [[math.sin(97.0 * p + 13.0 * j) for j in range(8)] for p in range(4)]
+    emb = (
+        spark.range(0, 2000)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(
+                *[F.sin(F.col("vec_id") * F.lit(0.7) + F.lit(float(j))).cast("float") for j in range(d)]
+            ).alias("embedding"),
+        )
+    )
+    path = str(tmp_path / "emb")
+    emb.withColumn("bucket", hyperplane_bucket(F.col("embedding"), planes)).write.partitionBy(
+        "bucket"
+    ).parquet(path)
+    stored = spark.read.parquet(path)
+    q = [math.sin(0.35 + j) for j in range(d)]
+    probed = lsh_topk(stored, q, planes, k=5, probe_hamming=1, bucket_col="bucket")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "bit_count" in pf
+    assert len(probed.collect()) == 5
