@@ -32,6 +32,7 @@ __all__ = [
     "exact_dedup_keep_first_fp",
     "shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_md5",
@@ -304,6 +305,52 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection: containment of the smaller
+    document's shingle set in the larger's — |A ∩ B| / min(|A|, |B|).
+
+    Catches what Jaccard structurally cannot: a 100-token document
+    quoted whole inside a 10,000-token one has Jaccard ~0.01 but
+    containment 1.0.  In pretraining corpora this is the common case
+    (boilerplate inclusion, article + comment-thread concatenations,
+    quoted posts), and symmetric dedup leaves both copies in.
+
+    Same posting-list self-join skeleton as :func:`jaccard_pairs` — only
+    the denominator changes — so the scale posture is identical: docs
+    meet only through shared shingles, the hot-shingle cap bounds the
+    candidate blow-up, and the shuffle carries (id, shingle) pairs.
+    Output: (doc_a, doc_b, containment), doc_a < doc_b.
+    """
+    post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = post.alias("a")
+    b = post.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 

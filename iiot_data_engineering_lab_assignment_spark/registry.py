@@ -3390,6 +3390,46 @@ def ngram_jaccard_pairs_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), cold AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ), shc AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.8
+    """,
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric overlap dedup: |A∩B| / min(|A|,|B|) >= 0.8 over capped
+    3-gram shingles — catches whole-document inclusion (quotes,
+    boilerplate, concatenations) that Jaccard structurally under-scores
+    (a doc fully quoted inside one 100x larger has Jaccard ~0.01 but
+    containment 1.0).  Same posting-list skeleton and hot-shingle cap as
+    ngram_jaccard_pairs_capped; only the denominator differs."""
+    from .operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold=0.8, max_shingle_df=50)
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))

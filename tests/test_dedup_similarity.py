@@ -310,3 +310,24 @@ def test_semantic_dedup_pairs_recall_on_planted_blobs(spark):
     assert sem <= exact  # exact in-cell verification: no false positives
     assert len(sem & exact) / len(exact) >= 0.95
     assert all(r["cosine"] >= 0.99 for r in sem_rows)
+
+
+def test_containment_catches_inclusion_jaccard_misses(spark):
+    """A short document quoted whole inside a much larger one:
+    containment 1.0, Jaccard far below any useful threshold — the case
+    this operator exists for."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import containment_pairs
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    big = quote + " " + " ".join(f"b{i}" for i in range(600))
+    other = " ".join(f"z{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, big), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    jac = jaccard_pairs(docs, threshold=0.2).collect()
+    assert jac == []  # symmetric dedup would keep both copies
