@@ -83,3 +83,61 @@ def test_welford_state_matches_numpy(spark, vals):
         m2 += d * (v - mean)
     assert math.isclose(mean, float(np.mean(vals)), rel_tol=1e-9, abs_tol=1e-9)
     assert math.isclose(m2 / (n - 1), float(np.var(vals, ddof=1)), rel_tol=1e-7, abs_tol=1e-7)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w_train=st.floats(min_value=0.05, max_value=0.9),
+    w_val_share=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_split_partition_and_monotonicity(spark, w_train, w_val_share):
+    """For ANY weights: the splits partition the ids, and growing the
+    train weight never evicts a doc from train (threshold semantics on
+    one fixed uniform => monotone membership)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    w_val = (1.0 - w_train) * w_val_share
+    w_test = 1.0 - w_train - w_val
+    ids = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            ids, weights=(w_train, w_val, w_test)
+        ).collect()
+    }
+    assert len(a) == 120  # every doc assigned exactly once
+    grown = min(w_train + 0.07, 1.0)
+    rest = 1.0 - grown
+    b = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            ids, weights=(grown, rest / 2, rest - rest / 2)
+        ).collect()
+    }
+    train_a = {k for k, v in a.items() if v == "train"}
+    train_b = {k for k, v in b.items() if v == "train"}
+    assert train_a <= train_b
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+    ),
+    rate=st.integers(min_value=1, max_value=192000),
+)
+def test_wav_roundtrip_property(samples, rate):
+    """encode->decode is the identity for every int16 sample sequence and
+    sample rate (no Spark involvement - pure codec property)."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array(samples, dtype=np.int16)
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate and np.array_equal(out, s)
