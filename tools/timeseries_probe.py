@@ -109,6 +109,25 @@ def main() -> None:
 
     run("mad_anomalies", mad)
 
+    # same shape with mergeable t-digest medians - the unbounded-group form
+    def mad_approx():
+        med = ev.groupBy("user_id", "event_type").agg(
+            F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("med")
+        )
+        dev = ev.join(F.broadcast(med), ["user_id", "event_type"])
+        m = dev.groupBy("user_id", "event_type").agg(
+            F.approx_percentile(
+                F.abs(F.col("value") - F.col("med")), F.lit(0.5), F.lit(10000)
+            ).alias("mad")
+        )
+        d = dev.join(F.broadcast(m.filter(F.col("mad") > 0)), ["user_id", "event_type"])
+        z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+        d.filter(F.abs(z) > 3.5).select("event_id").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run("mad_anomalies_approx", mad_approx)
+
     out = {"n_rows": n, **probes}
     out["slowest_rows_per_sec"] = int(n / max(probes.values()))
     print(json.dumps(out))
