@@ -314,7 +314,7 @@ def containment_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 50,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection: containment of the smaller
     document's shingle set in the larger's — |A ∩ B| / min(|A|, |B|).
@@ -329,6 +329,9 @@ def containment_pairs(
     the denominator changes — so the scale posture is identical: docs
     meet only through shared shingles, the hot-shingle cap bounds the
     candidate blow-up, and the shuffle carries (id, shingle) pairs.
+    ``max_shingle_df`` defaults to 50 (the registry's setting) so the
+    bare operator cannot silently go quadratic on stopword shingles;
+    pass ``None`` explicitly to disable the cap on pre-filtered input.
     Output: (doc_a, doc_b, containment), doc_a < doc_b.
     """
     post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)

@@ -328,15 +328,26 @@ def centroids(
     assignment between runs (round-3 advice).  Decimal addition is
     associative, so the centroid — and everything derived from it
     (assignments, semantic-dedup pair sets) — is partition-order
-    independent."""
+    independent.
+
+    Round-5 (round-4 advice): the exact sum is cast to DOUBLE *before*
+    the divide (decimal-division scale rules differ between engines;
+    double division of identical operands is IEEE-identical), and the
+    6-decimal output is produced by scale-to-micro-units + 0-decimal
+    round (boundary-safe: an integer-round .5 boundary IS a
+    representable double) instead of ROUND(x, 6), whose 5e-7 grid
+    boundaries are not.  The DuckDB oracle in the registry mirrors this
+    formula term for term."""
     exploded = embeddings.select(
         F.col(label_col), F.posexplode(_as_double(F.col(emb_col))).alias("pos", "v")
     )
     mean = (
-        F.sum(F.col("v").cast("decimal(28,14)")) / F.count(F.lit(1))
-    ).cast("double")
+        F.sum(F.col("v").cast("decimal(28,14)")).cast("double") / F.count(F.lit(1))
+    )
     return exploded.groupBy(label_col, "pos").agg(
-        F.round(mean, 6).alias("centroid_v")
+        (F.round(mean * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+            "centroid_v"
+        )
     )
 
 

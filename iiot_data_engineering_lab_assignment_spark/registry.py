@@ -1065,7 +1065,9 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_centroids",
     """
-    SELECT label, i - 1 AS pos, ROUND(AVG(e), 6) AS centroid_v
+    SELECT label, i - 1 AS pos,
+           CAST(ROUND((CAST(SUM(CAST(e AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                      * 1000000.0, 0) AS BIGINT) / 1000000.0 AS centroid_v
     FROM (
       SELECT label,
              unnest(CAST(embedding AS DOUBLE[])) AS e,
@@ -2762,21 +2764,27 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mad_anomalies",
     """
-    WITH med AS (
-      SELECT user_id, event_type, quantile_cont(value, 0.5) AS med
-      FROM events GROUP BY 1, 2
+    WITH q AS (
+      SELECT event_id, user_id, event_type,
+             ROUND(value * 1000000.0, 0) AS vu
+      FROM events
+    ), med AS (
+      SELECT user_id, event_type, quantile_cont(vu, 0.5) AS med_u
+      FROM q GROUP BY 1, 2
     ), dev AS (
-      SELECT e.event_id, e.user_id, e.event_type, e.value, m.med
-      FROM events e JOIN med m USING (user_id, event_type)
+      SELECT q.event_id, q.user_id, q.event_type,
+             2.0 * q.vu - 2.0 * m.med_u AS d2
+      FROM q JOIN med m USING (user_id, event_type)
     ), mad AS (
-      SELECT user_id, event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      SELECT user_id, event_type, quantile_cont(abs(d2), 0.5) AS mad_d2
       FROM dev GROUP BY 1, 2
     )
     SELECT d.event_id, d.user_id, d.event_type,
-           ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+           CAST(ROUND(((d.d2 * 20000.0) / (14826.0 * (2.0 * m.mad_d2)))
+                      * 10000.0, 0) AS BIGINT) / 10000.0 AS robust_z
     FROM dev d JOIN mad m USING (user_id, event_type)
-    WHERE m.mad > 0
-      AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+    WHERE m.mad_d2 > 0
+      AND abs((d.d2 * 20000.0) / (14826.0 * (2.0 * m.mad_d2))) > 3.5
     """,
 )
 def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2787,19 +2795,48 @@ def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     0%).  Two grouped exact medians (Spark ``percentile`` == DuckDB
     ``quantile_cont``, shared interpolation formula); both per-group
     stats relations are tiny and broadcast back onto the fact — the
-    fact table never shuffles."""
+    fact table never shuffles.
+
+    Cross-engine determinism (round-4 advice): values are quantized to
+    exact integer MICRO-units up front (one boundary-safe 0-decimal
+    round — the .5 boundary of an integer round IS a representable
+    double, so Spark's shortest-decimal HALF_UP and DuckDB's binary
+    half-away-from-zero cannot split).  Medians of integers land on
+    exact half-integers, doubled deviations (d2) are exact integers,
+    and 1.4826 = 14826/10000, so
+    robust_z = (d2 * 20000) / (14826 * 2 * mad_d2) — every operand an
+    exactly-representable integer-valued double, every intermediate the
+    identical IEEE result in both engines.  The final 4-decimal output
+    goes through the same scale-then-integer-round trick instead of a
+    raw ROUND(x, 4), whose 5e-5 grid boundaries are NOT representable
+    doubles (the exact hash-mismatch class gapfill_interpolate_daily's
+    micro-unit rework fixed)."""
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("user_id", "event_type").agg(
-        F.percentile("value", F.lit(0.5)).alias("med")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(1000000.0), 0).alias("vu"),
     )
-    dev = ev.join(F.broadcast(med), ["user_id", "event_type"])
+    med = q.groupBy("user_id", "event_type").agg(
+        F.percentile("vu", F.lit(0.5)).alias("med_u")
+    )
+    dev = q.join(F.broadcast(med), ["user_id", "event_type"]).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.lit(2.0) * F.col("vu") - F.lit(2.0) * F.col("med_u")).alias("d2"),
+    )
     mad = dev.groupBy("user_id", "event_type").agg(
-        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+        F.percentile(F.abs(F.col("d2")), F.lit(0.5)).alias("mad_d2")
     )
-    d = dev.join(F.broadcast(mad.filter(F.col("mad") > 0)), ["user_id", "event_type"])
-    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    d = dev.join(F.broadcast(mad.filter(F.col("mad_d2") > 0)), ["user_id", "event_type"])
+    z = (F.col("d2") * F.lit(20000.0)) / (F.lit(14826.0) * (F.lit(2.0) * F.col("mad_d2")))
     return d.filter(F.abs(z) > 3.5).select(
-        "event_id", "user_id", "event_type", F.round(z, 4).alias("robust_z")
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.round(z * F.lit(10000.0), 0).cast("bigint") / F.lit(10000.0)).alias("robust_z"),
     )
 
 
@@ -4131,6 +4168,89 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_pairs_fixed",
+    """
+    WITH cents AS (
+      SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev, c.cell,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[]))
+             - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+             + list_dot_product(c.cv, c.cv) AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, ev, cell
+      FROM (SELECT vec_id, ev, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+            FROM scored)
+      WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.cell AS INTEGER) AS cell,
+           CAST(ROUND((list_dot_product(a.ev, b.ev)
+                       / (sqrt(list_dot_product(a.ev, a.ev))
+                          * sqrt(list_dot_product(b.ev, b.ev))))
+                      * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cosine
+    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ev, b.ev)
+          / (sqrt(list_dot_product(a.ev, a.ev))
+             * sqrt(list_dot_product(b.ev, b.ev))) >= 0.4
+    """,
+)
+def semantic_dedup_pairs_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable twin of ``semantic_dedup_pairs`` (round-4 verdict
+    ask #6): the adaptive k-means quantizer is replaced by a FIXED
+    deterministic one — the embeddings of vec_id 0..7 — so nearest-cell
+    assignment is pure arithmetic both engines can reproduce (argmin of
+    |v|^2 - 2 v.c + |c|^2 with a (d2, cell) tiebreak; sequential-fold dot
+    products on both sides — Spark ``F.aggregate`` == DuckDB
+    ``list_dot_product``).  Same blocking structure as the production
+    SemDeDup path (cell = blocking key; pairs only within a cell); the
+    pair stage here is an in-cell equi-join with JVM column math rather
+    than the applyInPandas GEMM, trading batch BLAS for external
+    value-hash checkability (same role as ``minhash_lsh_pairs_md5`` for
+    the xxhash64 LSH path).  The cosine output goes through the
+    boundary-safe micro-unit round (see ``mad_anomalies``), and the
+    centroid fetch collects exactly k=8 parameter rows.  Threshold 0.4
+    as in the adaptive row: the fixture embeddings are near-uniform, so
+    0.95 would return zero rows."""
+    from .operators.similarity import _as_double, assign_cells, dot, l2_norm
+
+    k, threshold = 8, 0.4
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    }
+    assigned = assign_cells(emb, cents)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cell"),
+        _as_double(F.col("embedding")).alias("ea"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cell"),
+        _as_double(F.col("embedding")).alias("eb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (l2_norm(F.col("ea")) * l2_norm(F.col("eb")))
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("cell").cast("int").alias("cell"),
+            (F.round(cos * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+@register(
     "source_mixture_weights",
     """
     WITH per_src AS (
@@ -4458,44 +4578,40 @@ def gapfill_interpolate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # Round-4 rotation (r3 verdict ask #3): 10 stable, family-redundant
-    # slots that were driver-green in r03 (and mostly r01-r02 too) moved to
-    # the local gate — date_partition_derivation + filter_user_time_range
-    # (scalar/filter cousins of scalar_roundtrip/events_passthrough/
-    # retention_filter), sliding_rollup_1m_30s + session_rollup_5m (their
-    # streaming twins keep W2/session in-window), set_except_inactive
-    # (set-ops keep union+intersect), rollup_order_totals (superseded by
-    # grouping_sets_revenue, which subsumes ROLLUP), lag_delta_per_user
-    # (window funcs keep rank+range-frame, gain moving-avg),
-    # salted_join_revenue (skew technique, joins family rich),
-    # zscore_anomalies (time-series gains time_weighted_avg + cohort), and
-    # minhash_lsh_pairs (no_oracle by design — replaced by its new
-    # hash-checkable md5 twin).  Every evicted query stays in
+    # Round-5 rotation (r4 verdict ask #1): 13 multiply-green slots retire
+    # to the local gate to burn down the never-driver-checked backlog —
+    # scalar_roundtrip (P2/F1/F2/F5/F6 history r1-r4; events_passthrough
+    # keeps the projection anchor), retention_filter (D3, r1-r4),
+    # stream_sliding_1m_30s (W2 keeps its r1-r4 history + batch twin in
+    # the local gate), top_orders + customer_order_revenue +
+    # semi_join_customers + anti_join_customers + union_high_value_parties
+    # (top-k/join/set families stay represented by left_join,
+    # set_intersect, and the TPC-H block, all of which ARE joins +
+    # TakeOrdered shapes), range_frame_hourly_avg (window funcs keep
+    # rank + moving-avg), q2/q21 (2x green, TPC-H gains q6/q12/q17/q22),
+    # ngram_jaccard_pairs_capped (containment_pairs exercises the same
+    # capped posting-list skeleton with the asymmetric denominator), and
+    # connected_components_chain (near_dup_clusters keeps the
+    # pointer-jumping family).  In: the round-4 deterministic sampling
+    # family, containment, the hardened mad_anomalies, interp gapfill,
+    # tfidf, z-order keys, four TPC-H shapes, and the new hash-checkable
+    # fixed-quantizer semantic-dedup twin.  Every evicted query stays in
     # tools/check_oracles.py's full gate.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.
     "sensor_rollup_1m",
     "events_passthrough",
     "json_extract_props",
-    "scalar_roundtrip",
-    "retention_filter",
     # streaming replays (batch-parity checked)
     "stream_tumbling_1m",
-    "stream_sliding_1m_30s",
     "stream_session_5m",
-    # relational core: agg, top-k, joins, set ops, grouping analytics
+    # relational core: agg, joins, set ops, grouping analytics
     "q1_pricing_summary",
-    "top_orders",
-    "customer_order_revenue",
-    "semi_join_customers",
-    "anti_join_customers",
     "left_join_order_counts",
-    "union_high_value_parties",
     "set_intersect_buyers",
     "grouping_sets_revenue",
-    # window functions: ranking, range frames, moving averages
+    # window functions: ranking, moving averages
     "rank_orders_per_customer",
-    "range_frame_hourly_avg",
     "moving_avg_per_user",
     # subqueries, pivot, percentiles
     "correlated_scalar_subquery",
@@ -4504,19 +4620,20 @@ DRIVER_WINDOW: list[str] = [
     # temporal joins
     "asof_join_purchase_click",
     "range_join_purchase_click",
-    # TPC-H shapes (q2/q21 first checked r03; q3/q9/q14 first checked r04)
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers",
+    # TPC-H shapes (q3/q9/q14 first checked r04; q6/q12/q17/q22 NEW r05)
     "q3_shipping_priority",
     "q9_product_type_profit",
     "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q12_priority_by_ship_month",
+    "q17_small_quantity_revenue",
+    "q22_idle_balance_customers",
     # LLM-pipeline: dedup cascade, decontamination, curation, sharding
     "dedup_exact_fingerprint",
     "source_mixture_weights",
-    "ngram_jaccard_pairs_capped",
+    "containment_pairs",
     "minhash_lsh_pairs_md5",
     "near_dup_clusters",
-    "connected_components_chain",
     "decontaminate_eval_overlap",
     "corpus_curation_pipeline",
     "token_budget_shards",
@@ -4524,16 +4641,26 @@ DRIVER_WINDOW: list[str] = [
     "media_dedup_hash",
     # text + similarity
     "text_stats_per_doc",
+    "tfidf_top_terms",
     "cosine_topk",
+    "semantic_dedup_pairs_fixed",
     # multimodal (one slot per modality; multimodal_resize in local gate)
     "multimodal_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
     # time-series + product analytics
     "gapfill_locf_daily",
+    "gapfill_interpolate_daily",
     "time_weighted_avg",
+    "mad_anomalies",
     "cohort_weekly_retention",
     "funnel_signup_to_purchase",
+    # deterministic sampling family (NEW r05, round-4 operators)
+    "train_val_test_split",
+    "stratified_sample_by_lang",
+    "mixture_downsample_uniform",
+    # storage layout: Z-order clustering keys
+    "zorder_key_events",
 ]
 
 

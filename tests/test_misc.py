@@ -119,25 +119,26 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-4 rotation: never-driver-checked family representatives swapped
-    # in for stable r03-green cousins (r3 verdict ask #3), plus the
-    # hash-checkable md5 LSH twin replacing the no_oracle xxhash64 row
+    # round-5 rotation: 13 never-driver-checked representatives swapped in
+    # for multiply-green cousins (r4 verdict ask #1)
     for required in [
-        "grouping_sets_revenue", "moving_avg_per_user",
-        "q3_shipping_priority", "q9_product_type_profit",
-        "q14_promo_revenue", "time_weighted_avg", "cohort_weekly_retention",
-        "near_dup_clusters", "token_length_histogram",
-        "minhash_lsh_pairs_md5",
+        "train_val_test_split", "stratified_sample_by_lang",
+        "mixture_downsample_uniform", "containment_pairs", "mad_anomalies",
+        "gapfill_interpolate_daily", "tfidf_top_terms", "zorder_key_events",
+        "q6_forecast_revenue", "q12_priority_by_ship_month",
+        "q17_small_quantity_revenue", "q22_idle_balance_customers",
+        "semantic_dedup_pairs_fixed",
         # families that must never lose their in-window representative
         "sensor_rollup_1m", "stream_tumbling_1m", "stream_session_5m",
         "q1_pricing_summary", "dedup_exact_fingerprint", "cosine_topk",
+        "minhash_lsh_pairs_md5", "near_dup_clusters",
         "multimodal_decode", "multimodal_audio_decode",
         "multimodal_video_frames", "gapfill_locf_daily",
         "funnel_signup_to_purchase", "corpus_curation_pipeline",
         "token_budget_shards",
     ]:
         assert required in registry.DRIVER_WINDOW, required
-    # every window entry except rows-only-by-design ones must carry an oracle
+    # every window entry must carry an oracle (strict round-4 invariant)
     for name in registry.DRIVER_WINDOW:
         assert registry.QUERIES[name].oracle is not None, name
 
