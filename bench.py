@@ -49,6 +49,18 @@ HEADLINE = [
     "q18_large_volume_customers",
 ]
 
+#: Round-4 operators, bench-tracked from round 5 on (r4 verdict ask #4)
+#: in a SECOND section so the 19-query core set above stays comparable
+#: across rounds: deterministic sampling, containment dedup, robust
+#: anomalies, linear-interp gapfill, and the LSH ANN serving path.
+EXTENDED = [
+    "train_val_test_split",
+    "containment_pairs",
+    "mad_anomalies",
+    "gapfill_interpolate_daily",
+    "lsh_topk",
+]
+
 
 def _materialize(df) -> None:
     """Execute the full plan with every output column computed: the noop
@@ -84,36 +96,42 @@ def main() -> None:
     # shuffle map stages across repetitions via same-RDD stage reuse.
     target_s = 2.0
     max_reps = 8
-    timings: dict[str, float] = {}
-    reps_used: dict[str, int] = {}
-    for name in HEADLINE:
-        spec = registry.QUERIES[name]
-        t0 = time.time()
-        _materialize(spec.fn(spark, sf_dir))
-        t_cal = time.time() - t0
-        reps = min(max_reps, max(1, math.ceil(target_s / max(t_cal, 0.05))))
-        # Measure min-of-3 at the chosen rep count; if the steady-state
-        # minimum drifts below the noise floor the calibration targeted
-        # (cold calibration pass >> warm passes — seen round 3 on
-        # minhash_lsh_pairs: 2.3 s cold, 1.5 s warm, reps stuck at 1),
-        # re-derive reps from the best pass observed and restart the
-        # measurement, so every reported number rests on >= target_s of
-        # cumulative timed work (or reps == max_reps).
-        best = float("inf")
-        passes = 0
-        while passes < 3:
+
+    def measure(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
+        timings: dict[str, float] = {}
+        reps_used: dict[str, int] = {}
+        for name in names:
+            spec = registry.QUERIES[name]
             t0 = time.time()
-            for _ in range(reps):
-                _materialize(spec.fn(spark, sf_dir))
-            best = min(best, (time.time() - t0) / reps)
-            passes += 1
-            needed = min(max_reps, math.ceil(target_s / max(best, 0.05)))
-            if needed > reps:
-                reps = needed
-                best = float("inf")
-                passes = 0
-        timings[name] = round(best, 3)
-        reps_used[name] = reps
+            _materialize(spec.fn(spark, sf_dir))
+            t_cal = time.time() - t0
+            reps = min(max_reps, max(1, math.ceil(target_s / max(t_cal, 0.05))))
+            # Measure min-of-3 at the chosen rep count; if the steady-state
+            # minimum drifts below the noise floor the calibration targeted
+            # (cold calibration pass >> warm passes — seen round 3 on
+            # minhash_lsh_pairs: 2.3 s cold, 1.5 s warm, reps stuck at 1),
+            # re-derive reps from the best pass observed and restart the
+            # measurement, so every reported number rests on >= target_s of
+            # cumulative timed work (or reps == max_reps).
+            best = float("inf")
+            passes = 0
+            while passes < 3:
+                t0 = time.time()
+                for _ in range(reps):
+                    _materialize(spec.fn(spark, sf_dir))
+                best = min(best, (time.time() - t0) / reps)
+                passes += 1
+                needed = min(max_reps, math.ceil(target_s / max(best, 0.05)))
+                if needed > reps:
+                    reps = needed
+                    best = float("inf")
+                    passes = 0
+            timings[name] = round(best, 3)
+            reps_used[name] = reps
+        return timings, reps_used
+
+    timings, reps_used = measure(HEADLINE)
+    ext_timings, ext_reps = measure(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,6 +142,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps_used,
+                "extended": ext_timings,
+                "extended_reps": ext_reps,
+                "extended_total": round(sum(ext_timings.values()), 3),
                 "sf": sf,
             }
         )
