@@ -1048,6 +1048,47 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, qvec, k=10)
 
 
+@register(
+    "cosine_topk_int8",
+    """
+    WITH z AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CASE WHEN s = 0 THEN 0.0 ELSE ROUND(x / s, 0) END) AS qv
+      FROM (
+        SELECT vec_id, embedding,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS s
+        FROM embeddings
+      )
+    ), q AS (
+      SELECT qv AS query_qv FROM z WHERE vec_id = 0
+    ), scored AS (
+      SELECT z.vec_id,
+             CAST(ROUND((list_dot_product(z.qv, q.query_qv)
+                         / (sqrt(list_dot_product(z.qv, z.qv))
+                            * sqrt(list_dot_product(q.query_qv, q.query_qv))))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cosine
+      FROM z CROSS JOIN q
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def cosine_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized cosine top-10 (NEW r5): per-vector symmetric int8
+    quantization (scale = max|v|/127), integer dots, scales cancel in
+    the cosine.  The memory-bound ANN scale path — 4x less scan/RAM
+    than float32 at 10^9+ vectors — and, unlike LSH/IVF, exactly
+    SQL-reproducible: the query vector is quantized inside the plan, so
+    this approximate variant gets a full value-hash oracle."""
+    from .operators.similarity import int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_topk(emb, query_id=0, k=10)
+
+
 @register("lsh_topk", None)
 def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing (multi-probe

@@ -106,6 +106,26 @@ def test_lsh_topk_recall(spark, embeddings):
     assert cands.count() < 0.5 * embeddings.count()
 
 
+def test_int8_topk_recall_and_fidelity(spark, embeddings):
+    """SQ8 at d=64 keeps ~7 bits per component: quantized cosine should
+    sit within a few hundredths of exact, and the top-10 should be
+    nearly identical to brute force (far tighter than LSH/IVF)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import int8_quantize, int8_topk
+
+    qvec = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]]
+    exact = brute_force_topk(embeddings, qvec, k=10).collect()
+    got = int8_topk(embeddings, query_id=0, k=10).collect()
+    overlap = {r["vec_id"] for r in exact} & {r["vec_id"] for r in got}
+    assert len(overlap) >= 8
+    exact_by_id = {r["vec_id"]: r["cosine"] for r in exact}
+    for r in got:
+        if r["vec_id"] in exact_by_id:
+            assert abs(r["cosine"] - exact_by_id[r["vec_id"]]) < 0.03
+    # quantized components are integer-valued and within [-127, 127]
+    qrow = embeddings.select(int8_quantize(F.col("embedding")).alias("qv")).head()
+    assert all(v == int(v) and -127 <= v <= 127 for v in qrow["qv"])
+
+
 def test_centroids_match_numpy(spark, embeddings):
     import numpy as np
 
