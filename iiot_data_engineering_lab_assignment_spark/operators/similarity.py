@@ -22,6 +22,7 @@ __all__ = [
     "lsh_topk",
     "int8_quantize",
     "int8_topk",
+    "knn_join",
     "centroids",
     "assign_cells",
     "kmeans_train",
@@ -225,6 +226,61 @@ def int8_topk(
         ),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    corpus_id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Bulk k-NN join — for EVERY query vector, its k nearest corpus
+    vectors by cosine: the batch retrieval shape (RAG candidate
+    generation, MMR pre-fetch, cross-corpus linking), where
+    :func:`brute_force_topk` is the single-query special case.
+
+    Scale shape: the query side is broadcast against the corpus scan
+    (the corpus — the 100 TB side — never shuffles for scoring; scoring
+    is a map-side nested-loop over the broadcast slab, pure JVM
+    column math).  The per-query top-k is a row_number window keyed by
+    query id, so Q x N scored rows shuffle on query_id — fine while
+    Q x N fits the shuffle tier (Q <= ~10^3 queries per pass).  Beyond
+    that, page the query set (outer loop over broadcast-sized slabs) or
+    route through the ANN tiers first (:func:`lsh_topk` buckets /
+    :func:`ivf_topk` cells shrink N per query by 10-100x) and apply
+    this join to the surviving candidates.  exclude_self drops the
+    trivial self-match when the query set is a subset of the corpus.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
+    )
+    j = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        j = j.filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("cv"), F.col("qv")) / (
+        l2_norm(F.col("cv")) * l2_norm(F.col("qv"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))
+    return (
+        j.select("query_id", "neighbor_id", cos.alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.round(F.col("c") * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+                "cosine"
+            ),
+        )
+    )
 
 
 def cosine_dup_pairs(

@@ -1089,6 +1089,44 @@ def cosine_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(emb, query_id=0, k=10)
 
 
+@register(
+    "knn_join_bulk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q.qv, q.qv))) AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(ROUND(c * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cosine
+    FROM (SELECT query_id, neighbor_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def knn_join_bulk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk k-NN join (NEW r5): 5 nearest neighbors for EACH of the
+    vec_id<10 query vectors in one pass — the batch retrieval shape
+    (RAG candidate generation, cross-corpus linking).  Query slab
+    broadcast against the corpus scan (corpus never shuffles for
+    scoring); per-query top-k via one row_number window keyed by
+    query_id; self-matches excluded.  Sequential-fold dots + the
+    boundary-safe micro-unit round keep it value-hash-checkable."""
+    from .operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
 @register("lsh_topk", None)
 def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH bucketing (multi-probe

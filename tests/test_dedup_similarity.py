@@ -126,6 +126,31 @@ def test_int8_topk_recall_and_fidelity(spark, embeddings):
     assert all(v == int(v) and -127 <= v <= 127 for v in qrow["qv"])
 
 
+def test_knn_join_matches_numpy(spark, embeddings):
+    """Bulk k-NN join against a per-query numpy reference (rounded
+    cosine ordering with id tiebreak, self-matches excluded)."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import knn_join
+
+    rows = embeddings.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = knn_join(embeddings.filter(F.col("vec_id") < 5), embeddings, k=3).collect()
+    by_query: dict = {}
+    for r in got:
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_query) == {0, 1, 2, 3, 4}
+    for qid, neigh in by_query.items():
+        q = vecs[qid]
+        scores = {
+            vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expected = sorted(scores, key=lambda v: (-scores[v], v))[:3]
+        assert neigh == expected, qid
+
+
 def test_centroids_match_numpy(spark, embeddings):
     import numpy as np
 

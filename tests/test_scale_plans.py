@@ -250,6 +250,29 @@ def test_round4_window_entries_no_cartesian_no_global_window(spark):
         assert "Exchange SinglePartition" not in plan, name
 
 
+def test_round5_additions_plan_shapes(spark):
+    """Round-5 queries keep their scale contracts: int8 top-k stays a
+    TakeOrderedAndProject over a broadcast 1-row query (no global sort,
+    no cartesian); the bulk k-NN join broadcasts the QUERY slab so the
+    corpus side never shuffles before the per-query window; the fixed
+    semantic-dedup twin blocks pairs on the cell key (equi-join, no
+    cartesian)."""
+    plan = plan_of(spark, "cosine_topk_int8", "/root/testdata/sf0.001")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row quantized query slab
+
+    plan = plan_of(spark, "knn_join_bulk", "/root/testdata/sf0.001")
+    assert "BroadcastNestedLoopJoin" in plan  # query slab broadcast
+    assert "CartesianProduct" not in plan
+    # the only exchange is the per-query window's hash partitioning
+    assert "hashpartitioning(query_id" in plan
+
+    plan = plan_of(spark, "semantic_dedup_pairs_fixed", "/root/testdata/sf0.001")
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_q3_broadcasts_dims_and_takeordered(spark):
     """Q3: customer/orders legs broadcast into the lineitem scan side and
     the top-10 uses TakeOrderedAndProject, not a global sort."""

@@ -26,8 +26,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from iiot_data_engineering_lab_assignment_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     centroids,
+    dot,
     hyperplane_bucket,
+    int8_quantize,
     ivf_topk,
+    knn_join,
     lsh_topk,
 )
 from iiot_data_engineering_lab_assignment_spark.session import get_spark  # noqa: E402
@@ -105,6 +108,71 @@ def main() -> None:
         lambda: ivf_topk(stored, q, nprobe=3, k=k, cents=by_cell).collect()
     )
 
+    # ---- int8 (SQ8) storage leg: quantize once at build time, store
+    # array<tinyint>, and serve top-k off the quantized store.  The claim
+    # being measured is the STORAGE/IO cut (4x raw; parquet-encoded ratio
+    # reported) plus the quantized-store query time and recall.
+    path8 = "/tmp/ann_probe_emb_int8"
+    path32 = "/tmp/ann_probe_emb_f32"  # like-for-like size baseline:
+    # (vec_id, embedding) only — the bucket-partitioned store above also
+    # carries label + partition dirs, which would flatter the ratio
+    stored.select("vec_id", "embedding").write.mode("overwrite").parquet(path32)
+    sec_q8_build, _ = t(
+        lambda: stored.select(
+            "vec_id",
+            F.transform(int8_quantize(F.col("embedding")), lambda x: x.cast("tinyint")).alias("qv"),
+        )
+        .write.mode("overwrite")
+        .parquet(path8)
+    )
+
+    def du(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    stored8 = spark.read.parquet(path8)
+    # quantize the query with the same in-plan arithmetic (1-row slab)
+    qrow8 = (
+        spark.createDataFrame([(q,)], "q array<double>")
+        .select(F.transform(int8_quantize(F.col("q")), lambda x: x.cast("tinyint")).alias("query_qv"))
+    )
+    qv_d = F.transform(F.col("qv"), lambda x: x.cast("double"))
+    qq_d = F.transform(F.col("query_qv"), lambda x: x.cast("double"))
+    cos8 = dot(qv_d, qq_d) / (F.sqrt(dot(qv_d, qv_d)) * F.sqrt(dot(qq_d, qq_d)))
+
+    def int8_serve():
+        return (
+            stored8.crossJoin(F.broadcast(qrow8))
+            .select("vec_id", cos8.alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(k)
+            .collect()
+        )
+
+    sec_i8, i8_rows = t(int8_serve)
+    # Identity-level recall is the wrong metric when the true top-10 are
+    # near-ties (this corpus: ~n/n_cells same-cell vectors within a few
+    # 1e-3 of cosine) — SQ8's ~4e-3 per-dot error reorders ties without
+    # returning a worse NEIGHBOR.  So also report the cosine REGRET: how
+    # far the worst returned vector's EXACT cosine sits below the true
+    # 10th-best exact cosine (0 = indistinguishable from exact search).
+    ids8 = [int(r["vec_id"]) for r in i8_rows]
+    exact_of_returned = brute_force_topk(
+        stored.filter(F.col("vec_id").isin(ids8)), q, k=k
+    ).collect()
+    true_kth = min(r["cosine"] for r in bf_rows)
+    worst_returned = min(r["cosine"] for r in exact_of_returned)
+    int8_regret = round(true_kth - worst_returned, 6)
+
+    # ---- bulk k-NN join: 100 queries x n corpus in one pass.
+    queries_df = stored.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    sec_knn, knn_rows = t(
+        lambda: knn_join(queries_df, stored.select("vec_id", "embedding"), k=k).count()
+    )
+
     print(
         json.dumps(
             {
@@ -118,6 +186,14 @@ def main() -> None:
                 "lsh_recall_at_10": len(truth & {r["vec_id"] for r in lsh_rows}) / k,
                 "ivf_sec": sec_ivf,
                 "ivf_recall_at_10": len(truth & {r["vec_id"] for r in ivf_rows}) / k,
+                "int8_build_sec": sec_q8_build,
+                "int8_store_bytes": du(path8),
+                "float_store_bytes": du(path32),
+                "int8_serve_sec": sec_i8,
+                "int8_recall_at_10": len(truth & {r["vec_id"] for r in i8_rows}) / k,
+                "int8_cosine_regret": int8_regret,
+                "knn_join_100q_sec": sec_knn,
+                "knn_join_rows": knn_rows,
             }
         )
     )
