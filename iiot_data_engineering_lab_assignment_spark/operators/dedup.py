@@ -568,6 +568,45 @@ def simhash_pairs(
     )
 
 
+def simhash_signature_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-checkable SimHash twin (same role as minhash_lsh_pairs_md5
+    for the LSH family): per-document 64-bit SimHash signature computed
+    from md5 hex digits instead of xxhash64, emitted as a 64-char
+    '0'/'1' string so a DuckDB oracle reproduces every BIT of the
+    signature (packing to a signed BIGINT would overflow on bit 63 and
+    hide the per-bit comparison anyway).
+
+    Bit i (0..63) comes from hex digit i//4 of md5(token) (bit i%4 of
+    the digit's value): identical arithmetic in both engines — Spark
+    ``conv(substr, 16, 10)`` == DuckDB ``strpos('0123456789abcdef', c)
+    - 1``, then the same shift/mask.  Votes are +1/-1 sums over tokens
+    with duplicates kept (frequency-weighted, classic SimHash); sign
+    tie (vote 0) maps to '0' on both sides.  The xxhash64 variant stays
+    the production tier (integer ops, no hex parsing); the banded
+    pair-join above it is value-checked through the md5 LSH twin, so
+    this closes the remaining unverified simhash stage: the signature
+    computation itself.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    ).select(F.col(id_col), F.md5(F.col("tok")).alias("hx"))
+    aggs = []
+    for i in range(64):
+        digit = F.conv(F.substring(F.col("hx"), i // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, i % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{i}"))
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(64)
+        ]
+    )
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
 # ---------------------------------------------------------------------------
 # 5. Cluster collapse: connected components over candidate pairs
 # ---------------------------------------------------------------------------

@@ -919,6 +919,38 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_signature_md5",
+    """
+    WITH tok AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS hx
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, p.i,
+             ((strpos('0123456789abcdef', substr(hx, CAST(p.i // 4 AS INT) + 1, 1)) - 1)
+              >> CAST(p.i % 4 AS INT)) & 1 AS bit
+      FROM tok CROSS JOIN (SELECT unnest(range(64)) AS i) p
+    ), votes AS (
+      SELECT doc_id, i, SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS v
+      FROM bits GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_signature_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable SimHash twin (NEW r5): the 64-bit signature from
+    md5 hex digits, emitted as a '0'/'1' string so DuckDB verifies
+    every bit (see operators/dedup.py:simhash_signature_md5).  Closes
+    the simhash family's last no_oracle stage; the xxhash64 variant
+    stays the production tier."""
+    from .operators.dedup import simhash_signature_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signature_md5(docs)
+
+
+@register(
     "text_stats_per_doc",
     """
     SELECT doc_id,

@@ -56,6 +56,30 @@ def test_simhash_pairs_are_near_dups(spark, documents):
     assert len(sim & exact) / len(sim) > 0.5
 
 
+def test_simhash_md5_signature_locality(spark):
+    """The md5 signature twin behaves like a SimHash: identical texts get
+    identical 64-bit signatures, a one-token edit moves few bits, and an
+    unrelated text moves ~half of them."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import simhash_signature_md5
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),
+            (2, base.replace("lazy", "sleepy", 1)),
+            (3, "entirely different words about spark shuffles and parquet files " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in simhash_signature_md5(docs).collect()}
+    assert all(len(s) == 64 and set(s) <= {"0", "1"} for s in sigs.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(sigs[a], sigs[b]))
+    assert ham(0, 1) == 0
+    assert ham(0, 2) <= 12  # one-token edit: small drift
+    assert ham(0, 3) >= 16  # unrelated: near-half expected
+
+
 def test_exact_dedup_keeps_lowest_id(spark, documents):
     kept = exact_dedup_keep_first(documents)
     assert kept.count() == documents.select("text").distinct().count()
