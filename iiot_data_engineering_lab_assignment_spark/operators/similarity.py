@@ -167,7 +167,9 @@ def ivf_topk(
         n = _math.sqrt(sum(a * a for a in v))
         return dotp / (n * qn) if n else -1.0
 
-    probe = sorted(by_cell, key=lambda c: -cell_cos(by_cell[c]))[:nprobe]
+    # deterministic tiebreak on the cell id: by_cell is dict-ordered by an
+    # arbitrary collect order, so a cosine tie must not fall back to it
+    probe = sorted(by_cell, key=lambda c: (-cell_cos(by_cell[c]), c))[:nprobe]
     probed = embeddings.filter(F.col(cell_col).isin([int(c) for c in probe]))
     return brute_force_topk(probed, query, k, id_col, emb_col)
 

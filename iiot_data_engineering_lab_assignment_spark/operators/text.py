@@ -262,6 +262,14 @@ def winnowing_fingerprints(
     Layout: k-gram hashes stay IN-ROW as an array; the window-min
     selection is a transform over positions (no shuffle at all); only the
     distinct selected fingerprints explode.  Output: (id, fingerprint).
+
+    Documents with fewer than `window` k-grams get ONE fingerprint (the
+    min over all their hashes — the degenerate clamped window); zero
+    k-grams (shorter than k tokens) get none.  The naive
+    ``sequence(1, n_windows)`` form crashed here: Spark's sequence is
+    DESCENDING for (1, 0), producing a slice at start 0 which raises
+    INVALID_PARAMETER_VALUE on exactly the short documents every real
+    corpus contains (found and regression-tested round 5).
     """
     toks = tokenize(text_col)
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
@@ -269,13 +277,47 @@ def winnowing_fingerprints(
     for j in range(2, k + 1):
         acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
     hashes = F.transform(acc, lambda g: F.xxhash64(g))
-    n_windows = F.greatest(F.size(hashes) - (window - 1), F.lit(0))
-    mins = F.transform(
+    n_windows = F.when(
+        F.size(hashes) >= window, F.size(hashes) - (window - 1)
+    ).otherwise(F.least(F.size(hashes), F.lit(1)))
+    mins = F.when(n_windows >= 1, F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice(hashes, i, window)),
-    )
+    )).otherwise(F.array().cast("array<bigint>"))
     out = docs.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
     return out
+
+
+def winnowing_fingerprints_md5(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-checkable winnowing twin (same role as minhash_lsh_pairs_md5
+    / simhash_signature_md5): k-gram hashes are md5 hex strings and the
+    window minimum is the LEXICOGRAPHIC string min, which DuckDB
+    reproduces exactly (``list_min`` over VARCHAR == Spark ``array_min``
+    over strings).  Same selection structure, same short-document
+    clamping as the xxhash64 production form (which stays the fast tier:
+    integer mins, 8-byte fingerprints)."""
+    toks = tokenize(text_col)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
+    hashes = F.transform(acc, F.md5)
+    n_windows = F.when(
+        F.size(hashes) >= window, F.size(hashes) - (window - 1)
+    ).otherwise(F.least(F.size(hashes), F.lit(1)))
+    mins = F.when(n_windows >= 1, F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

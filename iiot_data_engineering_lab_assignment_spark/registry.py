@@ -1045,10 +1045,44 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(docs).select("doc_id", "fp")
 
 
-@register("language_id_pred", None)
+def _lang_id_oracle() -> str:
+    """Generate the language-ID oracle from the SAME marker lists the
+    operator uses (single source of truth — the lists are deterministic
+    parameters, so the 'heuristic' is fully SQL-expressible; r5 upgrade
+    from rows-only).  Argmax ties resolve to declaration order via the
+    CASE chain, mirroring the operator's chained when()."""
+    from .operators.text import _LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        lits = ", ".join("'" + m.replace("'", "''") + "'" for m in markers)
+        score_cols.append(f"len(list_intersect(toks, [{lits}])) AS s_{lang}")
+    best = "greatest(" + ", ".join(f"s_{l}" for l in _LANG_MARKERS) + ")"
+    arms = "\n           ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in _LANG_MARKERS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, lang, {", ".join(score_cols)}
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE WHEN {best} = 0 THEN NULL
+           {arms}
+      END AS lang_pred
+    FROM s
+    """
+
+
+@register("language_id_pred", _lang_id_oracle())
 def language_id_pred_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language identification (heuristic; deterministic).
-    Rows-only check — the marker lists are engine configuration, not SQL."""
+    """Stopword-marker language identification (heuristic, deterministic).
+    The marker lists are plain parameters, so the oracle inlines them
+    (generated from the same `_LANG_MARKERS` the operator reads — no
+    drift) and the prediction is fully value-hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang", "lang_pred")
 
@@ -1159,18 +1193,67 @@ def knn_join_bulk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb.filter(F.col("vec_id") < 10), emb, k=5)
 
 
-@register("lsh_topk", None)
-def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH bucketing (multi-probe
-    Hamming<=2).  Approximate => rows-only; recall vs brute force asserted
-    in tests."""
+def _lsh_planes(seed: int, n_planes: int, dim: int = 64) -> list[list[float]]:
+    """The deterministic hyperplane sets used by the LSH registry queries —
+    shared between the Spark query and the generated oracle SQL, so the
+    exact same doubles flow through both engines (repr() round-trips a
+    double exactly, and DuckDB parses the literal back to the identical
+    value)."""
     import numpy as np
 
+    return np.random.RandomState(seed).randn(n_planes, dim).tolist()
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """SQL for the sign-LSH bucket id of `vec_expr`: bit i set when the
+    dot product with plane i is >= 0, packed by addition (bits are
+    disjoint, so + == the operator's XOR packing)."""
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "\n           + ".join(terms)
+
+
+_LSH_TOPK_PLANES = _lsh_planes(7, 8)
+
+_LSH_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), qb AS (
+      SELECT qv, {_bucket_sql("qv", _LSH_TOPK_PLANES)} AS qbucket
+      FROM q
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])", _LSH_TOPK_PLANES)} AS bucket
+      FROM embeddings
+    ), probed AS (
+      SELECT e.vec_id, e.ev, qb.qv
+      FROM e CROSS JOIN qb
+      WHERE bit_count(xor(CAST(e.bucket AS BIGINT), CAST(qb.qbucket AS BIGINT))) <= 2
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(ev, qv)
+                 / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(qv, qv))), 6)
+             AS cosine
+    FROM probed
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("lsh_topk", _LSH_TOPK_ORACLE)
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing (multi-probe
+    Hamming<=2).  The planes are deterministic parameters (seed 7), so
+    the whole path — bucket signs, Hamming probe filter, cosine scoring
+    — is reproduced in SQL with the plane literals inlined and the
+    result value-hash-checked (r5 upgrade from rows-only; recall floors
+    stay tested)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    rng = np.random.RandomState(7)
-    planes = rng.randn(8, len(qvec)).tolist()
-    return lsh_topk(emb, qvec, planes, k=10, probe_hamming=2)
+    return lsh_topk(emb, qvec, _LSH_TOPK_PLANES, k=10, probe_hamming=2)
 
 
 @register(
@@ -1674,18 +1757,35 @@ def cosine_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(emb, threshold=0.4)
 
 
-@register("cosine_dup_pairs_lsh", None)
+_DUP_LSH_PLANES = _lsh_planes(11, 4)
+
+_DUP_LSH_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])", _DUP_LSH_PLANES)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+    """
+
+
+@register("cosine_dup_pairs_lsh", _DUP_LSH_ORACLE)
 def cosine_dup_pairs_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked variant of the cosine dedup (candidates restricted to a
     shared hyperplane bucket, then exactly verified) — the 10^9-vector
-    path.  Approximate recall => rows-only; subset property tested."""
-    import numpy as np
-
+    path.  The planes are deterministic parameters (seed 11), so the
+    bucket-equality blocking AND the exact pair verification are
+    reproduced in SQL with the plane literals inlined (r5 upgrade from
+    rows-only; the subset-of-exact property stays tested)."""
     from .operators.similarity import cosine_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = np.random.RandomState(11).randn(4, 64).tolist()
-    return cosine_dup_pairs(emb, threshold=0.4, planes=planes)
+    return cosine_dup_pairs(emb, threshold=0.4, planes=_DUP_LSH_PLANES)
 
 
 @register(
@@ -2020,11 +2120,53 @@ def date_math_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_topk", None)
+@register(
+    "ivf_topk",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), cent AS (
+      SELECT label, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(e AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      )
+      GROUP BY label, i
+    ), cvec AS (
+      SELECT label, list(cv ORDER BY pos) AS c FROM cent GROUP BY label
+    ), ranked AS (
+      SELECT label,
+             list_dot_product(c, q.qv)
+             / (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.qv, q.qv))) AS cc
+      FROM cvec CROSS JOIN q
+    ), probe AS (
+      SELECT label FROM ranked ORDER BY cc DESC, label LIMIT 3
+    ), scored AS (
+      SELECT e.vec_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label IN (SELECT label FROM probe)
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 (label-centroid coarse quantizer, nprobe=3)
-    — the inverted-file ANN path alongside hyperplane LSH; approximate =>
-    rows-only, recall asserted in tests."""
+    — the inverted-file ANN path alongside hyperplane LSH.  Every stage
+    is deterministic arithmetic (the quantizer is the oracle-backed
+    exact-decimal centroid table; cell ranking is sequential-fold
+    cosines with a cell-id tiebreak; the probe filter is label IN
+    top-3), so the whole path is reproduced in SQL and value-hash
+    checked (r5 upgrade from rows-only; recall floors stay tested)."""
     from .operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2035,11 +2177,47 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("winnowing_fingerprints", None)
 def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints — engine-internal
-    hashing => rows-only; structural properties asserted in tests."""
+    hashing => rows-only; structural properties asserted in tests, and
+    the selection logic is value-hash-checked through the md5 twin
+    below."""
     from .operators.text import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs)
+
+
+@register(
+    "winnowing_fingerprints_md5",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(toks) - 2, 0) + 1),
+               j -> md5(concat_ws(' ', toks[j], toks[j+1], toks[j+2]))) AS hs
+      FROM t
+    ), m AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, (CASE WHEN len(hs) >= 4 THEN len(hs) - 3
+                              ELSE least(len(hs), 1) END) + 1),
+               i -> list_min(hs[i:i+3]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM m
+    """,
+)
+def winnowing_fingerprints_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checkable winnowing twin (NEW r5): md5 k-gram hashes with
+    lexicographic window minima so DuckDB reproduces every selected
+    fingerprint (k=3, window=4, clamped short-document windows —
+    operators/text.py:winnowing_fingerprints_md5).  The xxhash64 form
+    stays the production tier."""
+    from .operators.text import winnowing_fingerprints_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints_md5(docs)
 
 
 @register(

@@ -128,6 +128,30 @@ def test_winnowing_properties(spark, documents):
     fp.unpersist()
 
 
+def test_winnowing_short_documents(spark):
+    """Round-5 regression: documents with k..k+window-2 tokens used to
+    crash (sequence(1, 0) is DESCENDING in Spark -> slice at start 0).
+    Clamped semantics: fewer-than-window k-grams -> ONE min-of-all
+    fingerprint; fewer than k tokens -> none.  Both hash tiers agree on
+    the per-document fingerprint counts for the degenerate cases."""
+    from collections import Counter
+
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_md5,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, " ".join(f"t{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    for fn in (winnowing_fingerprints, winnowing_fingerprints_md5):
+        counts = Counter(r["doc_id"] for r in fn(docs).collect())
+        assert counts[1] == 1, fn.__name__   # 3 k-grams < window: clamped
+        assert counts[2] == 0, fn.__name__   # shorter than k tokens
+        assert counts[3] >= 2, fn.__name__   # normal path
+
+
 def test_salted_join_rejects_outer(spark):
     """ADVICE r1: the replicated right side would duplicate unmatched right
     rows under right/full outer — reject loudly."""
