@@ -59,6 +59,9 @@ EXTENDED = [
     "mad_anomalies",
     "gapfill_interpolate_daily",
     "lsh_topk",
+    # round-5 similarity additions
+    "cosine_topk_int8",
+    "knn_join_bulk",
 ]
 
 
