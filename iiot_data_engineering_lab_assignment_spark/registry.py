@@ -3020,8 +3020,9 @@ def gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT e.event_id, e.user_id, e.event_type,
-           ROUND((e.value - s.s / s.n)
-                 / sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)), 4) AS zscore
+           CAST(ROUND(((e.value - s.s / s.n)
+                       / sqrt((s.ss - s.s * s.s / s.n) / (s.n - 1)))
+                      * 10000.0, 0) AS BIGINT) / 10000.0 AS zscore
     FROM events e JOIN stats s USING (user_id, event_type)
     WHERE s.n > 1
       AND abs((e.value - s.s / s.n)
@@ -3045,8 +3046,16 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("s") / F.col("n")
     std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
     z = (F.col("value") - mean) / std
+    # boundary-safe 4-decimal output (see mad_anomalies): z is the
+    # identical IEEE double in both engines (exact decimal sums cast to
+    # double, same op sequence), so the only cross-engine risk was the
+    # raw ROUND(z, 4) — its 5e-5 grid boundaries are not representable
+    # doubles, while an integer round's .5 boundary is.
     return joined.filter(F.abs(z) > 2.5).select(
-        "event_id", "user_id", "event_type", F.round(z, 4).alias("zscore")
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.round(z * F.lit(10000.0), 0).cast("bigint") / F.lit(10000.0)).alias("zscore"),
     )
 
 
@@ -3140,8 +3149,9 @@ def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              - epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
       FROM events)
     SELECT user_id, event_type,
-           ROUND(CAST(SUM(CAST(value * dt_us AS DECIMAL(38, 6))) AS DOUBLE)
-                 / CAST(SUM(dt_us) AS DOUBLE), 6) AS twa
+           CAST(ROUND((CAST(SUM(CAST(value * dt_us AS DECIMAL(38, 6))) AS DOUBLE)
+                       / CAST(SUM(dt_us) AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+             / 1000000.0 AS twa
     FROM seg WHERE dt_us IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -3164,12 +3174,17 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         (F.lead(us).over(w) - us).alias("dt_us"),
     ).filter(F.col("dt_us").isNotNull())
+    ratio = (
+        F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)")).cast("double")
+        / F.sum("dt_us").cast("double")
+    )
+    # boundary-safe 6-decimal output (see mad_anomalies): the ratio is the
+    # identical double in both engines (exact decimal / exact integer
+    # sums); only the raw ROUND(x, 6) could split on a 5e-7 boundary.
     return seg.groupBy("user_id", "event_type").agg(
-        F.round(
-            F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)")).cast("double")
-            / F.sum("dt_us").cast("double"),
-            6,
-        ).alias("twa")
+        (F.round(ratio * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+            "twa"
+        )
     )
 
 
