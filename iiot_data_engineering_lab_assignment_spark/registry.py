@@ -4882,7 +4882,7 @@ def gapfill_interpolate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # Round-5 rotation (r4 verdict ask #1): 13 multiply-green slots retire
+    # Round-5 rotation (r4 verdict ask #1): 17 multiply-green slots retire
     # to the local gate to burn down the never-driver-checked backlog —
     # scalar_roundtrip (P2/F1/F2/F5/F6 history r1-r4; events_passthrough
     # keeps the projection anchor), retention_filter (D3, r1-r4),
@@ -4899,7 +4899,12 @@ DRIVER_WINDOW: list[str] = [
     # pointer-jumping family).  In: the round-4 deterministic sampling
     # family, containment, the hardened mad_anomalies, interp gapfill,
     # tfidf, z-order keys, four TPC-H shapes, and the new hash-checkable
-    # fixed-quantizer semantic-dedup twin.  Every evicted query stays in
+    # fixed-quantizer semantic-dedup twin; a late-round second pass also
+    # swapped rank_orders_per_customer / correlated_scalar_subquery /
+    # pivot_event_counts / range_join_purchase_click (3-4x green each,
+    # shapes covered by in-window cousins) for the newly oracle-backed
+    # simhash/winnowing md5 twins, the LSH ANN serving query, and the
+    # bulk k-NN join.  Every evicted query stays in
     # tools/check_oracles.py's full gate.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.
@@ -4914,16 +4919,15 @@ DRIVER_WINDOW: list[str] = [
     "left_join_order_counts",
     "set_intersect_buyers",
     "grouping_sets_revenue",
-    # window functions: ranking, moving averages
-    "rank_orders_per_customer",
+    # window functions: moving averages (rank_orders_per_customer retires
+    # 4x-green; correlated_scalar_subquery's shape is covered in-window by
+    # q17/q22; pivot_event_counts retires 3x-green; range_join retires
+    # with asof keeping the temporal-join anchor — all stay in the local
+    # gate)
     "moving_avg_per_user",
-    # subqueries, pivot, percentiles
-    "correlated_scalar_subquery",
-    "pivot_event_counts",
     "percentile_order_value",
     # temporal joins
     "asof_join_purchase_click",
-    "range_join_purchase_click",
     # TPC-H shapes (q3/q9/q14 first checked r04; q6/q12/q17/q22 NEW r05)
     "q3_shipping_priority",
     "q9_product_type_profit",
@@ -4943,11 +4947,17 @@ DRIVER_WINDOW: list[str] = [
     "token_budget_shards",
     "token_length_histogram",
     "media_dedup_hash",
-    # text + similarity
+    # text + similarity (r5 late adds: the md5 evidence twins for the
+    # simhash/winnowing hash tiers, the LSH ANN serving path, and the
+    # bulk k-NN join — all first-time driver checks)
     "text_stats_per_doc",
     "tfidf_top_terms",
+    "simhash_signature_md5",
+    "winnowing_fingerprints_md5",
     "cosine_topk",
     "semantic_dedup_pairs_fixed",
+    "lsh_topk",
+    "knn_join_bulk",
     # multimodal (one slot per modality; multimodal_resize in local gate)
     "multimodal_decode",
     "multimodal_audio_decode",

@@ -119,7 +119,7 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-5 rotation: 13 never-driver-checked representatives swapped in
+    # round-5 rotation: 17 never-driver-checked representatives swapped in
     # for multiply-green cousins (r4 verdict ask #1)
     for required in [
         "train_val_test_split", "stratified_sample_by_lang",
@@ -127,7 +127,8 @@ def test_driver_window_is_first_50_and_family_complete():
         "gapfill_interpolate_daily", "tfidf_top_terms", "zorder_key_events",
         "q6_forecast_revenue", "q12_priority_by_ship_month",
         "q17_small_quantity_revenue", "q22_idle_balance_customers",
-        "semantic_dedup_pairs_fixed",
+        "semantic_dedup_pairs_fixed", "simhash_signature_md5",
+        "winnowing_fingerprints_md5", "lsh_topk", "knn_join_bulk",
         # families that must never lose their in-window representative
         "sensor_rollup_1m", "stream_tumbling_1m", "stream_session_5m",
         "q1_pricing_summary", "dedup_exact_fingerprint", "cosine_topk",
