@@ -273,6 +273,20 @@ def test_round5_additions_plan_shapes(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_capped_pair_generation_uses_array_combinations(spark):
+    """Round-5 contract: with the hot-shingle cap in force, candidate
+    pairs come from per-shingle sorted-array combinations (collect_list
+    after ONE groupBy(shingle)) — not a posting-list self-join, whose
+    second side re-exchanges the postings (no ReusedExchange planned).
+    The uncapped form deliberately keeps the streaming self-join."""
+    for name in ("containment_pairs", "ngram_jaccard_pairs_capped"):
+        plan = plan_of(spark, name)
+        assert "collect_list" in plan, name
+    # uncapped jaccard: no array materialization of unbounded groups
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "collect_list" not in plan
+
+
 def test_q3_broadcasts_dims_and_takeordered(spark):
     """Q3: customer/orders legs broadcast into the lineitem scan side and
     the top-10 uses TakeOrderedAndProject, not a global sort."""

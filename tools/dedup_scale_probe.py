@@ -77,6 +77,32 @@ def main() -> None:
     n_sh = sh.count()
     out["tiers"]["simhash"] = {"sec": round(time.time() - t0, 2), "pairs": n_sh}
 
+    # Round-5 A/B: capped containment pair generation, array-combination
+    # (one posting shuffle) vs posting self-join (two, no ReusedExchange).
+    # Same cap, same output — only the physical strategy differs.
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        _cap_postings,
+        _pair_common_counts,
+        shingles,
+    )
+
+    def containment_common(capped_strategy: bool):
+        post = _cap_postings(shingles(docs, 3), 50)
+        sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        common = _pair_common_counts(post, "doc_id", capped=capped_strategy)
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+        return (
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(F.col("common") / F.least("n_a", "n_b") >= 0.8)
+        )
+
+    for label, strat in (("containment_arrays", True), ("containment_selfjoin", False)):
+        t0 = time.time()
+        n_c = containment_common(strat).count()
+        out["tiers"][label] = {"sec": round(time.time() - t0, 2), "pairs": n_c}
+
     print(json.dumps(out))
     spark.stop()
 
