@@ -12,7 +12,9 @@ steps from stubs into real pixel transforms (round-2 verdict ask #4):
 * PPM P6: ASCII header ``P6 <w> <h> <maxval>`` followed by raw RGB
   rows, top-down.  maxval is fixed at 255.
 
-Anything else (JPEG, PNG, video containers) still raises
+PNG (8-bit truecolor) is handled by the sibling ``pngcodec`` module —
+DEFLATE comes from the stdlib ``zlib``, so no external library is
+needed.  Anything else (JPEG, video containers) still raises
 ``NotImplementedError`` — those genuinely need external codec libraries.
 
 The decoders are strict on purpose: a padding, row-order (BMP is
@@ -117,16 +119,21 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Sniff the payload's magic bytes and decode BMP or PPM; anything
-    else raises NotImplementedError (JPEG/PNG/video need real codec
-    libraries — media codecs unavailable in this runtime)."""
+    """Sniff the payload's magic bytes and decode BMP, PPM, or PNG
+    (8-bit truecolor; DEFLATE via stdlib zlib — see
+    ``operators.pngcodec``); anything else raises NotImplementedError
+    (JPEG/video genuinely need real codec libraries)."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        from .pngcodec import decode_png
+
+        return decode_png(data)
     raise NotImplementedError(
-        "media codecs unavailable for this format (only BMP/PPM are "
-        "implemented in pure numpy; JPEG/video need PIL/ffmpeg)"
+        "media codecs unavailable for this format (BMP/PPM/PNG are "
+        "implemented in pure numpy+stdlib; JPEG/video need PIL/ffmpeg)"
     )
 
 

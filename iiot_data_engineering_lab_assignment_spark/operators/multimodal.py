@@ -89,8 +89,10 @@ def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str 
 
 def media_images_from_documents(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL-image media table: each document becomes a small
-    RGB gradient image, encoded as an actual BMP (even ids) or binary PPM
-    (odd ids) payload by the pure-numpy codecs.
+    RGB gradient image, encoded as an actual BMP (id%3==0), binary PPM
+    (id%3==1), or 8-bit truecolor PNG (id%3==2; DEFLATE via stdlib zlib,
+    scanline filter id%5 so every unfilter path runs in the driver-
+    checked decode) payload by the pure-numpy codecs.
 
     The pixel formula is closed-form in ``doc_id`` so a SQL oracle can
     predict every decode statistic without a codec of its own::
@@ -99,8 +101,9 @@ def media_images_from_documents(docs: DataFrame, id_col: str = "doc_id") -> Data
         pixel(r, c, ch) = (id*31 + r + 85*ch) % 256      (column-invariant)
 
     The row gradient catches a missed BMP bottom-up flip, the channel
-    offset catches a BGR/RGB swap, and the odd widths exercise BMP's
-    4-byte row padding — any of those bugs shifts ``top_left`` /
+    offset catches a BGR/RGB swap, the odd widths exercise BMP's
+    4-byte row padding, and PNG being lossless means its decoded stats
+    share the same closed form — any codec bug shifts ``top_left`` /
     ``bottom_right`` / ``mean_pixel`` and fails the cross-engine gate.
     """
     out_schema = MEDIA_SCHEMA
@@ -109,6 +112,7 @@ def media_images_from_documents(docs: DataFrame, id_col: str = "doc_id") -> Data
         import numpy as np
 
         from .imagecodec import encode_bmp, encode_ppm
+        from .pngcodec import encode_png
 
         for pdf in batches:
             payloads, mimes = [], []
@@ -119,12 +123,15 @@ def media_images_from_documents(docs: DataFrame, id_col: str = "doc_id") -> Data
                 ch = np.arange(3, dtype=np.int64)[None, None, :]
                 img = ((did * 31 + r + 85 * ch) % 256).astype(np.uint8)
                 img = np.broadcast_to(img, (h, w, 3))
-                if did % 2 == 0:
+                if did % 3 == 0:
                     payloads.append(encode_bmp(img))
                     mimes.append("image/bmp")
-                else:
+                elif did % 3 == 1:
                     payloads.append(encode_ppm(img))
                     mimes.append("image/x-portable-pixmap")
+                else:
+                    payloads.append(encode_png(img, filter_type=did % 5))
+                    mimes.append("image/png")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1520,8 +1520,9 @@ def stream_sliding_1m_30s(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rws CROSS JOIN (SELECT unnest([0, 1, 2]) AS ch) ch
     )
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
-                ELSE 'image/x-portable-pixmap' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/bmp'
+                WHEN doc_id % 3 = 1 THEN 'image/x-portable-pixmap'
+                ELSE 'image/png' END AS mime,
            CAST(MAX(w) AS INTEGER) AS width,
            CAST(MAX(h) AS INTEGER) AS height,
            CAST(3 AS INTEGER) AS channels,

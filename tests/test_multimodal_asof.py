@@ -466,3 +466,66 @@ def test_demux_frames_validates_stride_and_prunes_bmp(spark, documents):
     stats = demux_frames(media, every_n=1, with_bmp=False)
     assert "frame_bmp" not in stats.columns
     assert stats.count() > 0
+
+
+def test_pngcodec_roundtrip_all_filters():
+    """Every scanline filter (None/Sub/Up/Average/Paeth) round-trips
+    pixel-exact, including 1-pixel edge shapes."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.pngcodec import decode_png, encode_png
+
+    rng = np.random.RandomState(42)
+    for h, w in ((7, 5), (1, 9), (6, 1), (1, 1)):
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ftype in range(5):
+            out = decode_png(encode_png(img, filter_type=ftype))
+            assert out.shape == img.shape, (h, w, ftype)
+            assert (out == img).all(), (h, w, ftype)
+
+
+def test_pngcodec_sniffed_by_decode_image():
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import decode_image
+    from iiot_data_engineering_lab_assignment_spark.operators.pngcodec import encode_png
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    assert (decode_image(encode_png(img)) == img).all()
+
+
+def test_pngcodec_strict_errors():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.pngcodec import decode_png, encode_png
+
+    img = np.full((4, 4, 3), 9, dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    # flip one IDAT body byte (IHDR chunk spans bytes 8..32, IDAT data
+    # starts at 41 for this 4x4 payload): CRC must catch it
+    payload[45] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(payload))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a whatever")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_png(encode_png(img)[:-2])  # cuts into IEND's CRC
+    with _pytest.raises(ValueError, match="missing"):
+        decode_png(encode_png(img)[:-12])  # IEND gone entirely
+    # color type 6 (RGBA): honestly out of scope
+    good = encode_png(img)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)
+    import zlib as _zlib
+
+    bad_ihdr = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    rgba = good[:8] + bad_ihdr + good[8 + 12 + 13 :]
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        decode_png(rgba)
