@@ -529,3 +529,41 @@ def test_pngcodec_strict_errors():
     rgba = good[:8] + bad_ihdr + good[8 + 12 + 13 :]
     with _pytest.raises(NotImplementedError, match="truecolor"):
         decode_png(rgba)
+
+
+def test_all_codecs_reject_malformed_payloads_gracefully():
+    """100 TB of untrusted bytes WILL contain truncated and corrupt
+    payloads: every decoder must raise ValueError/NotImplementedError —
+    never a raw struct/numpy/index error — on any prefix of a valid
+    payload and on arbitrary garbage."""
+    import numpy as np
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.audiocodec import decode_wav, encode_wav
+    from iiot_data_engineering_lab_assignment_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+    from iiot_data_engineering_lab_assignment_spark.operators.pngcodec import decode_png, encode_png
+    from iiot_data_engineering_lab_assignment_spark.operators.videocodec import decode_y4m, encode_y4m
+
+    img = np.arange(6 * 5 * 3, dtype=np.uint8).reshape(6, 5, 3)
+    cases = [
+        (decode_image, encode_bmp(img)),
+        (decode_image, encode_ppm(img)),
+        (decode_png, encode_png(img)),
+        (decode_wav, encode_wav((np.arange(100) % 32767).astype(np.int16), 8000)),
+        (decode_y4m, encode_y4m(np.stack([img, img]), (30, 1))),
+    ]
+    for dec, payload in cases:
+        step = max(1, len(payload) // 40)
+        for cut in range(0, len(payload), step):
+            with _pytest.raises((ValueError, NotImplementedError)):
+                dec(payload[:cut])
+    rng = np.random.RandomState(0)
+    for dec, _ in cases:
+        for n in (0, 3, 60, 300):
+            blob = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
+            with _pytest.raises((ValueError, NotImplementedError)):
+                dec(blob)
