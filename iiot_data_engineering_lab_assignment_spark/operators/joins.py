@@ -18,7 +18,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join_dim", "join_fact", "semi_join", "anti_join"]
+__all__ = ["join_dim", "join_fact", "semi_join", "anti_join", "fuzzy_block_join"]
+
+
+def fuzzy_block_join(
+    df: DataFrame,
+    block_on: Column,
+    compare: Column,
+    max_distance: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Record-linkage fuzzy self-join: candidate pairs restricted to an
+    exact BLOCKING key, then verified by Levenshtein edit distance —
+    the classic entity-resolution shape (Fellegi-Sunter blocking), and
+    the string-metric sibling of the dedup cascade's shingle/LSH tiers
+    (catches small in-place edits that change every containing shingle).
+
+    Scale posture mirrors the capped posting join: records meet ONLY
+    inside a block (an equi-join key — never a cross product), so
+    candidates are sum(block_size^2)/2 and the O(m^2)-per-pair edit
+    distance runs on candidates alone.  Pick blocking keys the way
+    record-linkage practice does: cheap, high-recall prefixes/phonetic
+    codes; run several redundant blocking passes and union when one
+    key's recall is not enough (a miss here is a block miss, not a
+    verify miss).  A hot block is AQE-splittable; cap pathological keys
+    with a frequency filter like ``_cap_postings`` if the data has them.
+
+    Output: (id_a, id_b, distance), id_a < id_b, distance <= max.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    s = df.select(
+        F.col(id_col).alias("_id"), block_on.alias("_blk"), compare.alias("_cmp")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    dist = F.levenshtein(F.col("a._cmp"), F.col("b._cmp"))
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
 
 
 def join_dim(

@@ -10,7 +10,7 @@ of files.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -107,13 +107,15 @@ def lsh_topk(
     the bucket is derived inline, which costs an extra
     len(planes) x dim multiply-adds per row on top of the scoring scan.
     """
-    qrow = [(query,)]
-    spark = SparkSession.getActiveSession()
-    qbucket = (
-        spark.createDataFrame(qrow, "q array<double>")
-        .select(hyperplane_bucket(F.col("q"), planes).alias("b"))
-        .collect()[0][0]
-    )
+    # The query's bucket is parameter math, not data: compute it driver-
+    # side in pure Python instead of a 1-row Spark job (round 5 — saves a
+    # whole job submission per serving query).  Python's sum() is the
+    # same left fold over the same doubles as the F.aggregate expression
+    # the stored bucket column used, so the bits match bit-for-bit.
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query, p)) >= 0:
+            qbucket |= 1 << i
     if bucket_col is None:
         with_bucket = embeddings.withColumn(
             "_bucket", hyperplane_bucket(F.col(emb_col), planes)

@@ -3772,6 +3772,41 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_match_documents",
+    """
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.head, b.head) AS INTEGER) AS distance
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 5
+    """,
+)
+def fuzzy_match_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy matching (NEW r5): documents whose 40-char
+    heads are within Levenshtein distance 5, candidates blocked on the
+    exact 8-char prefix — the entity-resolution shape
+    (``operators/joins.py:fuzzy_block_join``), and the string-metric
+    tier of the dedup cascade: an in-place single-character edit changes
+    every containing shingle (so n-gram tiers under-score it) but moves
+    edit distance by only 1.  Spark ``levenshtein`` == DuckDB
+    ``levenshtein`` (classic Wagner-Fischer), so the pair set AND the
+    distances are value-hash-checked."""
+    from .operators.joins import fuzzy_block_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_block_join(
+        docs,
+        block_on=F.substring("text", 1, 8),
+        compare=F.substring("text", 1, 40),
+        max_distance=5,
+        id_col="doc_id",
+    ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+
+
+@register(
     "q6_forecast_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))

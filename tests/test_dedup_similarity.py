@@ -80,6 +80,31 @@ def test_simhash_md5_signature_locality(spark):
     assert ham(0, 3) >= 16  # unrelated: near-half expected
 
 
+def test_fuzzy_block_join_matches_small_edits(spark):
+    """The record-linkage tier catches in-place edits the shingle tiers
+    under-score; blocking means a changed PREFIX is a (documented) block
+    miss, and distant strings in one block are rejected by the verify."""
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import fuzzy_block_join
+
+    docs = spark.createDataFrame(
+        [
+            (1, "acme corporation delivers sprockets"),
+            (2, "acme corporatien delivers sprockets"),   # 1 edit, same prefix
+            (3, "acme corp XXXXXXXXXXXXXXXXXXXXXXXXXX"),  # same block, far text
+            (4, "emca corporation delivers sprockets"),   # prefix changed: block miss
+        ],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_block_join(
+        docs,
+        block_on=F.substring("text", 1, 8),
+        compare=F.col("text"),
+        max_distance=3,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["distance"] for r in rows}
+    assert pairs == {(1, 2): 1}
+
+
 def test_exact_dedup_keeps_lowest_id(spark, documents):
     kept = exact_dedup_keep_first(documents)
     assert kept.count() == documents.select("text").distinct().count()
