@@ -146,7 +146,12 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if w is None or not idat or not saw_end:
         raise ValueError("missing IHDR, IDAT, or IEND chunk")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        # valid chunk framing + CRCs but a corrupt DEFLATE stream must
+        # still honor the ValueError contract (review finding r5)
+        raise ValueError(f"corrupt DEFLATE stream in IDAT: {e}") from e
     stride = 1 + w * _BPP
     if len(raw) != stride * h:
         raise ValueError(

@@ -114,6 +114,12 @@ def lsh_topk(
     # the stored bucket column used, so the bits match bit-for-bit.
     qbucket = 0
     for i, p in enumerate(planes):
+        if len(p) != len(query):
+            # zip() would silently truncate, making the query bucket
+            # diverge from the null-padded row-bucket expression
+            raise ValueError(
+                f"plane {i} has dim {len(p)} but query has dim {len(query)}"
+            )
         if sum(float(a) * float(b) for a, b in zip(query, p)) >= 0:
             qbucket |= 1 << i
     if bucket_col is None:
@@ -217,12 +223,16 @@ def int8_topk(
     Python rounding, whose half-even ties differ from SQL ROUND.
     Exactly reproducible in SQL, so unlike LSH/IVF this approximate
     variant is value-hash-checkable end to end."""
-    qz = embeddings.select(F.col(id_col), int8_quantize(F.col(emb_col)).alias("qv"))
-    qrow = qz.filter(F.col(id_col) == query_id).select(F.col("qv").alias("query_qv"))
-    cos = dot(F.col("qv"), F.col("query_qv")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(dot(F.col("query_qv"), F.col("query_qv")))
+    # norms are computed ONCE per stored row / once for the query slab,
+    # not re-folded per scored pair (review finding r5: at 10^9 vectors
+    # the redundant d-element folds dominate)
+    qz = embeddings.select(
+        F.col(id_col), int8_quantize(F.col(emb_col)).alias("qv")
+    ).withColumn("qn", F.sqrt(dot(F.col("qv"), F.col("qv"))))
+    qrow = qz.filter(F.col(id_col) == query_id).select(
+        F.col("qv").alias("query_qv"), F.col("qn").alias("query_n")
     )
+    cos = dot(F.col("qv"), F.col("query_qv")) / (F.col("qn") * F.col("query_n"))
     scored = qz.crossJoin(F.broadcast(qrow)).select(
         F.col(id_col),
         (F.round(cos * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
@@ -258,18 +268,19 @@ def knn_join(
     this join to the surviving candidates.  exclude_self drops the
     trivial self-match when the query set is a subset of the corpus.
     """
+    # norms computed once per slab/corpus row, not per scored pair
+    # (review finding r5): q carries its norm into the broadcast, the
+    # corpus side computes its own norm once in the scan projection
     q = queries.select(
         F.col(query_id_col).alias("query_id"), _as_double(F.col(emb_col)).alias("qv")
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col(corpus_id_col).alias("neighbor_id"), _as_double(F.col(emb_col)).alias("cv")
-    )
+    ).withColumn("cn", l2_norm(F.col("cv")))
     j = c.crossJoin(F.broadcast(q))
     if exclude_self:
         j = j.filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = dot(F.col("cv"), F.col("qv")) / (
-        l2_norm(F.col("cv")) * l2_norm(F.col("qv"))
-    )
+    cos = dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("neighbor_id"))

@@ -271,21 +271,7 @@ def winnowing_fingerprints(
     INVALID_PARAMETER_VALUE on exactly the short documents every real
     corpus contains (found and regression-tested round 5).
     """
-    toks = tokenize(text_col)
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    acc = F.slice(toks, 1, m)
-    for j in range(2, k + 1):
-        acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
-    hashes = F.transform(acc, lambda g: F.xxhash64(g))
-    n_windows = F.when(
-        F.size(hashes) >= window, F.size(hashes) - (window - 1)
-    ).otherwise(F.least(F.size(hashes), F.lit(1)))
-    mins = F.when(n_windows >= 1, F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
-    )).otherwise(F.array().cast("array<bigint>"))
-    out = docs.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
-    return out
+    return _winnow(docs, k, window, lambda g: F.xxhash64(g), "bigint", text_col, id_col)
 
 
 def winnowing_fingerprints_md5(
@@ -301,20 +287,40 @@ def winnowing_fingerprints_md5(
     reproduces exactly (``list_min`` over VARCHAR == Spark ``array_min``
     over strings).  Same selection structure, same short-document
     clamping as the xxhash64 production form (which stays the fast tier:
-    integer mins, 8-byte fingerprints)."""
+    integer mins, 8-byte fingerprints) — literally the same code: both
+    tiers call :func:`_winnow`, so the clamp/selection logic the twin
+    exists to verify cannot drift between them (review finding r5)."""
+    return _winnow(docs, k, window, F.md5, "string", text_col, id_col)
+
+
+def _winnow(
+    docs: DataFrame,
+    k: int,
+    window: int,
+    hash_fn,
+    elem_type: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared winnowing pipeline: k-gram -> per-gram hash (``hash_fn``) ->
+    clamped window minima -> distinct fingerprints.  Documents with
+    1..window-1 k-grams get ONE min-of-all fingerprint; zero k-grams get
+    none — ``sequence(1, n_windows)`` is guarded because Spark's
+    sequence DESCENDS for (1, 0) and the resulting slice at start 0
+    raises (the round-5 short-document regression)."""
     toks = tokenize(text_col)
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for j in range(2, k + 1):
         acc = F.zip_with(acc, F.slice(toks, j, m), lambda a, b: F.concat_ws(" ", a, b))
-    hashes = F.transform(acc, F.md5)
+    hashes = F.transform(acc, hash_fn)
     n_windows = F.when(
         F.size(hashes) >= window, F.size(hashes) - (window - 1)
     ).otherwise(F.least(F.size(hashes), F.lit(1)))
     mins = F.when(n_windows >= 1, F.transform(
         F.sequence(F.lit(1), n_windows),
         lambda i: F.array_min(F.slice(hashes, i, window)),
-    )).otherwise(F.array().cast("array<string>"))
+    )).otherwise(F.array().cast(f"array<{elem_type}>"))
     return docs.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )

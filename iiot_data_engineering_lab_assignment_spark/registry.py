@@ -3775,7 +3775,9 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_match_documents",
     """
     WITH d AS (
-      SELECT doc_id, substr(text, 1, 8) AS blk, substr(text, 1, 40) AS head
+      SELECT doc_id,
+             substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'), 1, 8) AS blk,
+             substr(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'), 1, 40) AS head
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -3791,16 +3793,23 @@ def fuzzy_match_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/joins.py:fuzzy_block_join``), and the string-metric
     tier of the dedup cascade: an in-place single-character edit changes
     every containing shingle (so n-gram tiers under-score it) but moves
-    edit distance by only 1.  Spark ``levenshtein`` == DuckDB
-    ``levenshtein`` (classic Wagner-Fischer), so the pair set AND the
-    distances are value-hash-checked."""
+    edit distance by only 1.
+
+    Cross-engine subtlety (review finding r5): Spark's ``levenshtein``
+    counts CHARACTER edits while DuckDB's counts UTF-8 BYTE edits (a
+    one-character CJK substitution scores 1 vs 3).  Both sides therefore
+    fold non-ASCII characters to ``?`` before comparing — on pure-ASCII
+    text bytes == characters and the two implementations agree exactly,
+    so the pair set AND distances stay value-hash-checked even if the
+    fixture's zh-language rows ever carry real CJK text."""
     from .operators.joins import fuzzy_block_join
 
     docs = load_table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "?")
     return fuzzy_block_join(
         docs,
-        block_on=F.substring("text", 1, 8),
-        compare=F.substring("text", 1, 40),
+        block_on=F.substring(ascii_text, 1, 8),
+        compare=F.substring(ascii_text, 1, 40),
         max_distance=5,
         id_col="doc_id",
     ).select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))

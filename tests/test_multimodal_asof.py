@@ -515,6 +515,16 @@ def test_pngcodec_strict_errors():
         decode_png(encode_png(img)[:-2])  # cuts into IEND's CRC
     with _pytest.raises(ValueError, match="missing"):
         decode_png(encode_png(img)[:-12])  # IEND gone entirely
+    # valid framing + CRCs but corrupt DEFLATE inside IDAT (review
+    # finding r5: zlib.error must not escape the ValueError contract)
+    bad_idat = b"not-deflate-data"
+    crc = __import__("zlib").crc32(b"IDAT" + bad_idat) & 0xFFFFFFFF
+    fake_idat = struct.pack(">I", len(bad_idat)) + b"IDAT" + bad_idat + struct.pack(">I", crc)
+    framed = encode_png(img)
+    ihdr_chunk = framed[8 : 8 + 12 + 13]
+    iend = framed[-12:]
+    with _pytest.raises(ValueError, match="DEFLATE"):
+        decode_png(framed[:8] + ihdr_chunk + fake_idat + iend)
     # color type 6 (RGBA): honestly out of scope
     good = encode_png(img)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 6, 0, 0, 0)

@@ -103,6 +103,24 @@ def main() -> None:
         n_c = containment_common(strat).count()
         out["tiers"][label] = {"sec": round(time.time() - t0, 2), "pairs": n_c}
 
+    # Round-5: record-linkage tier — prefix-blocked Levenshtein verify.
+    # Block on the first 24 chars (~4 vocabulary words): the planted
+    # exact/append near-dups share prefixes, so they land in one block
+    # and verify at distance 0.  NOTE a SHORT prefix (8 chars ~ 1 word of
+    # a 30-word vocabulary) would make blocks O(n/30) and the candidate
+    # set quadratic — blocking-key selectivity is the scale knob.
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import fuzzy_block_join
+
+    t0 = time.time()
+    n_f = fuzzy_block_join(
+        docs,
+        block_on=F.substring("text", 1, 24),
+        compare=F.substring("text", 1, 60),
+        max_distance=6,
+        id_col="doc_id",
+    ).count()
+    out["tiers"]["fuzzy_blocked"] = {"sec": round(time.time() - t0, 2), "pairs": n_f}
+
     print(json.dumps(out))
     spark.stop()
 
