@@ -2625,6 +2625,93 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ), comp AS (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), q AS (
+      SELECT doc_id,
+             ROUND(LEAST(1.0, n_tok / 50.0) * 0.5
+                   + (n_dis / n_tok) * 0.3
+                   + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2,
+                   6) AS quality_score
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_dis
+            FROM documents)
+    ), ranked AS (
+      SELECT allc.doc_id, allc.component, q.quality_score,
+             row_number() OVER (PARTITION BY allc.component
+                                ORDER BY q.quality_score DESC, allc.doc_id) AS rn
+      FROM allc JOIN q ON q.doc_id = allc.doc_id
+    )
+    SELECT doc_id, component, quality_score FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup pipeline ending in document SELECTION
+    (NEW r5): cluster near-duplicates (3-gram Jaccard >= 0.4, transitive
+    closure), then keep the HIGHEST-QUALITY member of each cluster
+    (doc_id tiebreak) — what production curation actually ships, vs the
+    keep-lowest-id convention that can discard the best copy.
+    Singletons keep themselves (component = own id).  One row_number
+    window over the component key on top of the already-oracle-checked
+    clustering and quality tiers; fully value-hash-checked end to end
+    (recursive-CTE closure + quality formula + argmax in SQL)."""
+    from pyspark.sql import Window
+
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.4)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    comp = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "quality_score")
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT l_orderkey,

@@ -80,6 +80,46 @@ def test_simhash_md5_signature_locality(spark):
     assert ham(0, 3) >= 16  # unrelated: near-half expected
 
 
+def test_dedup_keep_best_prefers_quality_over_id(spark):
+    """Selection tier: within a near-dup cluster the HIGHEST-quality doc
+    wins even when it has the higher id (keep-lowest-id would discard
+    it); singletons keep themselves."""
+    from pyspark.sql import Window
+
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from iiot_data_engineering_lab_assignment_spark.operators.text import quality_score
+
+    base = " ".join(f"w{i}" for i in range(50))        # 50 distinct tokens -> quality 1.0
+    degenerate = "dup " * 20 + base                     # near-dup, repetition tanks diversity
+    docs = spark.createDataFrame(
+        [(1, degenerate), (2, base), (3, "another totally separate document here")],
+        "doc_id long, text string",
+    )
+    pairs = jaccard_pairs(docs, n=3, threshold=0.4)
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs.collect()} == {(1, 2)}
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    comp = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    kept = {
+        r["doc_id"]
+        for r in comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert kept == {2, 3}  # doc 2 beats its lower-id near-dup on quality
+
+
 def test_fuzzy_block_join_matches_small_edits(spark):
     """The record-linkage tier catches in-place edits the shingle tiers
     under-score; blocking means a changed PREFIX is a (documented) block
