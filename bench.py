@@ -62,6 +62,9 @@ EXTENDED = [
     # round-5 similarity additions
     "cosine_topk_int8",
     "knn_join_bulk",
+    # round-5 curation additions
+    "fuzzy_match_documents",
+    "dedup_keep_best",
 ]
 
 
