@@ -5039,6 +5039,12 @@ DRIVER_WINDOW: list[str] = [
     # bulk k-NN join.  Every evicted query stays in
     # tools/check_oracles.py's full gate.
     #
+    # Round-6 rotation queue (oracle-backed, never driver-checked, all
+    # green in this round's local gates incl. the vanilla-session run):
+    # cosine_topk_int8, ivf_topk, language_id_pred, cosine_dup_pairs_lsh,
+    # fuzzy_match_documents, dedup_keep_best, plus the remaining TPC-H
+    # never-checked shapes (q4/q5/q7/q8/q10/q11/q13/q15/q16/q19/q20).
+    #
     # section-2 IIoT core: windows, sessions, projections, scalars.
     "sensor_rollup_1m",
     "events_passthrough",
