@@ -35,6 +35,9 @@ __all__ = [
     "write_partitioned_by_date",
     "read_lake",
     "apply_retention",
+    "write_audit_publish",
+    "read_published",
+    "rollback_published",
     "compact",
     "zorder_key",
     "write_bucketed",
@@ -144,6 +147,102 @@ def read_lake(spark: SparkSession, path: str, merge_schema: bool = False) -> Dat
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.load(path)
+
+
+def write_audit_publish(
+    df: DataFrame,
+    table_dir: str,
+    audit=None,
+    partition_cols: list[str] | None = None,
+    keep_versions: int = 2,
+) -> str:
+    """Write-audit-publish (WAP): atomic table publication over plain
+    parquet — the transactional-visibility half of what the env-blocked
+    Delta path would provide (`timescale_to_deltalake.py`'s Delta leg;
+    delta-spark remains unimportable in this runtime), without a table
+    format: readers can never observe a partial, failed, or unaudited
+    write.
+
+    Layout::
+
+        table_dir/_versions/v00000001/  ...immutable version dirs...
+        table_dir/_CURRENT              pointer file: current version name
+
+    A writer stages into a NEW version directory, re-reads the staged
+    files, runs the ``audit`` callback on that read-back (count checks,
+    schema checks, null-rate gates — return False or raise to abort),
+    and only then swaps the pointer via write-temp + ``os.replace`` —
+    atomic on POSIX filesystems; on an object store substitute the
+    conditional-put/rename primitive.  A crash or failed audit leaves
+    the pointer untouched and the staged directory is removed (a
+    leftover unpointed dir from a hard crash is invisible to readers and
+    reclaimed by the version pruner).  Old versions beyond
+    ``keep_versions`` are pruned; the ones kept give snapshot reads and
+    one-step rollback (:func:`rollback_published`).
+
+    Returns the published version name.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    vdir = os.path.join(table_dir, "_versions")
+    os.makedirs(vdir, exist_ok=True)
+    existing = sorted(d for d in os.listdir(vdir) if d.startswith("v"))
+    n = 1 + (int(existing[-1][1:]) if existing else 0)
+    version = f"v{n:08d}"
+    staged = os.path.join(vdir, version)
+    writer = df.write.format("parquet").mode("errorifexists")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(staged)
+    try:
+        staged_df = spark.read.parquet(staged)
+        if audit is not None and audit(staged_df) is False:
+            raise ValueError(f"audit rejected staged version {version}")
+    except Exception:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    tmp = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))  # the atomic publish
+    keep = {version} | set(existing[-(keep_versions - 1):] if keep_versions > 1 else [])
+    for d in existing:
+        if d not in keep:
+            shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+    return version
+
+
+def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Resolve the WAP pointer and read the current published version —
+    unaffected by in-flight stages, crashes, or audit failures."""
+    import os
+
+    cur = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(cur):
+        raise FileNotFoundError(f"no published version at {table_dir}")
+    with open(cur) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(table_dir, "_versions", version))
+
+
+def rollback_published(table_dir: str) -> str:
+    """Point the WAP table back at the newest RETAINED version older than
+    the current one (one-step rollback).  Returns the new current."""
+    import os
+
+    with open(os.path.join(table_dir, "_CURRENT")) as f:
+        current = f.read().strip()
+    vdir = os.path.join(table_dir, "_versions")
+    older = sorted(d for d in os.listdir(vdir) if d.startswith("v") and d < current)
+    if not older:
+        raise ValueError(f"no older version than {current} retained to roll back to")
+    tmp = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(older[-1])
+    os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
+    return older[-1]
 
 
 def apply_retention(

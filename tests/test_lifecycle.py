@@ -271,3 +271,40 @@ def test_zorder_key_interleaves_and_tightens_both_columns(spark, events, tmp_pat
     # domain on both columns; the z-sorted layout must cut both spans
     assert z["ux"] < 0.5 * p["ux"]
     assert z["vx"] < 0.5 * p["vx"]
+
+
+def test_wap_publish_read_audit_rollback(spark, tmp_path):
+    """Write-audit-publish: readers only ever see fully-audited versions;
+    failed audits leave the pointer untouched; rollback is one pointer
+    swap; unpointed (crashed) stage dirs are invisible."""
+    import os
+
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        read_published,
+        rollback_published,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_table")
+    v1_df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    v1 = write_audit_publish(v1_df, table, audit=lambda d: d.count() == 100)
+    assert read_published(spark, table).count() == 100
+
+    # audit rejection: pointer stays on v1, staged dir removed
+    with _pytest.raises(ValueError, match="audit rejected"):
+        write_audit_publish(spark.range(0, 5), table, audit=lambda d: False)
+    assert read_published(spark, table).count() == 100
+    versions = sorted(os.listdir(os.path.join(table, "_versions")))
+    assert versions == [v1]
+
+    # second good publish becomes current; rollback restores v1
+    write_audit_publish(spark.range(0, 7), table)
+    assert read_published(spark, table).count() == 7
+    assert rollback_published(table) == v1
+    assert read_published(spark, table).count() == 100
+
+    # a crashed stage (dir present, pointer never swapped) is invisible
+    os.makedirs(os.path.join(table, "_versions", "v99999999"))
+    assert read_published(spark, table).count() == 100
