@@ -25,7 +25,13 @@ from dataclasses import dataclass, field
 
 log = logging.getLogger("iiot.orchestrator")
 
-__all__ = ["StepResult", "NightlyFlow", "verify_written_counts", "run_nightly_etl"]
+__all__ = [
+    "StepResult",
+    "NightlyFlow",
+    "verify_written_counts",
+    "run_nightly_etl",
+    "run_nightly_etl_wap",
+]
 
 
 @dataclass
@@ -156,5 +162,70 @@ def run_nightly_etl(
 
     def verify() -> str:
         return verify_written_counts(spark, path, state["n"])
+
+    return flow.run_etl_flow(check_source, check_lake, run_job, verify)
+
+
+def run_nightly_etl_wap(
+    spark,
+    source,
+    table_dir: str,
+    ts_col: str = "ts",
+    flow: NightlyFlow | None = None,
+) -> bool:
+    """The Task-5 flow with the write step upgraded to
+    write-audit-publish (round 5): a plain ``mode=overwrite`` job
+    DESTROYS the previous table before the verify step can fail, so a
+    bad run leaves nothing behind; here the job stages a new immutable
+    version, the count check runs as the WAP AUDIT on the staged
+    read-back BEFORE any reader can see it, and publication is one
+    atomic pointer swap — a failed run (or a crash mid-write) leaves
+    the previous published version fully readable.  The flow's verify
+    step then re-checks the PUBLISHED pointer, never the writer's own
+    view."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from .lifecycle import read_published, write_audit_publish
+
+    flow = flow or NightlyFlow()
+    state: dict[str, int] = {}
+
+    def check_source() -> str:
+        state["n"] = source.count()
+        if state["n"] == 0:
+            raise ValueError("source has no rows")
+        return f"source rows={state['n']}"
+
+    def check_lake() -> str:
+        parent = Path(table_dir)
+        parent.mkdir(parents=True, exist_ok=True)
+        probe = parent / ".connectivity_probe"
+        probe.write_text("ok")
+        probe.unlink()
+        return f"lake path writable: {parent}"
+
+    def run_job() -> str:
+        out = source.withColumns(
+            {
+                "year": F.year(ts_col),
+                "month": F.month(ts_col),
+                "day": F.dayofmonth(ts_col),
+            }
+        )
+        version = write_audit_publish(
+            out,
+            table_dir,
+            audit=lambda staged: staged.count() == state["n"],
+            partition_cols=["year", "month", "day"],
+        )
+        return f"published {version}"
+
+    def verify() -> str:
+        n = read_published(spark, table_dir).count()
+        if n != state["n"]:
+            raise ValueError(f"published count {n} != source count {state['n']}")
+        return f"published total={n}"
 
     return flow.run_etl_flow(check_source, check_lake, run_job, verify)

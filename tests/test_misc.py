@@ -206,3 +206,32 @@ def test_step_retry_schedule_fails_twice_succeeds_third(spark, events, tmp_path,
     assert r.ok and r.attempts == 3
     assert sleeps == [7.5, 7.5]  # one delay between each failed attempt, none after success
     assert r.detail.startswith("total=200 partitions=")
+
+
+def test_nightly_etl_wap_publishes_and_survives_bad_run(spark, events, tmp_path):
+    """WAP-mode nightly flow: a good run publishes atomically; a
+    subsequent run whose audit must fail (count mismatch injected by an
+    empty source) stops at check_source and the published table stays
+    intact — the property plain-overwrite cannot give."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import read_published
+    from iiot_data_engineering_lab_assignment_spark.plans.orchestrator import (
+        NightlyFlow,
+        run_nightly_etl_wap,
+    )
+
+    table = str(tmp_path / "wap_nightly")
+    flow = NightlyFlow(max_retries=2, retry_delay_s=0.01)
+    ok = run_nightly_etl_wap(spark, events.limit(300), table, ts_col="ts", flow=flow)
+    assert ok
+    assert [r.name for r in flow.results] == [
+        "check_source", "check_lake", "run_spark_job", "verify_counts"
+    ]
+    assert flow.results[2].detail.startswith("published v")
+    assert read_published(spark, table).count() == 300
+
+    bad = NightlyFlow(max_retries=1, retry_delay_s=0.01)
+    assert not run_nightly_etl_wap(
+        spark, events.limit(0), table, ts_col="ts", flow=bad
+    )
+    # the published table is untouched by the failed run
+    assert read_published(spark, table).count() == 300
