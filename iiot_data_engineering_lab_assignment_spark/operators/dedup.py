@@ -617,6 +617,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list of long node ids
     -> (node, component) where component = min node id in the component.
@@ -639,6 +640,10 @@ def connected_components(
 
     Nodes with no edges don't appear; see assign_canonical for the
     left-join-back convention.
+
+    ``stats``: optional dict the call fills with {"rounds": r, "converged":
+    bool} — lets scale probes record rounds-to-convergence without
+    re-implementing the loop.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
@@ -652,7 +657,10 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
-    for _ in range(max_iter):
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["converged"] = False
+    for _round in range(max_iter):
         nb = (
             e.join(labels.select(F.col("node").alias("b"), "comp"), "b")
             .groupBy("a")
@@ -669,7 +677,11 @@ def connected_components(
             .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if stats is not None:
+            stats["rounds"] = _round + 1
         if cur_sum == prev_sum:
+            if stats is not None:
+                stats["converged"] = True
             break
         prev_sum = cur_sum
     return labels

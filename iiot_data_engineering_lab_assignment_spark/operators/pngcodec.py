@@ -37,6 +37,11 @@ __all__ = ["encode_png", "decode_png"]
 
 _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _BPP = 3  # bytes per pixel (8-bit RGB)
+# Largest raster a single row's binary cell may decode to (~192 MB RGB).
+# IHDR claims beyond this are rejected before any buffer is sized — the
+# engine's contract is "100 TB of untrusted bytes", so a 12-byte header
+# must never direct a multi-GB executor allocation.
+_MAX_PIXELS = 64 * 1024 * 1024
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
@@ -128,6 +133,12 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+                # cap BEFORE any allocation: a 12-byte IHDR can claim
+                # 4G x 4G dims; untrusted bytes must not size our buffers
+                raise ValueError(
+                    f"unreasonable PNG dimensions {w}x{h} (cap {_MAX_PIXELS} px)"
+                )
             if depth != 8 or color != 2:
                 raise NotImplementedError(
                     f"only 8-bit truecolor RGB supported (depth={depth}, "
@@ -146,16 +157,24 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if w is None or not idat or not saw_end:
         raise ValueError("missing IHDR, IDAT, or IEND chunk")
+    stride = 1 + w * _BPP
+    expected = stride * h
     try:
-        raw = zlib.decompress(idat)
+        # bounded inflate: a deflate bomb (tiny IDAT, huge plaintext) may
+        # never allocate past the raster the validated IHDR promised
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected + 1)
+        if len(raw) > expected or (len(raw) == expected and dec.decompress(b"", 1)):
+            raise ValueError(
+                f"IDAT inflates past the {expected}-byte raster (deflate bomb?)"
+            )
     except zlib.error as e:
         # valid chunk framing + CRCs but a corrupt DEFLATE stream must
         # still honor the ValueError contract (review finding r5)
         raise ValueError(f"corrupt DEFLATE stream in IDAT: {e}") from e
-    stride = 1 + w * _BPP
-    if len(raw) != stride * h:
+    if len(raw) != expected:
         raise ValueError(
-            f"raster size mismatch: got {len(raw)} bytes, expected {stride * h}"
+            f"raster size mismatch: got {len(raw)} bytes, expected {expected}"
         )
     out = np.zeros((h, w, _BPP), dtype=np.uint8)
     prev = np.zeros((w, _BPP), dtype=np.int32)

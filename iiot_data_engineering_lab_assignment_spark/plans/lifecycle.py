@@ -38,6 +38,8 @@ __all__ = [
     "write_audit_publish",
     "read_published",
     "rollback_published",
+    "publish_epoch",
+    "read_published_epochs",
     "compact",
     "zorder_key",
     "write_bucketed",
@@ -171,14 +173,17 @@ def write_audit_publish(
     A writer stages into a NEW version directory, re-reads the staged
     files, runs the ``audit`` callback on that read-back (count checks,
     schema checks, null-rate gates — return False or raise to abort),
-    and only then swaps the pointer via write-temp + ``os.replace`` —
-    atomic on POSIX filesystems; on an object store substitute the
-    conditional-put/rename primitive.  A crash or failed audit leaves
-    the pointer untouched and the staged directory is removed (a
-    leftover unpointed dir from a hard crash is invisible to readers and
-    reclaimed by the version pruner).  Old versions beyond
-    ``keep_versions`` are pruned; the ones kept give snapshot reads and
-    one-step rollback (:func:`rollback_published`).
+    marks the directory with a ``_COMMITTED`` file, and only then swaps
+    the pointer via write-temp + ``os.replace`` — atomic on POSIX
+    filesystems; on an object store substitute the conditional-put/rename
+    primitive.  A crash or failed audit leaves the pointer untouched;
+    the staged directory is removed on audit failure, and a leftover
+    from a hard crash (no ``_COMMITTED`` marker) is deleted by the next
+    publish before it assigns a version number — crashed partial dirs
+    never enter the retained-snapshot set, so :func:`rollback_published`
+    can only ever land on a fully-audited version.  Old committed
+    versions beyond ``keep_versions`` are pruned; the ones kept give
+    snapshot reads and one-step rollback.
 
     Returns the published version name.
     """
@@ -188,7 +193,20 @@ def write_audit_publish(
     spark = df.sparkSession
     vdir = os.path.join(table_dir, "_versions")
     os.makedirs(vdir, exist_ok=True)
-    existing = sorted(d for d in os.listdir(vdir) if d.startswith("v"))
+    # Reclaim crashed stages first: any version dir without a _COMMITTED
+    # marker was never published (the marker is written before the pointer
+    # swap), so it is invisible to readers and safe to delete.  The
+    # current pointer target is spared regardless, for tables published
+    # before markers existed.
+    current = _wap_current(table_dir)
+    for d in sorted(os.listdir(vdir)):
+        if d.startswith("v") and d != current and not _wap_committed(vdir, d):
+            shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
+    existing = sorted(
+        d
+        for d in os.listdir(vdir)
+        if d.startswith("v") and (d == current or _wap_committed(vdir, d))
+    )
     n = 1 + (int(existing[-1][1:]) if existing else 0)
     version = f"v{n:08d}"
     staged = os.path.join(vdir, version)
@@ -203,6 +221,11 @@ def write_audit_publish(
     except Exception:
         shutil.rmtree(staged, ignore_errors=True)
         raise
+    # Commit marker BEFORE the pointer swap: the pointer only ever names a
+    # fully-audited dir, and rollback/pruning only trust marked dirs.
+    # (Spark ignores underscore-prefixed files on read.)
+    with open(os.path.join(staged, "_COMMITTED"), "w") as f:
+        f.write("committed\n")
     tmp = os.path.join(table_dir, "_CURRENT.tmp")
     with open(tmp, "w") as f:
         f.write(version)
@@ -212,6 +235,23 @@ def write_audit_publish(
         if d not in keep:
             shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
     return version
+
+
+def _wap_current(table_dir: str) -> str | None:
+    """Name of the currently-published version, or None."""
+    import os
+
+    cur = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        return f.read().strip()
+
+
+def _wap_committed(vdir: str, version: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(vdir, version, "_COMMITTED"))
 
 
 def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -228,14 +268,21 @@ def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def rollback_published(table_dir: str) -> str:
-    """Point the WAP table back at the newest RETAINED version older than
-    the current one (one-step rollback).  Returns the new current."""
+    """Point the WAP table back at the newest RETAINED COMMITTED version
+    older than the current one (one-step rollback).  Uncommitted dirs
+    (hard-crash leftovers without a ``_COMMITTED`` marker) are never
+    rollback targets — they may hold partial data.  Returns the new
+    current."""
     import os
 
     with open(os.path.join(table_dir, "_CURRENT")) as f:
         current = f.read().strip()
     vdir = os.path.join(table_dir, "_versions")
-    older = sorted(d for d in os.listdir(vdir) if d.startswith("v") and d < current)
+    older = sorted(
+        d
+        for d in os.listdir(vdir)
+        if d.startswith("v") and d < current and _wap_committed(vdir, d)
+    )
     if not older:
         raise ValueError(f"no older version than {current} retained to roll back to")
     tmp = os.path.join(table_dir, "_CURRENT.tmp")
@@ -243,6 +290,74 @@ def rollback_published(table_dir: str) -> str:
         f.write(older[-1])
     os.replace(tmp, os.path.join(table_dir, "_CURRENT"))
     return older[-1]
+
+
+def publish_epoch(df: DataFrame, table_dir: str, batch_id: int, audit=None) -> bool:
+    """Streaming write-audit-publish: commit ONE micro-batch (epoch) to an
+    append-only WAP table with atomic whole-epoch visibility.
+
+    The snapshot-versioned :func:`write_audit_publish` rewrites the full
+    table per publish — right for nightly refreshes, quadratic for an
+    append stream.  Here each epoch stages only ITS OWN files and the
+    published state is a MANIFEST (``_EPOCHS`` file) naming the committed
+    epoch dirs::
+
+        table_dir/_epochs/batch-00000042/   one dir per committed epoch
+        table_dir/_EPOCHS                   manifest: committed epoch names
+
+    Protocol per micro-batch: if ``batch_id`` is already in the manifest
+    the batch was fully published before the checkpoint crashed — skip
+    (this is what turns foreachBatch's at-least-once retry into
+    exactly-once visible state).  Otherwise overwrite-stage the epoch dir
+    (a retry replaces its own partial files), audit the staged read-back
+    (return False or raise to abort — the manifest is untouched and the
+    streaming query fails loudly), then atomically swap the manifest via
+    write-temp + ``os.replace``.  Readers (:func:`read_published_epochs`)
+    resolve the manifest only: a crash at ANY point mid-batch leaves them
+    on the previous epoch set — never a partial epoch.
+
+    This is the reference's at-least-once JDBC sink semantics
+    (`flink-jobs/sensor_aggregation.py:37-54`) upgraded to
+    effectively-exactly-once on plain parquet, no table format needed.
+    Returns True if this call published the epoch, False if skipped.
+    """
+    import os
+
+    spark = df.sparkSession
+    os.makedirs(table_dir, exist_ok=True)
+    manifest_path = os.path.join(table_dir, "_EPOCHS")
+    committed: list[str] = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            committed = [ln.strip() for ln in f if ln.strip()]
+    epoch = f"batch-{batch_id:08d}"
+    if epoch in committed:
+        return False
+    staged = os.path.join(table_dir, "_epochs", epoch)
+    df.write.mode("overwrite").parquet(staged)
+    staged_df = spark.read.parquet(staged)
+    if audit is not None and audit(staged_df) is False:
+        raise ValueError(f"audit rejected epoch {epoch}")
+    tmp = os.path.join(table_dir, "_EPOCHS.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join([*committed, epoch]) + "\n")
+    os.replace(tmp, manifest_path)  # atomic epoch publication
+    return True
+
+
+def read_published_epochs(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Union-read every committed epoch of a streaming WAP table.  Dirs
+    not (yet) named by the ``_EPOCHS`` manifest — in-flight or crashed
+    partial batches — are invisible."""
+    import os
+
+    manifest_path = os.path.join(table_dir, "_EPOCHS")
+    if not os.path.exists(manifest_path):
+        raise FileNotFoundError(f"no published epochs at {table_dir}")
+    with open(manifest_path) as f:
+        epochs = [ln.strip() for ln in f if ln.strip()]
+    paths = [os.path.join(table_dir, "_epochs", e) for e in epochs]
+    return spark.read.parquet(*paths)
 
 
 def apply_retention(

@@ -40,6 +40,7 @@ __all__ = [
     "streaming_dedup",
     "run_events_stream_rollup",
     "fan_out_two_sinks",
+    "wap_batch_writer",
 ]
 
 
@@ -265,6 +266,31 @@ def idempotent_batch_writer(base_path: str):
     return write
 
 
+def wap_batch_writer(table_dir: str, audit=None):
+    """T4/K2 streaming sink with write-audit-publish visibility: each
+    micro-batch is staged, audited, then atomically added to the epoch
+    manifest (plans.lifecycle.publish_epoch) — readers of the sink table
+    (plans.lifecycle.read_published_epochs) can NEVER observe a partial
+    or unaudited batch, and a retried batch publishes exactly once.
+
+    Plugs into ``writeStream.foreachBatch(...)`` directly, or into
+    ``fan_out_two_sinks`` as either writer (the fan-out forwards
+    batch_id to two-argument writers) — giving the reference's
+    at-least-once JDBC sinks (sensor_aggregation.py:37-54) crash-safe
+    exactly-once-visible semantics without Delta.
+
+    ``audit``: optional callable on the staged batch read-back; return
+    False or raise to abort the batch BEFORE it becomes visible (the
+    streaming query fails; the checkpoint will retry the same offsets).
+    """
+    from ..plans.lifecycle import publish_epoch
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        publish_epoch(df, table_dir, batch_id, audit=audit)
+
+    return write
+
+
 def fan_out_two_sinks(
     stream: DataFrame,
     raw_writer,
@@ -282,8 +308,11 @@ def fan_out_two_sinks(
 
     ``raw_writer(df)`` / ``agg_writer(df)`` receive each micro-batch as a
     plain batch DataFrame (foreachBatch), so any batch sink — JDBC, Kafka,
-    partitioned parquet/Delta — plugs in.  The micro-batch is persisted so
-    the two writes share one evaluation.
+    partitioned parquet/Delta — plugs in.  A writer declaring TWO
+    parameters is called as ``writer(df, batch_id)`` instead — which is
+    how :func:`wap_batch_writer` (epoch-atomic write-audit-publish) and
+    :func:`idempotent_batch_writer` slot into the fan-out.  The
+    micro-batch is persisted so the two writes share one evaluation.
 
     Aggregation state cannot live inside foreachBatch across batches, so
     the aggregate leg recomputes per micro-batch over the batch it sees;
@@ -294,10 +323,19 @@ def fan_out_two_sinks(
     group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fanout_")
 
+    import inspect
+
+    def _call(writer, df: DataFrame, batch_id: int) -> None:
+        try:
+            two_arg = len(inspect.signature(writer).parameters) >= 2
+        except (TypeError, ValueError):  # builtins / C callables
+            two_arg = False
+        writer(df, batch_id) if two_arg else writer(df)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
         try:
-            raw_writer(batch_df)
+            _call(raw_writer, batch_df, batch_id)
             agg = (
                 batch_df.groupBy(F.window(time_col, duration).alias("window"), *group_cols)
                 .agg(*ROLLUP_AGGS("value"))
@@ -311,7 +349,7 @@ def fan_out_two_sinks(
                     "count_readings",
                 )
             )
-            agg_writer(agg)
+            _call(agg_writer, agg, batch_id)
         finally:
             batch_df.unpersist()
 

@@ -308,3 +308,45 @@ def test_wap_publish_read_audit_rollback(spark, tmp_path):
     # a crashed stage (dir present, pointer never swapped) is invisible
     os.makedirs(os.path.join(table, "_versions", "v99999999"))
     assert read_published(spark, table).count() == 100
+
+
+def test_wap_crashed_stage_never_retained_or_rolled_back_to(spark, tmp_path):
+    """Hard-crash mid-write leaves a partial version dir WITHOUT a
+    _COMMITTED marker.  The next publish must delete it (not count it as
+    a retained snapshot), number the new version past it, and
+    rollback_published must land on the older GOOD version — never on
+    the unaudited partial dir."""
+    import os
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        read_published,
+        rollback_published,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_crash")
+    v1 = write_audit_publish(spark.range(0, 100), table)
+    assert v1 == "v00000001"
+
+    # simulate a hard crash mid-write of v2: partial parquet, no marker
+    vdir = os.path.join(table, "_versions")
+    crashed = os.path.join(vdir, "v00000002")
+    spark.range(0, 3).write.parquet(crashed)  # "some files completed"
+    assert not os.path.exists(os.path.join(crashed, "_COMMITTED"))
+
+    # next publish reclaims the crashed dir and keeps v1 as the snapshot
+    v_new = write_audit_publish(spark.range(0, 7), table, keep_versions=2)
+    assert read_published(spark, table).count() == 7
+    retained = sorted(d for d in os.listdir(vdir) if d.startswith("v"))
+    assert retained == [v1, v_new]  # crashed partial dir is GONE
+
+    # rollback lands on the committed v1, and the data reads back whole
+    assert rollback_published(table) == v1
+    assert read_published(spark, table).count() == 100
+
+    # rollback never targets an uncommitted leftover even if one appears
+    os.makedirs(os.path.join(vdir, "v00000000"), exist_ok=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no older version"):
+        rollback_published(table)

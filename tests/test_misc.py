@@ -119,24 +119,29 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-5 rotation: 17 never-driver-checked representatives swapped in
-    # for multiply-green cousins (r4 verdict ask #1)
+    # round-6 rotation: 15 never-driver-checked representatives swapped in
+    # for multiply-green cousins (r5 verdict ask #2)
     for required in [
-        "train_val_test_split", "stratified_sample_by_lang",
-        "mixture_downsample_uniform", "containment_pairs", "mad_anomalies",
-        "gapfill_interpolate_daily", "tfidf_top_terms", "zorder_key_events",
-        "q6_forecast_revenue", "q12_priority_by_ship_month",
-        "q17_small_quantity_revenue", "q22_idle_balance_customers",
-        "semantic_dedup_pairs_fixed", "simhash_signature_md5",
-        "winnowing_fingerprints_md5", "lsh_topk", "knn_join_bulk",
+        "fuzzy_match_documents", "dedup_keep_best", "cosine_topk_int8",
+        "ivf_topk", "language_id_pred", "cosine_dup_pairs_lsh",
+        "multimodal_resize", "q5_local_supplier_volume",
+        "q7_two_nation_volume", "q8_market_share",
+        "q10_returned_item_customers", "q11_important_stock",
+        "q13_customer_order_distribution", "q16_supplier_part_counts",
+        "q19_disjunctive_revenue",
         # families that must never lose their in-window representative
-        "sensor_rollup_1m", "stream_tumbling_1m", "stream_session_5m",
-        "q1_pricing_summary", "dedup_exact_fingerprint", "cosine_topk",
+        "stream_tumbling_1m", "stream_session_5m", "json_extract_props",
+        "left_join_order_counts", "percentile_order_value",
+        "asof_join_purchase_click", "q6_forecast_revenue",
+        "dedup_exact_fingerprint", "containment_pairs",
         "minhash_lsh_pairs_md5", "near_dup_clusters",
         "multimodal_decode", "multimodal_audio_decode",
-        "multimodal_video_frames", "gapfill_locf_daily",
-        "funnel_signup_to_purchase", "corpus_curation_pipeline",
-        "token_budget_shards",
+        "multimodal_video_frames", "gapfill_interpolate_daily",
+        "mad_anomalies", "funnel_signup_to_purchase",
+        "corpus_curation_pipeline", "token_budget_shards",
+        "train_val_test_split", "zorder_key_events",
+        "semantic_dedup_pairs_fixed", "lsh_topk", "knn_join_bulk",
+        "tfidf_top_terms",
     ]:
         assert required in registry.DRIVER_WINDOW, required
     # every window entry must carry an oracle (strict round-4 invariant)

@@ -541,6 +541,55 @@ def test_pngcodec_strict_errors():
         decode_png(rgba)
 
 
+def test_pngcodec_bounded_against_crafted_payloads():
+    """Untrusted-bytes hardening (ADVICE r5): a tiny payload must not be
+    able to direct a huge executor allocation — neither via giant IHDR
+    dims nor via a deflate bomb whose IDAT inflates far past the raster."""
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.pngcodec import decode_png, encode_png
+
+    def _chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1) IHDR claims 2^31 x 2^31 pixels in 12 bytes: rejected pre-alloc
+    huge = struct.pack(">IIBBBBB", 2**31 - 1, 2**31 - 1, 8, 2, 0, 0, 0)
+    payload = sig + _chunk(b"IHDR", huge) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="unreasonable PNG dimensions"):
+        decode_png(payload)
+    # zero-dim is equally invalid
+    zero = struct.pack(">IIBBBBB", 0, 4, 8, 2, 0, 0, 0)
+    payload = sig + _chunk(b"IHDR", zero) + _chunk(b"IDAT", b"x") + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="unreasonable PNG dimensions"):
+        decode_png(payload)
+    # 2) deflate bomb: honest 4x4 IHDR, IDAT inflating to 10 MB — the
+    # bounded inflate must stop at raster-size+1, not materialize 10 MB
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb = _zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 KB compressed
+    payload = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb) + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="deflate bomb"):
+        decode_png(payload)
+    # 3) exact-size raster with trailing compressed garbage also rejected
+    raster = (b"\x00" + b"\x07" * 12) * 4  # 4 rows, filter 0
+    over = _zlib.compress(raster + b"\x00", 9)
+    payload = sig + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", over) + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="inflates past"):
+        decode_png(payload)
+    # and the legitimate round-trip still works after the hardening
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
 def test_all_codecs_reject_malformed_payloads_gracefully():
     """100 TB of untrusted bytes WILL contain truncated and corrupt
     payloads: every decoder must raise ValueError/NotImplementedError —

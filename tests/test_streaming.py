@@ -123,6 +123,70 @@ def test_fan_out_two_sinks(spark, tmp_path):
     assert total == 1000
 
 
+def test_wap_epoch_publish_crash_and_retry_semantics(spark, tmp_path):
+    """r5 verdict ask #5: streaming write-audit-publish.  A crash at ANY
+    point mid-batch must leave readers on the previous epoch set (never a
+    partial epoch), a retry must publish exactly once, and a failed audit
+    must keep the batch invisible."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        publish_epoch,
+        read_published_epochs,
+    )
+
+    table = str(tmp_path / "wap_stream")
+    b0 = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    assert publish_epoch(b0, table, 0) is True
+    assert read_published_epochs(spark, table).count() == 100
+
+    # crash mid-batch 1: files written (some or all) but manifest never
+    # swapped -> readers still see exactly epoch 0
+    import os
+
+    crashed = os.path.join(table, "_epochs", "batch-00000001")
+    spark.range(0, 7).write.parquet(crashed)
+    assert read_published_epochs(spark, table).count() == 100
+
+    # the checkpoint retries batch 1: overwrite-stage replaces the partial
+    # files, then the manifest swap makes the WHOLE epoch visible at once
+    assert publish_epoch(spark.range(0, 50), table, 1) is True
+    assert read_published_epochs(spark, table).count() == 150
+
+    # a second retry of an already-published batch is a no-op (the
+    # at-least-once -> exactly-once upgrade): no duplicate rows
+    assert publish_epoch(spark.range(0, 50), table, 1) is False
+    assert read_published_epochs(spark, table).count() == 150
+
+    # failed audit: batch 2 never becomes visible, query fails loudly
+    with pytest.raises(ValueError, match="audit rejected"):
+        publish_epoch(spark.range(0, 9), table, 2, audit=lambda d: False)
+    assert read_published_epochs(spark, table).count() == 150
+
+
+def test_wap_fan_out_streaming(spark, tmp_path):
+    """The K4 fan-out with BOTH sinks in write-audit-publish mode: the
+    raw and aggregate legs each publish atomically per epoch, and the
+    published state equals the plain-sink run (same data, now crash-safe)."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import read_published_epochs
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import wap_batch_writer
+
+    raw_dir = str(tmp_path / "raw_wap")
+    agg_dir = str(tmp_path / "agg_wap")
+    stream = events_file_stream(spark, SF_DIR)
+    q = fan_out_two_sinks(
+        stream,
+        raw_writer=wap_batch_writer(raw_dir, audit=lambda d: d.count() > 0),
+        agg_writer=wap_batch_writer(agg_dir, audit=lambda d: "window_start" in d.columns),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    raw = read_published_epochs(spark, raw_dir)
+    agg = read_published_epochs(spark, agg_dir)
+    assert raw.count() == 1000  # K3 passthrough, all events published
+    batch = tumbling_rollup(raw, "ts", "1 minute", ["user_id", "event_type"])
+    assert agg.count() == batch.count()
+    assert agg.agg(F.sum("count_readings")).head()[0] == 1000
+
+
 def test_update_mode_emits_changed_windows(spark):
     """Update output mode: each micro-batch emits only windows whose
     aggregate CHANGED (Flink-style early firing) — the third output-mode
