@@ -65,6 +65,12 @@ EXTENDED = [
     # round-5 curation additions
     "fuzzy_match_documents",
     "dedup_keep_best",
+    # round-6 additions: Gopher top-n-gram rule, SCD2 history build,
+    # incremental partial-agg merge, HLL sketch-store merge
+    "top_ngram_coverage",
+    "scd2_priority_history",
+    "incremental_rollup_merge",
+    "hll_distinct_merge",
 ]
 
 
@@ -102,6 +108,11 @@ def main() -> None:
     # shuffle map stages across repetitions via same-RDD stage reuse.
     target_s = 2.0
     max_reps = 8
+    # Floor of 2 reps even for queries already past target_s on their own
+    # (r5 verdict ask #4: the multi-second dedup rows were the only
+    # 1-rep entries; two repetitions per pass removes single-execution
+    # jitter from the slowest, most variance-prone rows too).
+    min_reps = 2
 
     def measure(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
         timings: dict[str, float] = {}
@@ -111,7 +122,7 @@ def main() -> None:
             t0 = time.time()
             _materialize(spec.fn(spark, sf_dir))
             t_cal = time.time() - t0
-            reps = min(max_reps, max(1, math.ceil(target_s / max(t_cal, 0.05))))
+            reps = min(max_reps, max(min_reps, math.ceil(target_s / max(t_cal, 0.05))))
             # Measure min-of-3 at the chosen rep count; if the steady-state
             # minimum drifts below the noise floor the calibration targeted
             # (cold calibration pass >> warm passes — seen round 3 on
@@ -127,7 +138,7 @@ def main() -> None:
                     _materialize(spec.fn(spark, sf_dir))
                 best = min(best, (time.time() - t0) / reps)
                 passes += 1
-                needed = min(max_reps, math.ceil(target_s / max(best, 0.05)))
+                needed = min(max_reps, max(min_reps, math.ceil(target_s / max(best, 0.05))))
                 if needed > reps:
                     reps = needed
                     best = float("inf")

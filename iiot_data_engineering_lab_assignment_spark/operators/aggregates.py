@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ROLLUP_AGGS", "sensor_rollup", "grouped_stats"]
+__all__ = [
+    "ROLLUP_AGGS",
+    "sensor_rollup",
+    "grouped_stats",
+    "rollup_partials",
+    "merge_rollup_partials",
+]
 
 
 def ROLLUP_AGGS(value_col: str = "value") -> list[Column]:
@@ -49,6 +55,57 @@ def sensor_rollup(df: DataFrame, *group_cols: str, value_col: str = "value") -> 
     """A1+A2 without the time window: AVG/MIN/MAX/COUNT grouped by the given
     keys.  The windowed variants live in operators.windows."""
     return df.groupBy(*group_cols).agg(*ROLLUP_AGGS(value_col))
+
+
+def rollup_partials(
+    df: DataFrame, *group_cols: str, value_col: str = "value"
+) -> DataFrame:
+    """ALGEBRAIC PARTIAL STATES of the four-function rollup — what an
+    incremental pipeline persists per ingestion unit (per day, per
+    micro-batch, per backfill slice) so the running total NEVER requires
+    re-reading history: (decimal sum, min, max, count) are each mergeable
+    by a further sum/min/max/sum, unlike the finalized avg.
+
+    At 100 TB this is the difference between a nightly rollup that scans
+    one day and one that scans three years: store partials keyed by
+    (group keys x day), merge with :func:`merge_rollup_partials` at
+    query time (or incrementally).  The decimal sum keeps the merged
+    average bit-identical to a direct rollup regardless of how the data
+    was sliced — float partial sums would drift with the slicing.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.count(F.lit(1)).alias("count_readings"),
+    )
+
+
+def merge_rollup_partials(states: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Combine partial rollup states (any number of slices, any slicing)
+    into the finalized AVG/MIN/MAX/COUNT rollup over the given keys.
+    sum-of-sums / min-of-mins / max-of-maxes / sum-of-counts, then the
+    average is derived LAST from the exact decimal total — the same
+    two-phase shape Spark itself uses for partial aggregation, lifted to
+    cross-run persistence."""
+    return (
+        states.groupBy(*group_cols)
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("count_readings").alias("count_readings"),
+        )
+        .select(
+            *group_cols,
+            (F.col("sum_value").cast("double") / F.col("count_readings")).alias(
+                "avg_value"
+            ),
+            "min_value",
+            "max_value",
+            "count_readings",
+        )
+    )
 
 
 def grouped_stats(

@@ -27,6 +27,7 @@ __all__ = [
     "redact_pii",
     "winnowing_fingerprints",
     "ngram_repetition",
+    "top_ngram_coverage",
     "token_budget_shards",
 ]
 
@@ -360,6 +361,69 @@ def ngram_repetition(
         F.when(total > 0, F.round(1 - distinct / total, 6))
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
+    )
+
+
+def top_ngram_coverage(
+    docs: DataFrame,
+    n: int = 2,
+    keep_threshold: float = 0.18,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OTHER half of the Gopher repetition rule (`ngram_repetition`
+    covers duplicate-fraction): the fraction of a document's tokens
+    covered by its single most frequent word n-gram.  Boilerplate,
+    templated spam, and keyword-stuffed pages score high; Gopher drops
+    docs whose top-2-gram coverage exceeds ~0.18 (arXiv:2112.11446,
+    table A1 — the public threshold family).
+
+    Per-row, shuffle-free, no UDF: build the n-gram array, sort it, and
+    fold once over the sorted array tracking the longest run (ascending
+    order means ties resolve to the lexicographically smallest gram with
+    a strict `>` update — deterministic, SQL-reproducible).  At 100 TB
+    this is a codegen'd scan expression like the rest of the quality
+    family; the corpus never shuffles for a per-document statistic.
+
+    Output: (id, top_gram, top_count, coverage, keep) where
+    coverage = top_count * n / n_tokens and keep = coverage <= threshold.
+    Documents with fewer than ``n`` tokens have no n-gram: NULL top_gram,
+    coverage 0.0, keep true.
+    """
+    toks = tokenize(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b))
+    srt = F.array_sort(acc)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(s, x):
+        run = F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1))
+        better = run > s["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(s["best"]).alias("best"),
+            F.when(better, x).otherwise(s["bestg"]).alias("bestg"),
+        )
+
+    folded = F.aggregate(srt, zero, step)
+    n_tok = F.size(toks).cast("long")
+    coverage = F.when(
+        m > 0, F.round(folded["best"] * F.lit(n) / n_tok, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        folded["bestg"].alias("top_gram"),
+        F.when(m > 0, folded["best"]).otherwise(F.lit(0)).cast("long").alias("top_count"),
+        coverage.alias("coverage"),
+        (coverage <= F.lit(keep_threshold)).alias("keep"),
     )
 
 

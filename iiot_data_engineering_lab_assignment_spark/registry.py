@@ -135,6 +135,37 @@ def sensor_rollup_5m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_rollup_merge",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: INCREMENTAL AGGREGATION MAINTENANCE — the rollup computed
+    the way a 100 TB nightly pipeline must: per-DAY algebraic partial
+    states (decimal sum / min / max / count, each mergeable) merged into
+    the all-time total, never re-scanning history.  The oracle is the
+    DIRECT one-pass rollup over all events, so the hash check proves the
+    partial-merge path is bit-identical to full recomputation — the
+    property that lets a stored daily-partials table replace a
+    full-history scan.  The decimal partial sum is what makes the merged
+    average exact under ANY slicing; float partials would drift."""
+    from .operators.aggregates import merge_rollup_partials, rollup_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = rollup_partials(
+        ev.withColumn("day", F.to_date("ts")), "user_id", "event_type", "day"
+    )
+    return merge_rollup_partials(daily, ["user_id", "event_type"])
+
+
+@register(
     "sliding_rollup_1m_30s",
     """
     WITH buckets AS (
@@ -1473,6 +1504,56 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
         .cast("long")
         .alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "hll_distinct_merge",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merge_invariant
+    FROM events
+    GROUP BY 1
+    """,
+)
+def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: INCREMENTAL DISTINCT COUNTING — the sketch companion to
+    incremental_rollup_merge.  COUNT(DISTINCT) is the one core aggregate
+    with no algebraic partial state (a per-day distinct count cannot be
+    summed), so a 100 TB pipeline persists per-day HLL SKETCHES
+    (Datasketches binary, `hll_sketch_agg`) and answers all-time distinct
+    queries by register-wise-max union (`hll_union_agg`) — never
+    re-scanning history, mergeable across any slicing.
+
+    The oracle-checked claim: the merged-from-daily-sketches estimate is
+    IDENTICAL to the direct single-pass estimate (union is register-wise
+    max; a one-pass sketch holds the same registers — merge invariance,
+    the property that makes a sketch store sound), exported as a boolean
+    the SQL oracle asserts TRUE per group, alongside the exact distinct
+    count both engines compute.  The estimate VALUE stays engine-internal
+    (Datasketches impl detail) — accuracy vs exact is covered by
+    approx_distinct_users' rsd-bound test."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("direct_est"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return (
+        direct.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.col("merged_est") == F.col("direct_est")).alias("merge_invariant"),
+        )
     )
 
 
@@ -2898,6 +2979,126 @@ def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_repetition(docs, n=2)
+
+
+@register(
+    "top_ngram_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ), cnt AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, gram, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, gram ASC) AS rn
+      FROM cnt
+    ), nt AS (
+      SELECT doc_id, len(t) AS n_tok FROM toks
+    )
+    SELECT nt.doc_id,
+           b.gram AS top_gram,
+           CAST(COALESCE(b.c, 0) AS BIGINT) AS top_count,
+           COALESCE(ROUND(b.c * 2.0 / nt.n_tok, 6), 0.0) AS coverage,
+           COALESCE(ROUND(b.c * 2.0 / nt.n_tok, 6), 0.0) <= 0.18 AS keep
+    FROM nt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+def top_ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: the second Gopher repetition rule — fraction of tokens
+    covered by the most frequent bigram (arXiv:2112.11446 thresholds;
+    `ngram_repetition_stats` carries the duplicate-fraction rule).  The
+    Spark side computes the per-doc mode with a shuffle-free sorted-array
+    fold (ties -> lexicographically smallest gram); the oracle
+    re-derives it relationally (unnest -> count -> row_number), so the
+    tie convention and coverage arithmetic are pinned cross-engine."""
+    from .operators.text import top_ngram_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngram_coverage(docs, n=2)
+
+
+@register(
+    "scd2_priority_history",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                    OR lag(o_orderpriority) OVER w <> o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), isl AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ), spans AS (
+      SELECT o_custkey, island,
+             MIN(o_orderpriority) AS o_orderpriority,
+             MIN(o_orderdate) AS valid_from,
+             COUNT(*) AS n_orders
+      FROM isl GROUP BY o_custkey, island
+    )
+    SELECT o_custkey, o_orderpriority, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current,
+           n_orders
+    FROM spans
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY island)
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: type-2 slowly-changing-dimension build — the warehouse
+    operator the reference's JDBC layer would need the day an attribute
+    starts changing (its TimescaleDB tables only ever append).  Treats
+    each customer's order priority as a mutable attribute and derives
+    versioned history rows (valid_from / valid_to / is_current) with
+    consecutive equal values collapsed — the gaps-and-islands pattern:
+    change flag (lag) -> running change count (island id) -> per-island
+    span -> lead() for the closing edge.
+
+    Scale shape: two window functions over the same
+    (custkey, date, orderkey) ordering — AQE sees one Exchange + sort
+    reused across both; no self-join, no collect.  Island ordering uses
+    the island id (monotone in event order), so same-day attribute
+    flips remain deterministic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderpriority").over(w)
+    seq = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(prev.isNull() | (prev != F.col("o_orderpriority")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    isl = seq.withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    spans = isl.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("o_orderpriority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("island")
+    nxt = F.lead("valid_from").over(w2)
+    return spans.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_orders",
+    )
 
 
 @register(
@@ -5104,7 +5305,10 @@ DRIVER_WINDOW: list[str] = [
     # flag fix, oracle-mirrored), cosine_topk_int8, ivf_topk,
     # language_id_pred, cosine_dup_pairs_lsh, multimodal_resize, and the
     # never-checked TPC-H shapes q5/q7/q8/q10/q11/q13/q16/q19.
-    # Remaining never-checked queue for r7: q4/q15/q18/q20.
+    # Remaining never-checked queue for r7: q4/q15/q18/q20, plus the
+    # round-6 additions top_ngram_coverage / scd2_priority_history /
+    # incremental_rollup_merge and the r6 oracle upgrades
+    # multimodal_frames / approx_percentile_order_value.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.
     "json_extract_props",

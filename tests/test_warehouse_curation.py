@@ -1,0 +1,145 @@
+"""Round-6 operators: top-n-gram coverage (Gopher rule #2), SCD2
+history build (gaps-and-islands), incremental partial-aggregate merge."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.aggregates import (
+    merge_rollup_partials,
+    rollup_partials,
+    sensor_rollup,
+)
+from iiot_data_engineering_lab_assignment_spark.operators.text import top_ngram_coverage
+
+
+def test_top_ngram_coverage_known_values(spark):
+    docs = spark.createDataFrame(
+        [
+            # "a b" appears 3x in 7 tokens -> coverage 6/7
+            (1, "a b a b a b c"),
+            # all bigrams distinct -> top_count 1, coverage 2/5
+            (2, "v w x y z"),
+            # single token: no bigram at all
+            (3, "lonely"),
+            # tie between "p q" and "q p" (2 each) -> lexicographically
+            # smallest gram must win deterministically
+            (4, "p q p q p"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in top_ngram_coverage(docs, n=2).collect()}
+    assert out[1]["top_gram"] == "a b"
+    assert out[1]["top_count"] == 3
+    assert out[1]["coverage"] == round(6 / 7, 6)
+    assert out[1]["keep"] is False  # way past the 0.18 boilerplate bar
+    assert out[2]["top_count"] == 1
+    assert out[2]["coverage"] == 0.4
+    assert out[3]["top_gram"] is None
+    assert out[3]["top_count"] == 0
+    assert out[3]["coverage"] == 0.0
+    assert out[3]["keep"] is True
+    assert out[4]["top_gram"] == "p q"  # ties -> smallest gram
+    assert out[4]["top_count"] == 2
+
+
+def test_scd2_collapses_islands_and_orders_same_day_flips(spark):
+    from iiot_data_engineering_lab_assignment_spark import registry
+
+    d = datetime
+    rows = [
+        # cust 1: LOW, LOW, HIGH, LOW  -> 3 history rows (runs collapse)
+        (1, 101, "LOW", d(2024, 1, 1)),
+        (1, 102, "LOW", d(2024, 1, 5)),
+        (1, 103, "HIGH", d(2024, 2, 1)),
+        (1, 104, "LOW", d(2024, 3, 1)),
+        # cust 2: SAME-DAY flip; orderkey breaks the tie -> A then B
+        (2, 201, "A", d(2024, 1, 1)),
+        (2, 202, "B", d(2024, 1, 1)),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderpriority string, o_orderdate timestamp"
+    )
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="scd2_")
+    orders.write.parquet(f"{sf}/orders.parquet")
+    hist = registry.QUERIES["scd2_priority_history"].fn(spark, sf).collect()
+    c1 = sorted([r for r in hist if r["o_custkey"] == 1], key=lambda r: r["valid_from"])
+    assert [r["o_orderpriority"] for r in c1] == ["LOW", "HIGH", "LOW"]
+    assert [r["n_orders"] for r in c1] == [2, 1, 1]
+    assert c1[0]["valid_to"] == d(2024, 2, 1) and not c1[0]["is_current"]
+    assert c1[2]["valid_to"] is None and c1[2]["is_current"]
+    c2 = sorted([r for r in hist if r["o_custkey"] == 2], key=lambda r: r["o_orderpriority"])
+    assert [r["o_orderpriority"] for r in c2] == ["A", "B"]
+    assert c2[1]["is_current"]  # B (higher orderkey, same day) closes the history
+
+
+def test_partial_merge_equals_direct_under_any_slicing(spark, events):
+    """The incremental-maintenance contract: partials computed under an
+    ARBITRARY slicing (here: 3-way hash of the row's timestamp) merge to
+    the bit-identical direct rollup — decimal sums make the average
+    immune to slice boundaries."""
+    ev = events.withColumn("slice", F.pmod(F.xxhash64("ts"), F.lit(3)))
+    merged = merge_rollup_partials(
+        rollup_partials(ev, "user_id", "event_type", "slice"),
+        ["user_id", "event_type"],
+    )
+    direct = sensor_rollup(events, "user_id", "event_type")
+    m = {(r["user_id"], r["event_type"]): r for r in merged.collect()}
+    d = {(r["user_id"], r["event_type"]): r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["avg_value"] == d[k]["avg_value"]  # bit-identical
+        assert m[k]["min_value"] == d[k]["min_value"]
+        assert m[k]["max_value"] == d[k]["max_value"]
+        assert m[k]["count_readings"] == d[k]["count_readings"]
+
+
+def test_hll_sketch_merge_invariant_under_any_slicing(spark, events):
+    """The sketch-store contract behind hll_distinct_merge: HLL union is
+    register-wise max, so sketches built under ANY slicing merge to the
+    exact same estimate as a single pass — and the estimate is exact-ish
+    at fixture cardinalities."""
+    direct = {
+        r["event_type"]: r["est"]
+        for r in events.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
+    sliced = (
+        events.withColumn("slice", F.pmod(F.xxhash64("user_id", "ts"), F.lit(5)))
+        .groupBy("event_type", "slice")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    merged = {r["event_type"]: r["est"] for r in sliced.collect()}
+    assert merged == direct  # identical, not merely close
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(merged[k] - n) <= max(2, 0.05 * n)
+
+
+def test_partial_merge_is_incremental(spark):
+    """Yesterday's stored partials + today's new partials = updated total
+    without touching yesterday's raw rows."""
+    day1 = spark.createDataFrame(
+        [("u1", "t", 1.0), ("u1", "t", 2.0)], "user_id string, event_type string, value double"
+    )
+    day2 = spark.createDataFrame(
+        [("u1", "t", 6.0)], "user_id string, event_type string, value double"
+    )
+    p1 = rollup_partials(day1, "user_id", "event_type")
+    p2 = rollup_partials(day2, "user_id", "event_type")
+    total = merge_rollup_partials(p1.unionByName(p2), ["user_id", "event_type"]).head()
+    assert total["avg_value"] == pytest.approx(3.0)
+    assert total["min_value"] == 1.0
+    assert total["max_value"] == 6.0
+    assert total["count_readings"] == 3

@@ -79,14 +79,25 @@ def cluster_of(id_col):
 
 def synth_docs(spark, n: int):
     """~40-token docs; cluster members share a cluster-seeded base text
-    plus one member-unique token (jaccard within cluster >> 0.4)."""
+    plus one member-unique token (jaccard within cluster >> 0.4).
+
+    Token space is ~600k distinct words (30 stems x 20k hash suffixes) so
+    cross-cluster shingle collisions are rare, like a natural-language
+    corpus — a cluster-shared shingle's document frequency then equals
+    the cluster size, which is exactly what makes the df-cap's recall
+    boundary measurable: clusters larger than the cap share only
+    shingles hotter than the cap."""
     vocab = F.array(*[F.lit(w) for w in VOCAB])
     ids = spark.range(0, n, 1, 32)
     c = cluster_of("id")
     words = F.transform(
         F.sequence(F.lit(1), F.lit(40)),
-        lambda i: F.element_at(
-            vocab, (F.pmod(F.xxhash64(c, i), F.lit(len(VOCAB))) + 1).cast("int")
+        lambda i: F.concat(
+            F.element_at(
+                vocab, (F.pmod(F.xxhash64(c, i), F.lit(len(VOCAB))) + 1).cast("int")
+            ),
+            F.lit("_"),
+            F.pmod(F.xxhash64(c, i, F.lit(7)), F.lit(20_000)),
         ),
     )
     text = F.concat_ws(
