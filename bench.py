@@ -71,6 +71,7 @@ EXTENDED = [
     "scd2_priority_history",
     "incremental_rollup_merge",
     "hll_distinct_merge",
+    "snapshot_diff_orders",
 ]
 
 

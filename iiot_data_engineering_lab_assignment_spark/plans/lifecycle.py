@@ -40,6 +40,7 @@ __all__ = [
     "rollback_published",
     "publish_epoch",
     "read_published_epochs",
+    "snapshot_diff",
     "compact",
     "zorder_key",
     "write_bucketed",
@@ -358,6 +359,63 @@ def read_published_epochs(spark: SparkSession, table_dir: str) -> DataFrame:
         epochs = [ln.strip() for ln in f if ln.strip()]
     paths = [os.path.join(table_dir, "_epochs", e) for e in epochs]
     return spark.read.parquet(*paths)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level CHANGE FEED between two table snapshots — what Delta's
+    change-data-feed emits, computed engine-side for plain parquet so it
+    composes with the WAP retained versions (diff any two published
+    versions of :func:`write_audit_publish`).
+
+    Full outer join on ``key_cols``; rows classify as ``insert`` (key
+    only in new), ``delete`` (key only in old), or ``update`` (key in
+    both with any ``compare_cols`` value differing — null-safe
+    comparison, so NULL -> value and value -> NULL both count as
+    changes).  Unchanged rows are dropped.  ``compare_cols`` defaults to
+    every shared non-key column.
+
+    Output: key cols + change_type + old_<col> / new_<col> for each
+    compared column.
+
+    Scale: ONE key-partitioned shuffle join of the two snapshots; at
+    100 TB, pre-filter both sides to the partitions that could differ
+    (e.g. WAP version manifests or partition mtimes) before calling —
+    the operator itself never needs the full history, only the two
+    snapshots it is asked to compare.
+    """
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = [c for c in new.columns if c in shared and c not in key_cols]
+    # presence flags: compared columns may legitimately be NULL, so key
+    # presence needs a sentinel literal, not a column null-check
+    o = old.select(
+        *key_cols,
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [*key_cols, change_type.alias("change_type")]
+    for c in compare_cols:
+        out_cols += [F.col(f"old_{c}"), F.col(f"new_{c}")]
+    return j.select(*out_cols).filter(F.col("change_type").isNotNull())
 
 
 def apply_retention(

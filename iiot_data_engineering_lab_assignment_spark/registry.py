@@ -3102,6 +3102,58 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_orders",
+    """
+    WITH new_t AS (
+      SELECT o_orderkey, o_totalprice + 1.5 AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0 AND o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 89 = 0
+    ), j AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'update' END AS change_type,
+             o.o_totalprice AS old_o_totalprice,
+             n.o_totalprice AS new_o_totalprice
+      FROM orders o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM j WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: row-level CHANGE FEED between two table snapshots
+    (plans.lifecycle.snapshot_diff) — Delta CDF semantics computed
+    engine-side over plain parquet, composing with the WAP retained
+    versions.  The 'new' snapshot is a deterministic transform of orders
+    (keys %97 deleted, %101 price-bumped, %89 re-inserted under offset
+    keys), so the oracle rebuilds both snapshots and the full-outer
+    classification exactly: insert / delete / update with old/new values,
+    unchanged rows dropped.  One key-partitioned shuffle join."""
+    from .plans.lifecycle import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    new_t = (
+        o.filter((k % 101 == 0) & (k % 97 != 0)).select(
+            "o_orderkey", (F.col("o_totalprice") + 1.5).alias("o_totalprice")
+        )
+        .unionByName(o.filter((k % 101 != 0) & (k % 97 != 0)))
+        .unionByName(
+            o.filter(k % 89 == 0).select(
+                (k + 100000000).alias("o_orderkey"), "o_totalprice"
+            )
+        )
+    )
+    return snapshot_diff(o, new_t, ["o_orderkey"], ["o_totalprice"])
+
+
+@register(
     "funnel_signup_to_purchase",
     """
     WITH s AS (
@@ -5307,7 +5359,7 @@ DRIVER_WINDOW: list[str] = [
     # never-checked TPC-H shapes q5/q7/q8/q10/q11/q13/q16/q19.
     # Remaining never-checked queue for r7: q4/q15/q18/q20, plus the
     # round-6 additions top_ngram_coverage / scd2_priority_history /
-    # incremental_rollup_merge and the r6 oracle upgrades
+    # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders and the r6 oracle upgrades
     # multimodal_frames / approx_percentile_order_value.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.

@@ -41,6 +41,7 @@ __all__ = [
     "run_events_stream_rollup",
     "fan_out_two_sinks",
     "wap_batch_writer",
+    "stream_stream_left_range_join",
 ]
 
 
@@ -245,6 +246,38 @@ def run_stream_stream_range_join(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_stream_left_range_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval: str = "30 minutes",
+):
+    """LEFT OUTER stream-stream interval join — the semantics the inner
+    form (run_stream_stream_range_join) cannot give: a purchase with NO
+    qualifying click must still be emitted, with NULL click columns,
+    and it may only be emitted once the watermark PROVES no future click
+    can match (click_ts range fully below the click-side watermark).
+    Until that proof, the row waits in state; after it, the state is
+    evicted — same (rate x horizon) state bound as the inner join, plus
+    the delayed null emission.
+
+    Both inputs must already carry event-time columns named
+    ``purchase_ts`` / ``click_ts`` with watermarks applied; returns the
+    unstarted joined stream so callers choose the sink/trigger.  The
+    test drives it with explicit micro-batches: nulls appear only after
+    a later batch advances the watermark past the match horizon —
+    single-batch availableNow replay does NOT flush tail nulls, which is
+    correct (absence is only provable watermark-forward), and why this
+    operator is pytest-verified rather than batch-parity-oracled.
+    """
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
 
 
 def idempotent_batch_writer(base_path: str):

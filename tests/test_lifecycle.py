@@ -350,3 +350,25 @@ def test_wap_crashed_stage_never_retained_or_rolled_back_to(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no older version"):
         rollback_published(table)
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    """insert/delete/update classification; NULL<->value transitions are
+    updates (null-safe compare); unchanged rows (incl. NULL==NULL) drop."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0), (5, None)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 21.0), (3, 30.0), (5, None), (6, 60.0)],
+        "k long, v double",
+    )
+    rows = {r["k"]: r for r in snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert set(rows) == {2, 3, 4, 6}  # 1 unchanged, 5 NULL==NULL unchanged
+    assert rows[2]["change_type"] == "update" and rows[2]["new_v"] == 21.0
+    assert rows[3]["change_type"] == "update"  # NULL -> value IS a change
+    assert rows[3]["old_v"] is None and rows[3]["new_v"] == 30.0
+    assert rows[4]["change_type"] == "delete" and rows[4]["new_v"] is None
+    assert rows[6]["change_type"] == "insert" and rows[6]["old_v"] is None

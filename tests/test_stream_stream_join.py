@@ -80,3 +80,78 @@ def test_stream_stream_range_join_parity(spark):
     }
     assert got == expected
     assert len(expected) > 0
+
+
+def test_stream_stream_left_join_emits_nulls_after_watermark(spark):
+    """LEFT OUTER stream-stream interval join: a purchase with no
+    qualifying click is emitted with NULL click columns ONLY after the
+    watermark proves no future click can match; matched purchases emit
+    normally.  Driven with explicit micro-batches because absence is
+    only provable watermark-forward."""
+    from datetime import datetime, timedelta
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        stream_stream_left_range_join,
+    )
+
+    base = datetime(2024, 6, 1, 12, 0, 0)
+    psrc = tempfile.mkdtemp(prefix="ssl_p_")
+    csrc = tempfile.mkdtemp(prefix="ssl_c_")
+    pschema = "purchase_id long, user_id string, purchase_ts timestamp"
+    cschema = "click_id long, c_user_id string, click_ts timestamp"
+    p = (
+        spark.readStream.schema(pschema)
+        .parquet(psrc)
+        .withWatermark("purchase_ts", "5 seconds")
+    )
+    c = (
+        spark.readStream.schema(cschema)
+        .parquet(csrc)
+        .withWatermark("click_ts", "5 seconds")
+    )
+    joined = stream_stream_left_range_join(p, c, interval="10 minutes")
+    name = f"ssleft_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssl_ckpt_"))
+        .start()
+    )
+    try:
+        # batch 1: u1 purchase WITH a matching click 1 min earlier;
+        #          u2 purchase with NO click at all
+        spark.createDataFrame(
+            [(1, "u1", base), (2, "u2", base)], pschema
+        ).coalesce(1).write.mode("append").parquet(psrc)
+        spark.createDataFrame(
+            [(10, "u1", base - timedelta(minutes=1))], cschema
+        ).coalesce(1).write.mode("append").parquet(csrc)
+        q.processAllAvailable()
+        rows = {r["purchase_id"]: r for r in spark.table(name).collect()}
+        assert rows[1]["click_id"] == 10  # inner match emits immediately
+        assert 2 not in rows  # null NOT yet provable -> withheld
+
+        # batch 2: far-future rows on BOTH sides push both watermarks
+        # past base + 10 min horizon -> u2's null becomes provable
+        far = base + timedelta(hours=2)
+        spark.createDataFrame([(99, "zz", far)], pschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(psrc)
+        spark.createDataFrame([(98, "zz", far)], cschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(csrc)
+        q.processAllAvailable()
+        # one more empty-ish advance so the outer-null flush lands
+        spark.createDataFrame(
+            [(100, "zz", far + timedelta(minutes=1))], pschema
+        ).coalesce(1).write.mode("append").parquet(psrc)
+        q.processAllAvailable()
+        rows = {r["purchase_id"]: r for r in spark.table(name).collect()}
+        assert 2 in rows, "outer null must flush once absence is provable"
+        assert rows[2]["click_id"] is None
+        assert rows[2]["click_ts"] is None
+        assert rows[1]["click_id"] == 10  # and emitted exactly once
+        assert sum(1 for r in spark.table(name).collect() if r["purchase_id"] == 1) == 1
+    finally:
+        q.stop()
