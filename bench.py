@@ -72,6 +72,7 @@ EXTENDED = [
     "incremental_rollup_merge",
     "hll_distinct_merge",
     "snapshot_diff_orders",
+    "dedup_keep_best_lsh",
 ]
 
 

@@ -40,6 +40,7 @@ __all__ = [
     "rollback_published",
     "publish_epoch",
     "read_published_epochs",
+    "compact_epochs",
     "snapshot_diff",
     "compact",
     "zorder_key",
@@ -359,6 +360,48 @@ def read_published_epochs(spark: SparkSession, table_dir: str) -> DataFrame:
         epochs = [ln.strip() for ln in f if ln.strip()]
     paths = [os.path.join(table_dir, "_epochs", e) for e in epochs]
     return spark.read.parquet(*paths)
+
+
+def compact_epochs(
+    spark: SparkSession, table_dir: str, keep_last: int = 10
+) -> int:
+    """Compact a streaming WAP table's oldest epochs into one merged dir.
+
+    A long-running :func:`publish_epoch` sink accumulates one directory
+    per micro-batch — thousands of small files is the classic streaming
+    read-amplification failure.  This folds every committed epoch except
+    the newest ``keep_last`` into a single ``compact-<first>-<last>``
+    epoch, then atomically swaps the manifest (merged entry first, recent
+    epochs unchanged).  Readers at ANY instant see either the old
+    manifest (old dirs still on disk) or the new one (merged dir
+    complete before the swap) — the same crash-safety contract as
+    publish: a crash before the swap leaves an unreferenced merged dir
+    (invisible, re-collectable), never a partial table.  Old dirs are
+    deleted only AFTER the swap.
+
+    Returns the number of epochs folded (0 = nothing to do).
+    """
+    import os
+    import shutil
+
+    manifest_path = os.path.join(table_dir, "_EPOCHS")
+    with open(manifest_path) as f:
+        committed = [ln.strip() for ln in f if ln.strip()]
+    to_fold = committed[:-keep_last] if keep_last > 0 else committed
+    if len(to_fold) < 2:
+        return 0
+    recent = committed[len(to_fold):]
+    paths = [os.path.join(table_dir, "_epochs", e) for e in to_fold]
+    merged_name = f"compact-{to_fold[0]}-{to_fold[-1]}"
+    merged_path = os.path.join(table_dir, "_epochs", merged_name)
+    spark.read.parquet(*paths).write.mode("overwrite").parquet(merged_path)
+    tmp = os.path.join(table_dir, "_EPOCHS.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join([merged_name, *recent]) + "\n")
+    os.replace(tmp, manifest_path)  # atomic: merged view becomes current
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(to_fold)
 
 
 def snapshot_diff(

@@ -2827,6 +2827,112 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_best_lsh",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), hashes AS (
+      SELECT doc_id, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+      FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM hashes GROUP BY doc_id, seed // 4
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ), comp AS (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), q AS (
+      SELECT doc_id,
+             ROUND(LEAST(1.0, n_tok / 50.0) * 0.5
+                   + (n_dis / n_tok) * 0.3
+                   + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2,
+                   6) AS quality_score
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_dis
+            FROM documents)
+    ), ranked AS (
+      SELECT allc.doc_id, allc.component, q.quality_score,
+             row_number() OVER (PARTITION BY allc.component
+                                ORDER BY q.quality_score DESC, allc.doc_id) AS rn
+      FROM allc JOIN q ON q.doc_id = allc.doc_id
+    )
+    SELECT doc_id, component, quality_score FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: keep-best over MINHASH-LSH candidates — the PRODUCTION
+    form of the pipeline at corpus scale.  The 1M-doc power-law probe
+    (SCALE.md "Round 6") showed the df-capped Jaccard tier is blind to
+    clusters larger than the cap by construction, while banded LSH
+    candidates (df-independent) removed every planted duplicate
+    including a 1000-member cluster.  This registers that scale path
+    end to end with an exact cross-engine check: md5-substring MinHash
+    signatures -> 4-band buckets -> exact-Jaccard verification ->
+    recursive-CTE transitive closure -> quality argmax, all reproduced
+    in the oracle (composition of the minhash_lsh_pairs_md5 and
+    dedup_keep_best oracles).  The xxhash64 LSH variant stays the
+    production hash tier; candidate semantics are identical."""
+    from pyspark.sql import Window
+
+    from .operators.dedup import minhash_lsh_pairs_md5
+    from .operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_md5(docs, num_hashes=16, bands=4, n=3, threshold=0.4)
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    comp = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    q = quality_score(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        comp.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "quality_score")
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
@@ -5359,7 +5465,7 @@ DRIVER_WINDOW: list[str] = [
     # never-checked TPC-H shapes q5/q7/q8/q10/q11/q13/q16/q19.
     # Remaining never-checked queue for r7: q4/q15/q18/q20, plus the
     # round-6 additions top_ngram_coverage / scd2_priority_history /
-    # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders and the r6 oracle upgrades
+    # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders / dedup_keep_best_lsh and the r6 oracle upgrades
     # multimodal_frames / approx_percentile_order_value.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.

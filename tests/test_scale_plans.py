@@ -398,3 +398,27 @@ def test_lsh_bucket_partition_pruning(spark, tmp_path):
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
     assert "bit_count" in pf
     assert len(probed.collect()) == 5
+
+
+def test_round6_query_plan_contracts(spark):
+    """Freeze the round-6 plan shapes documented in SCALE.md: the Gopher
+    top-n-gram fold is a pure scan expression (ZERO exchanges), and the
+    SCD2 gaps-and-islands pipeline runs on ONE hash(custkey) exchange
+    reused by both window functions and the island groupBy."""
+    def executed(name):
+        df = registry.QUERIES[name].fn(spark, SF_DIR)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = executed("top_ngram_coverage")
+    assert "Exchange" not in p
+    assert "Python" not in p  # fold stays JVM-side
+
+    p = executed("scd2_priority_history")
+    assert p.count("Exchange") == 1
+    assert "SinglePartition" not in p
+
+    # snapshot diff: one shuffle per snapshot side, never a broadcast of
+    # a 100 TB snapshot and never a single-partition collapse
+    p = plan_of(spark, "snapshot_diff_orders")
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p

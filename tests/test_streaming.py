@@ -162,6 +162,39 @@ def test_wap_epoch_publish_crash_and_retry_semantics(spark, tmp_path):
     assert read_published_epochs(spark, table).count() == 150
 
 
+def test_wap_epoch_compaction_preserves_data_atomically(spark, tmp_path):
+    """compact_epochs folds old epochs into one dir without changing the
+    readable rows; the epoch count shrinks; a pre-swap crash leftover
+    (unreferenced merged dir) stays invisible."""
+    import os
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        compact_epochs,
+        publish_epoch,
+        read_published_epochs,
+    )
+
+    table = str(tmp_path / "wap_compact")
+    for b in range(6):
+        publish_epoch(spark.range(b * 10, b * 10 + 10), table, b)
+    before = {r["id"] for r in read_published_epochs(spark, table).collect()}
+    assert len(before) == 60
+
+    folded = compact_epochs(spark, table, keep_last=2)
+    assert folded == 4
+    after = {r["id"] for r in read_published_epochs(spark, table).collect()}
+    assert after == before  # same rows, fewer dirs
+    dirs = sorted(os.listdir(os.path.join(table, "_epochs")))
+    assert len(dirs) == 3  # 1 merged + 2 recent
+    assert any(d.startswith("compact-") for d in dirs)
+
+    # appending continues seamlessly after compaction
+    publish_epoch(spark.range(100, 105), table, 6)
+    assert read_published_epochs(spark, table).count() == 65
+    # nothing left to fold when fewer than 2 old epochs exist
+    assert compact_epochs(spark, table, keep_last=10) == 0
+
+
 def test_wap_fan_out_streaming(spark, tmp_path):
     """The K4 fan-out with BOTH sinks in write-audit-publish mode: the
     raw and aggregate legs each publish atomically per epoch, and the
