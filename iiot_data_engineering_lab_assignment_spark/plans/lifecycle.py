@@ -41,6 +41,7 @@ __all__ = [
     "publish_epoch",
     "read_published_epochs",
     "compact_epochs",
+    "vacuum_epochs",
     "snapshot_diff",
     "compact",
     "zorder_key",
@@ -363,7 +364,7 @@ def read_published_epochs(spark: SparkSession, table_dir: str) -> DataFrame:
 
 
 def compact_epochs(
-    spark: SparkSession, table_dir: str, keep_last: int = 10
+    spark: SparkSession, table_dir: str, keep_last: int = 10, delete_old: bool = False
 ) -> int:
     """Compact a streaming WAP table's oldest epochs into one merged dir.
 
@@ -376,8 +377,16 @@ def compact_epochs(
     manifest (old dirs still on disk) or the new one (merged dir
     complete before the swap) — the same crash-safety contract as
     publish: a crash before the swap leaves an unreferenced merged dir
-    (invisible, re-collectable), never a partial table.  Old dirs are
-    deleted only AFTER the swap.
+    (invisible, re-collectable), never a partial table.
+
+    By default the superseded dirs are LEFT on disk: a reader that
+    resolved the old manifest just before the swap can still finish its
+    scan (the Delta-VACUUM separation of logical delete from physical
+    delete).  Reclaim them later with :func:`vacuum_epochs` once no
+    reader can hold a pre-swap manifest, or pass ``delete_old=True`` to
+    delete immediately when no concurrent readers exist.  Single
+    maintenance writer assumed (same as publish_epoch's single-sink
+    contract).
 
     Returns the number of epochs folded (0 = nothing to do).
     """
@@ -399,9 +408,30 @@ def compact_epochs(
     with open(tmp, "w") as f:
         f.write("\n".join([merged_name, *recent]) + "\n")
     os.replace(tmp, manifest_path)  # atomic: merged view becomes current
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+    if delete_old:
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
     return len(to_fold)
+
+
+def vacuum_epochs(table_dir: str) -> int:
+    """Physically delete epoch dirs no longer referenced by the manifest
+    (superseded by compaction, or left by a pre-swap crash).  Run when no
+    reader can still hold an older manifest — the retention knob real
+    table formats expose as VACUUM.  Returns dirs removed."""
+    import os
+    import shutil
+
+    manifest_path = os.path.join(table_dir, "_EPOCHS")
+    with open(manifest_path) as f:
+        referenced = {ln.strip() for ln in f if ln.strip()}
+    edir = os.path.join(table_dir, "_epochs")
+    removed = 0
+    for d in sorted(os.listdir(edir)):
+        if d not in referenced:
+            shutil.rmtree(os.path.join(edir, d), ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def snapshot_diff(

@@ -183,10 +183,17 @@ def test_wap_epoch_compaction_preserves_data_atomically(spark, tmp_path):
     folded = compact_epochs(spark, table, keep_last=2)
     assert folded == 4
     after = {r["id"] for r in read_published_epochs(spark, table).collect()}
-    assert after == before  # same rows, fewer dirs
+    assert after == before  # same rows, fewer manifest entries
+    # superseded dirs retained for in-flight readers until VACUUM
+    dirs = sorted(os.listdir(os.path.join(table, "_epochs")))
+    assert len(dirs) == 7  # 1 merged + 2 recent + 4 superseded
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import vacuum_epochs
+
+    assert vacuum_epochs(table) == 4
     dirs = sorted(os.listdir(os.path.join(table, "_epochs")))
     assert len(dirs) == 3  # 1 merged + 2 recent
     assert any(d.startswith("compact-") for d in dirs)
+    assert {r["id"] for r in read_published_epochs(spark, table).collect()} == before
 
     # appending continues seamlessly after compaction
     publish_epoch(spark.range(100, 105), table, 6)
