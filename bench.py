@@ -73,6 +73,9 @@ EXTENDED = [
     "hll_distinct_merge",
     "snapshot_diff_orders",
     "dedup_keep_best_lsh",
+    "rollup_cascade_hourly",
+    "dq_rule_violations",
+    "asof_join_tolerance",
 ]
 
 

@@ -144,6 +144,7 @@ def asof_join(
     time_col: str,
     right_value_cols: list[str],
     suffix: str = "_right",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, attach the most recent right row with
     ``right.time <= left.time`` within the same key (the canonical
@@ -158,8 +159,16 @@ def asof_join(
     either side, skew-safe under AQE.  Equivalent DuckDB: ``ASOF JOIN ...
     ON l.key = r.key AND l.time >= r.time``.
 
+    ``tolerance`` (interval string, e.g. ``"15 minutes"``): maximum
+    staleness — a match older than ``left.time - tolerance`` is nulled
+    out, pandas ``merge_asof(tolerance=...)`` semantics.  Enriching a
+    reading with sensor state from six hours ago is usually worse than
+    admitting you have none; the bound costs one extra carried column
+    (the matched right time) and a CASE, no extra shuffle.
+
     Output: every left row/column plus ``<value><suffix>`` columns
-    (NULL when no right row precedes the left row).
+    (NULL when no right row precedes the left row, or none within
+    tolerance).
     """
     from pyspark.sql import Window
 
@@ -176,14 +185,32 @@ def asof_join(
         if c not in tagged_r.columns:
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = tagged_l.unionByName(tagged_r)
+    if tolerance is not None:
+        # carry the matched right row's own time forward alongside the values
+        unioned = unioned.withColumn(
+            "_rt", F.when(F.col("_tag") == 0, F.col(time_col))
+        )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(time_col).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {f"{v}{suffix}": F.last(f"{v}{suffix}", ignorenulls=True).over(w) for v in right_value_cols}
-    )
+    fills = {f"{v}{suffix}": F.last(f"{v}{suffix}", ignorenulls=True).over(w) for v in right_value_cols}
+    if tolerance is not None:
+        fills["_rt"] = F.last("_rt", ignorenulls=True).over(w)
+    filled = unioned.withColumns(fills)
+    if tolerance is not None:
+        stale = F.col("_rt").isNull() | (
+            F.col("_rt") < F.col(time_col) - F.expr(f"INTERVAL {tolerance}")
+        )
+        filled = filled.withColumns(
+            {
+                f"{v}{suffix}": F.when(stale, F.lit(None)).otherwise(
+                    F.col(f"{v}{suffix}")
+                )
+                for v in right_value_cols
+            }
+        )
     return filled.filter(F.col("_tag") == 1).select(
         *lcols, *[f"{v}{suffix}" for v in right_value_cols]
     )

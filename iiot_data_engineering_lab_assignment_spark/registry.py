@@ -135,6 +135,39 @@ def sensor_rollup_5m_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_cascade_hourly",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           user_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def rollup_cascade_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: the ROLLUP CASCADE — hourly aggregates derived from the
+    MINUTELY rollup's partial states, never from raw events (the
+    TimescaleDB continuous-aggregate hierarchy the reference's
+    1-minute sensor_aggregates table implies: 1m -> 1h -> 1d, each tier
+    re-aggregating the one below at 1/60th the input).  The oracle is
+    the direct hourly rollup over raw events, so the hash check proves
+    tier-over-tier re-aggregation is exact — the decimal partial sums
+    make the cascaded average bit-identical to the single-pass one."""
+    from .operators.aggregates import merge_rollup_partials, rollup_partials
+
+    ev = load_table(spark, sf_dir, "events")
+    minutely = ev.withColumn("w1m", F.window("ts", "1 minute").getField("start"))
+    partials = rollup_partials(minutely, "w1m", "user_id", "event_type")
+    return merge_rollup_partials(
+        partials.withColumn("window_start", F.date_trunc("hour", "w1m")),
+        ["window_start", "user_id", "event_type"],
+    )
+
+
+@register(
     "incremental_rollup_merge",
     """
     SELECT user_id, event_type,
@@ -1390,6 +1423,131 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     out = asof_join(purchases, clicks, ["user_id"], "ts", ["ts", "value"], suffix="_c")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_c").alias("click_ts"),
+        F.col("value_c").alias("click_value"),
+    )
+
+
+@register(
+    "dq_rule_violations",
+    """
+    SELECT 'value_out_of_range' AS rule,
+           CAST(COUNT(*) FILTER (value IS NOT NULL AND (value < 0.0 OR value > 200.0)) AS BIGINT) AS violations
+    FROM events
+    UNION ALL
+    SELECT 'user_id_null',
+           CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'event_type_unknown',
+           CAST(COUNT(*) FILTER (event_type IS NOT NULL AND event_type NOT IN
+             ('click', 'view', 'purchase', 'signup', 'error')) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'ts_null', CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'fk_o_custkey_missing',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    """,
+)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: declarative data-quality expectations
+    (plans.quality) — per-rule violation counts over events (range /
+    not-null / set-membership, ONE aggregate scan for all row rules)
+    plus a referential check (orders.o_custkey -> customer, key-only
+    left-anti join).  The reference pipeline's only validation is
+    Flink's drop-malformed-JSON flag; this is the lake-side expectation
+    tier that the WAP audit hook consumes (plans.quality.dq_audit)."""
+    from .plans.quality import fk_violation_count, in_range, in_set, not_null, row_rule_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    rules = [
+        in_range("value", 0.0, 200.0),
+        not_null("user_id"),
+        in_set("event_type", ["click", "view", "purchase", "signup", "error"]),
+        not_null("ts"),
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return row_rule_counts(ev, rules).unionByName(
+        fk_violation_count(orders, ["o_custkey"], customer, ["c_custkey"])
+    )
+
+
+@register(
+    "quarantine_events",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, value,
+             concat_ws(',',
+               CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 200.0)
+                    THEN 'value_out_of_range' END,
+               CASE WHEN value IS NOT NULL AND value > 300.0
+                    THEN 'value_extreme' END) AS reasons
+      FROM events
+    )
+    SELECT * FROM tagged WHERE reasons <> ''
+    """,
+)
+def quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: the quarantine split — rows violating any declared rule
+    are emitted WITH their reasons (comma-joined in rule declaration
+    order) instead of silently dropped, so bad data stays inspectable
+    and replayable after a fix.  Valid rows pass through untouched (the
+    other half of the same single scan)."""
+    from .plans.quality import quarantine
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    rules = [
+        ("value_out_of_range", F.col("value").isNotNull() & ((F.col("value") < 0.0) | (F.col("value") > 200.0))),
+        ("value_extreme", F.col("value").isNotNull() & (F.col("value") > 300.0)),
+    ]
+    _valid, invalid = quarantine(ev, rules)
+    return invalid
+
+
+@register(
+    "asof_join_tolerance",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE THEN c.ts END
+             AS click_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 15 MINUTE THEN c.value END
+             AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: as-of join with a STALENESS BOUND (pandas merge_asof
+    tolerance semantics) — the preceding click only enriches the
+    purchase if it happened within 15 minutes; older state is nulled
+    rather than silently attached.  Same one-shuffle union-trick plan
+    plus one carried column and a CASE; the oracle applies the identical
+    bound to DuckDB's native ASOF match."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        "ts",
+        ["ts", "value"],
+        suffix="_c",
+        tolerance="15 minutes",
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -5465,7 +5623,9 @@ DRIVER_WINDOW: list[str] = [
     # never-checked TPC-H shapes q5/q7/q8/q10/q11/q13/q16/q19.
     # Remaining never-checked queue for r7: q4/q15/q18/q20, plus the
     # round-6 additions top_ngram_coverage / scd2_priority_history /
-    # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders / dedup_keep_best_lsh and the r6 oracle upgrades
+    # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders /
+    # dedup_keep_best_lsh / rollup_cascade_hourly / dq_rule_violations /
+    # quarantine_events / asof_join_tolerance and the r6 oracle upgrades
     # multimodal_frames / approx_percentile_order_value.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.

@@ -143,3 +143,75 @@ def test_partial_merge_is_incremental(spark):
     assert total["min_value"] == 1.0
     assert total["max_value"] == 6.0
     assert total["count_readings"] == 3
+
+
+def test_quarantine_split_and_dq_audit_blocks_publish(spark, tmp_path):
+    """plans.quality: valid/invalid split with reasons in declaration
+    order; dq_audit wired into write_audit_publish keeps a rule-breaking
+    batch invisible while a clean batch publishes."""
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        read_published,
+        write_audit_publish,
+    )
+    from iiot_data_engineering_lab_assignment_spark.plans.quality import (
+        dq_audit,
+        in_range,
+        in_set,
+        not_null,
+        quarantine,
+        row_rule_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "b", -5.0), (4, None, 999.0), (5, "c", 50.0)],
+        "id long, k string, v double",
+    )
+    rules = [not_null("k"), in_range("v", 0.0, 100.0)]
+    valid, invalid = quarantine(df, rules)
+    assert {r["id"] for r in valid.collect()} == {1, 5}
+    inv = {r["id"]: r["reasons"] for r in invalid.collect()}
+    assert inv[2] == "k_null"
+    assert inv[3] == "v_out_of_range"
+    assert inv[4] == "k_null,v_out_of_range"  # declaration order
+
+    counts = {r["rule"]: r["violations"] for r in row_rule_counts(df, rules).collect()}
+    assert counts == {"k_null": 2, "v_out_of_range": 2}
+
+    # set-membership rule shape
+    assert in_set("k", ["a", "b"])[0] == "k_unknown"
+
+    # WAP integration: dirty batch rejected, pointer untouched
+    table = str(tmp_path / "dq_wap")
+    write_audit_publish(valid, table, audit=dq_audit(rules))
+    assert read_published(spark, table).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="audit rejected"):
+        write_audit_publish(df, table, audit=dq_audit(rules))
+    assert read_published(spark, table).count() == 2  # still the clean version
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """asof_join tolerance: a preceding match older than the bound is
+    nulled; in-bound matches and the no-tolerance path are unchanged."""
+    from datetime import datetime
+
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import asof_join
+
+    d = datetime
+    left = spark.createDataFrame(
+        [(1, "u", d(2024, 1, 1, 12, 0)), (2, "u", d(2024, 1, 1, 18, 0))],
+        "id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", d(2024, 1, 1, 11, 50), 7.0)],
+        "user_id string, ts timestamp, v double",
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["v"], tolerance="15 minutes")
+    rows = {r["id"]: r["v_right"] for r in out.collect()}
+    assert rows[1] == 7.0  # 10 min old: within tolerance
+    assert rows[2] is None  # 6h10m old: stale, nulled
+    # without tolerance the stale match still attaches (old behavior)
+    out2 = asof_join(left, right, ["user_id"], "ts", ["v"])
+    rows2 = {r["id"]: r["v_right"] for r in out2.collect()}
+    assert rows2[1] == 7.0 and rows2[2] == 7.0
