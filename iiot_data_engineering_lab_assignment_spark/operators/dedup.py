@@ -40,6 +40,7 @@ __all__ = [
     "simhash_pairs",
     "connected_components",
     "assign_canonical",
+    "keep_best",
 ]
 
 
@@ -703,6 +704,43 @@ def assign_canonical(
         docs.join(cc.select(F.col("node").alias(id_col), "comp"), id_col, "left")
         .withColumn("canonical_id", F.coalesce("comp", F.col(id_col)))
         .drop("comp")
+    )
+
+
+def keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    cc_stats: dict | None = None,
+) -> DataFrame:
+    """The keep-best selection stage shared by every candidate tier
+    (capped Jaccard, MinHash-LSH, ...): transitively close the near-dup
+    ``pairs`` (connected components), give singletons their own
+    component, score quality, and keep the HIGHEST-QUALITY member per
+    component (``id_col`` tiebreak).  One row_number window over the
+    component key.  Output: (doc_id, component, quality_score) of the
+    kept documents."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    cc = connected_components(pairs, stats=cc_stats).select(
+        F.col("node").alias(id_col), F.col("comp").alias("component")
+    )
+    comp = (
+        docs.select(id_col)
+        .join(cc, id_col, "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    q = quality_score(docs).select(id_col, "quality_score")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_score"), F.asc(id_col)
+    )
+    return (
+        comp.join(q, id_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "component", "quality_score")
     )
 
 

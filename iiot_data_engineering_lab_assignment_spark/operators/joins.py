@@ -153,8 +153,10 @@ def asof_join(
     Implementation is the scalable union trick rather than a range join:
     tag both sides, union, sort within key by (time, tag) — right rows
     sort before left rows at equal timestamps, matching ASOF's inclusive
-    bound — and carry the last non-null right values forward with
-    ``last(..., ignorenulls=True)``.  Cost: ONE shuffle of |L|+|R| rows on
+    bound — and carry the last right ROW forward as one struct with
+    ``last(struct, ignorenulls=True)`` (row-level, so a newer right row
+    with NULL values correctly shadows older values, matching ASOF
+    row-match semantics).  Cost: ONE shuffle of |L|+|R| rows on
     the key + a per-partition sort — no range-explosion, no broadcast of
     either side, skew-safe under AQE.  Equivalent DuckDB: ``ASOF JOIN ...
     ON l.key = r.key AND l.time >= r.time``.
@@ -173,44 +175,43 @@ def asof_join(
     from pyspark.sql import Window
 
     lcols = left.columns
-    tagged_l = left.withColumn("_tag", F.lit(1))
-    for v in right_value_cols:
-        tagged_l = tagged_l.withColumn(f"{v}{suffix}", F.lit(None).cast(dict(right.dtypes)[v]))
+    # Carry the matched row as ONE struct (its own time + all values):
+    # last(ignorenulls) over the struct takes the NEWEST preceding right
+    # ROW — its values attach even when some are NULL, exactly DuckDB
+    # ASOF semantics.  Per-column last-non-null would instead reach past
+    # a newer NULL-valued row to an older value (review finding r6).
+    tagged_l = left.withColumn("_tag", F.lit(1)).withColumn(
+        "_match",
+        F.lit(None).cast(
+            f"struct<_rt:timestamp,{','.join(f'{v}:{dict(right.dtypes)[v]}' for v in right_value_cols)}>"
+        ),
+    )
     tagged_r = right.select(
         *key_cols,
         time_col,
-        *[F.col(v).alias(f"{v}{suffix}") for v in right_value_cols],
+        F.struct(
+            F.col(time_col).cast("timestamp").alias("_rt"),
+            *[F.col(v) for v in right_value_cols],
+        ).alias("_match"),
     ).withColumn("_tag", F.lit(0))
     for c in lcols:
         if c not in tagged_r.columns:
             tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = tagged_l.unionByName(tagged_r)
-    if tolerance is not None:
-        # carry the matched right row's own time forward alongside the values
-        unioned = unioned.withColumn(
-            "_rt", F.when(F.col("_tag") == 0, F.col(time_col))
-        )
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col(time_col).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    fills = {f"{v}{suffix}": F.last(f"{v}{suffix}", ignorenulls=True).over(w) for v in right_value_cols}
+    filled = unioned.withColumn("_match", F.last("_match", ignorenulls=True).over(w))
     if tolerance is not None:
-        fills["_rt"] = F.last("_rt", ignorenulls=True).over(w)
-    filled = unioned.withColumns(fills)
-    if tolerance is not None:
-        stale = F.col("_rt").isNull() | (
-            F.col("_rt") < F.col(time_col) - F.expr(f"INTERVAL {tolerance}")
+        stale = F.col("_match").isNull() | (
+            F.col("_match")["_rt"] < F.col(time_col) - F.expr(f"INTERVAL {tolerance}")
         )
-        filled = filled.withColumns(
-            {
-                f"{v}{suffix}": F.when(stale, F.lit(None)).otherwise(
-                    F.col(f"{v}{suffix}")
-                )
-                for v in right_value_cols
-            }
+        filled = filled.withColumn(
+            "_match", F.when(stale, F.lit(None)).otherwise(F.col("_match"))
         )
     return filled.filter(F.col("_tag") == 1).select(
-        *lcols, *[f"{v}{suffix}" for v in right_value_cols]
+        *lcols,
+        *[F.col("_match")[v].alias(f"{v}{suffix}") for v in right_value_cols],
     )

@@ -196,19 +196,26 @@ def write_audit_publish(
     spark = df.sparkSession
     vdir = os.path.join(table_dir, "_versions")
     os.makedirs(vdir, exist_ok=True)
-    # Reclaim crashed stages first: any version dir without a _COMMITTED
-    # marker was never published (the marker is written before the pointer
-    # swap), so it is invisible to readers and safe to delete.  The
-    # current pointer target is spared regardless, for tables published
-    # before markers existed.
+    # Reclaim crashed stages first: a crashed stage is an UNMARKED dir
+    # NEWER than the current pointer (staging always takes a number past
+    # every existing dir, and the marker lands before the pointer swap).
+    # Unmarked dirs at or below the pointer are legacy versions published
+    # before markers existed — fully audited then, so they stay valid
+    # snapshots and rollback targets (migration rule; review finding r6:
+    # deleting them would destroy good pre-upgrade snapshots).
     current = _wap_current(table_dir)
     for d in sorted(os.listdir(vdir)):
-        if d.startswith("v") and d != current and not _wap_committed(vdir, d):
+        if (
+            d.startswith("v")
+            and (current is None or d > current)
+            and not _wap_committed(vdir, d)
+        ):
             shutil.rmtree(os.path.join(vdir, d), ignore_errors=True)
     existing = sorted(
         d
         for d in os.listdir(vdir)
-        if d.startswith("v") and (d == current or _wap_committed(vdir, d))
+        if d.startswith("v")
+        and (_wap_committed(vdir, d) or (current is not None and d <= current))
     )
     n = 1 + (int(existing[-1][1:]) if existing else 0)
     version = f"v{n:08d}"
@@ -272,19 +279,18 @@ def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
 
 def rollback_published(table_dir: str) -> str:
     """Point the WAP table back at the newest RETAINED COMMITTED version
-    older than the current one (one-step rollback).  Uncommitted dirs
-    (hard-crash leftovers without a ``_COMMITTED`` marker) are never
-    rollback targets — they may hold partial data.  Returns the new
-    current."""
+    older than the current one (one-step rollback).  Crash leftovers are
+    never rollback targets — they may hold partial data; a crashed stage
+    is always NEWER than the pointer, so unmarked dirs below the pointer
+    are legacy pre-marker versions and remain valid targets.  Returns
+    the new current."""
     import os
 
     with open(os.path.join(table_dir, "_CURRENT")) as f:
         current = f.read().strip()
     vdir = os.path.join(table_dir, "_versions")
     older = sorted(
-        d
-        for d in os.listdir(vdir)
-        if d.startswith("v") and d < current and _wap_committed(vdir, d)
+        d for d in os.listdir(vdir) if d.startswith("v") and d < current
     )
     if not older:
         raise ValueError(f"no older version than {current} retained to roll back to")
@@ -334,7 +340,10 @@ def publish_epoch(df: DataFrame, table_dir: str, batch_id: int, audit=None) -> b
         with open(manifest_path) as f:
             committed = [ln.strip() for ln in f if ln.strip()]
     epoch = f"batch-{batch_id:08d}"
-    if epoch in committed:
+    if epoch in committed or epoch in _compacted_epochs(table_dir):
+        # already visible — either directly in the manifest or folded into
+        # a compacted dir (the _COMPACTED ledger survives compaction, so a
+        # replay from an old checkpoint cannot re-publish folded batches)
         return False
     staged = os.path.join(table_dir, "_epochs", epoch)
     df.write.mode("overwrite").parquet(staged)
@@ -346,6 +355,19 @@ def publish_epoch(df: DataFrame, table_dir: str, batch_id: int, audit=None) -> b
         f.write("\n".join([*committed, epoch]) + "\n")
     os.replace(tmp, manifest_path)  # atomic epoch publication
     return True
+
+
+def _compacted_epochs(table_dir: str) -> set[str]:
+    """Epoch names folded into compacted dirs (the ledger compact_epochs
+    maintains) — still 'committed' for publish_epoch's skip check even
+    though the manifest no longer lists them individually."""
+    import os
+
+    ledger = os.path.join(table_dir, "_COMPACTED")
+    if not os.path.exists(ledger):
+        return set()
+    with open(ledger) as f:
+        return {ln.strip() for ln in f if ln.strip()}
 
 
 def read_published_epochs(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -404,6 +426,18 @@ def compact_epochs(
     merged_name = f"compact-{to_fold[0]}-{to_fold[-1]}"
     merged_path = os.path.join(table_dir, "_epochs", merged_name)
     spark.read.parquet(*paths).write.mode("overwrite").parquet(merged_path)
+    # Record the folded batch names in the _COMPACTED ledger BEFORE the
+    # manifest swap (review finding r6): publish_epoch's already-committed
+    # check consults this ledger, so a replay from an old checkpoint
+    # cannot re-publish a folded batch and duplicate its rows.  Crash
+    # between ledger write and swap is safe: the folded names are still
+    # in the manifest, so the skip check holds either way.
+    ledger = os.path.join(table_dir, "_COMPACTED")
+    prior = sorted(_compacted_epochs(table_dir) | {e for e in to_fold if not e.startswith("compact-")})
+    tmp = os.path.join(table_dir, "_COMPACTED.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(prior) + "\n")
+    os.replace(tmp, ledger)
     tmp = os.path.join(table_dir, "_EPOCHS.tmp")
     with open(tmp, "w") as f:
         f.write("\n".join([merged_name, *recent]) + "\n")

@@ -94,15 +94,19 @@ def fk_violation_count(
 ) -> DataFrame:
     """Referential check: rows in ``child`` whose key has no match in
     ``parent`` — a left-anti join carrying only the key columns into the
-    shuffle.  Returns a 1-row (rule, violations) frame unioning into
-    row_rule_counts output."""
+    shuffle.  Returns a LAZY 1-row (rule, violations) plan (review
+    finding r6: an eager count here would run a blocking job at
+    query-construction time and hide the join from plan audits)."""
     p = parent.select(
         *[F.col(c).alias(k) for c, k in zip(parent_keys, key_cols)]
     ).distinct()
-    n = child.select(*key_cols).join(p, key_cols, "left_anti").count()
     rule = f"fk_{'_'.join(key_cols)}_missing"
-    spark = child.sparkSession
-    return spark.createDataFrame([(rule, n)], "rule string, violations long")
+    return (
+        child.select(*key_cols)
+        .join(p, key_cols, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+        .select(F.lit(rule).alias("rule"), "violations")
+    )
 
 
 def dq_audit(rules: list[tuple[str, Column]], max_violations: int = 0):

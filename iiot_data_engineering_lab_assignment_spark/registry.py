@@ -2958,30 +2958,11 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate stage is df-capped (<= 50, oracle-mirrored) so the whole
     keep-best pipeline stays linear in corpus size — see
     near_dup_clusters and operators/dedup.py:119 for the rationale."""
-    from pyspark.sql import Window
-
-    from .operators.text import quality_score
+    from .operators.dedup import keep_best
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, n=3, threshold=0.4, max_shingle_df=50)
-    cc = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("component")
-    )
-    comp = (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
-    )
-    q = quality_score(docs).select("doc_id", "quality_score")
-    w = Window.partitionBy("component").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    return (
-        comp.join(q, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "component", "quality_score")
-    )
+    return keep_best(docs, pairs)
 
 
 @register(
@@ -3063,31 +3044,11 @@ def dedup_keep_best_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle (composition of the minhash_lsh_pairs_md5 and
     dedup_keep_best oracles).  The xxhash64 LSH variant stays the
     production hash tier; candidate semantics are identical."""
-    from pyspark.sql import Window
-
-    from .operators.dedup import minhash_lsh_pairs_md5
-    from .operators.text import quality_score
+    from .operators.dedup import keep_best, minhash_lsh_pairs_md5
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs_md5(docs, num_hashes=16, bands=4, n=3, threshold=0.4)
-    cc = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("component")
-    )
-    comp = (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
-    )
-    q = quality_score(docs).select("doc_id", "quality_score")
-    w = Window.partitionBy("component").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    return (
-        comp.join(q, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "component", "quality_score")
-    )
+    return keep_best(docs, pairs)
 
 
 @register(
@@ -5614,7 +5575,7 @@ DRIVER_WINDOW: list[str] = [
     # cohort_weekly_retention / decontaminate_eval_overlap (3-4x green,
     # families keep text_stats, dedup_exact, gapfill_interpolate, funnel,
     # and the capped posting-list block).  Every evicted query stays in
-    # tools/check_oracles.py's full 145-query gate.
+    # tools/check_oracles.py's full 155-query gate.
     #
     # In (all first-time driver checks): fuzzy_match_documents,
     # dedup_keep_best + near_dup_clusters' NEW capped form (the r5 scale

@@ -359,8 +359,22 @@ def fan_out_two_sinks(
     import inspect
 
     def _call(writer, df: DataFrame, batch_id: int) -> None:
+        # Forward batch_id only to writers that genuinely take it: two
+        # REQUIRED positional params, or a second param literally named
+        # batch_id.  A one-arg writer with an optional second param
+        # (e.g. lambda df, mode="append": ...) must NOT receive batch_id
+        # as that param (review finding r6).
         try:
-            two_arg = len(inspect.signature(writer).parameters) >= 2
+            params = [
+                p
+                for p in inspect.signature(writer).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            ]
+            two_arg = (
+                sum(1 for p in params if p.default is p.empty) >= 2
+                or (len(params) >= 2 and params[1].name == "batch_id")
+            )
         except (TypeError, ValueError):  # builtins / C callables
             two_arg = False
         writer(df, batch_id) if two_arg else writer(df)

@@ -344,12 +344,38 @@ def test_wap_crashed_stage_never_retained_or_rolled_back_to(spark, tmp_path):
     assert rollback_published(table) == v1
     assert read_published(spark, table).count() == 100
 
-    # rollback never targets an uncommitted leftover even if one appears
-    os.makedirs(os.path.join(vdir, "v00000000"), exist_ok=True)
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="no older version"):
-        rollback_published(table)
+def test_wap_premarker_versions_survive_upgrade(spark, tmp_path):
+    """Migration rule (review finding r6): versions published BEFORE the
+    _COMMITTED marker existed carry no marker but were fully audited.
+    A crashed stage is always NEWER than the pointer, so unmarked dirs
+    at/below the pointer must be kept as snapshots and remain rollback
+    targets; only unmarked dirs ABOVE the pointer are reclaimed."""
+    import os
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        read_published,
+        rollback_published,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_legacy")
+    vdir = os.path.join(table, "_versions")
+    # build a pre-marker table by stripping the markers the new code wrote
+    v1 = write_audit_publish(spark.range(0, 100), table, keep_versions=3)
+    v2 = write_audit_publish(spark.range(0, 50), table, keep_versions=3)
+    for v in (v1, v2):
+        os.remove(os.path.join(vdir, v, "_COMMITTED"))
+    # plus a genuine crashed stage ABOVE the pointer
+    spark.range(0, 3).write.parquet(os.path.join(vdir, "v00000003"))
+
+    v3 = write_audit_publish(spark.range(0, 7), table, keep_versions=3)
+    retained = sorted(d for d in os.listdir(vdir) if d.startswith("v"))
+    assert retained == [v1, v2, v3]  # legacy kept, crashed v3-stage replaced
+    assert read_published(spark, table).count() == 7
+    # one-step rollback still works onto the unmarked legacy version
+    assert rollback_published(table) == v2
+    assert read_published(spark, table).count() == 50
 
 
 def test_snapshot_diff_classification_and_null_safety(spark):

@@ -201,6 +201,19 @@ def test_wap_epoch_compaction_preserves_data_atomically(spark, tmp_path):
     # nothing left to fold when fewer than 2 old epochs exist
     assert compact_epochs(spark, table, keep_last=10) == 0
 
+    # review finding r6: a replay of a FOLDED batch (restart from an old
+    # checkpoint) must still skip — the _COMPACTED ledger remembers the
+    # batch ids the manifest no longer lists individually
+    assert publish_epoch(spark.range(0, 10), table, 0) is False
+    assert publish_epoch(spark.range(30, 40), table, 3) is False
+    assert read_published_epochs(spark, table).count() == 65  # no dupes
+    # and a re-compaction folds the compact dir + newer epochs cleanly
+    publish_epoch(spark.range(200, 203), table, 7)
+    # manifest: [compact-0-3, batch-4, batch-5, batch-6, batch-7]
+    assert compact_epochs(spark, table, keep_last=1) == 4
+    assert read_published_epochs(spark, table).count() == 68
+    assert publish_epoch(spark.range(100, 105), table, 6) is False  # still skips
+
 
 def test_wap_fan_out_streaming(spark, tmp_path):
     """The K4 fan-out with BOTH sinks in write-audit-publish mode: the

@@ -215,3 +215,29 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     out2 = asof_join(left, right, ["user_id"], "ts", ["v"])
     rows2 = {r["id"]: r["v_right"] for r in out2.collect()}
     assert rows2[1] == 7.0 and rows2[2] == 7.0
+
+
+def test_asof_join_null_valued_newer_row_shadows_older_value(spark):
+    """Review finding r6: ASOF matches the newest preceding ROW — if that
+    row's value is NULL, the output is NULL (row semantics), not the
+    older non-null value; and tolerance judges staleness by that same
+    matched row."""
+    from datetime import datetime
+
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import asof_join
+
+    d = datetime
+    left = spark.createDataFrame(
+        [(1, "u", d(2024, 1, 1, 12, 0))], "id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", d(2024, 1, 1, 10, 0), 5.0), ("u", d(2024, 1, 1, 11, 59), None)],
+        "user_id string, ts timestamp, v double",
+    )
+    # newest preceding row (11:59) has v=NULL -> NULL attaches, matching
+    # DuckDB ASOF row-match semantics (not the 2h-old 5.0)
+    out = asof_join(left, right, ["user_id"], "ts", ["v"])
+    assert out.head()["v_right"] is None
+    # tolerance path: the matched row IS within 15 min, value stays NULL
+    out_t = asof_join(left, right, ["user_id"], "ts", ["v"], tolerance="15 minutes")
+    assert out_t.head()["v_right"] is None

@@ -29,15 +29,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from iiot_data_engineering_lab_assignment_spark.operators.dedup import (  # noqa: E402
     connected_components,
     jaccard_pairs,
+    keep_best,
     minhash_lsh_pairs,
 )
-from iiot_data_engineering_lab_assignment_spark.operators.text import quality_score  # noqa: E402
 from iiot_data_engineering_lab_assignment_spark.session import get_spark  # noqa: E402
 
 VOCAB = [
@@ -108,25 +107,6 @@ def synth_docs(spark, n: int):
     )
 
 
-def keep_best(docs, pairs, stats):
-    cc = connected_components(pairs, stats=stats).select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("component")
-    )
-    comp = (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
-    )
-    q = quality_score(docs).select("doc_id", "quality_score")
-    w = Window.partitionBy("component").orderBy(F.desc("quality_score"), F.asc("doc_id"))
-    return (
-        comp.join(q, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "component")
-    )
-
-
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     spark = get_spark("keepbest-probe")
@@ -145,7 +125,7 @@ def main() -> None:
     # invisible to this tier (measured recall boundary, by design)
     t0 = time.time()
     stats_a: dict = {}
-    kept_a = keep_best(docs, cand, stats_a)
+    kept_a = keep_best(docs, cand, cc_stats=stats_a)
     out["keepbest_capped_kept"] = kept_a.count()
     out["keepbest_capped_sec"] = round(time.time() - t0, 2)
     out["keepbest_capped_cc_rounds"] = stats_a.get("rounds")
@@ -158,7 +138,7 @@ def main() -> None:
     out["lsh_sec"] = round(time.time() - t0, 2)
     t0 = time.time()
     stats_b: dict = {}
-    kept_b = keep_best(docs, lsh, stats_b)
+    kept_b = keep_best(docs, lsh, cc_stats=stats_b)
     out["keepbest_lsh_kept"] = kept_b.count()
     out["keepbest_lsh_sec"] = round(time.time() - t0, 2)
     out["keepbest_lsh_cc_rounds"] = stats_b.get("rounds")
