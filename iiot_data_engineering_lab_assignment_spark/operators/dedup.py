@@ -20,7 +20,7 @@ groupBy, join) — distributed end-to-end, no driver-side pair loops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokenize
@@ -41,6 +41,7 @@ __all__ = [
     "connected_components",
     "assign_canonical",
     "keep_best",
+    "duplicated_span_coverage",
 ]
 
 
@@ -772,4 +773,84 @@ def decontaminate(
         ce.join(F.broadcast(ee), "shingle")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    drop_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring-dedup signal (Lee et al.,
+    arXiv:2107.06499, at word n-gram granularity): per document, the
+    fraction of tokens covered by at least one word n-gram that also
+    occurs in >= `min_docs` distinct documents.  Complements the
+    intra-document Gopher repetition rules (`ngram_repetition`,
+    `top_ngram_coverage`): those see boilerplate WITHIN a doc, this sees
+    text copied BETWEEN docs even when the docs as wholes are not
+    near-duplicates (so MinHash/Jaccard doc-pair dedup misses them).
+
+    Scale shape (everything linear in corpus size — no pair generation):
+
+    * positional postings (doc, start, md5(gram)) — gram text is hashed
+      to 16 bytes BEFORE any shuffle, the raw text never moves;
+    * doc-frequency per gram via hash aggregation (map-side partial);
+    * postings semi-join the duplicated-gram set on the 16-byte key
+      (sort-merge at worst; AQE broadcasts when the dup set is small);
+    * covered-token counting via INTERVAL UNION under one doc-keyed
+      window (running max of span end), NOT by exploding the n positions
+      of every span — overlapping spans cost one row each, so the
+      shuffle volume is O(#duplicated spans), independent of n.
+    """
+    toks = tokenize(text_col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for k in range(2, n + 1):
+        acc = F.zip_with(acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b))
+    post = docs.select(
+        F.col(id_col), F.posexplode(acc).alias("pos0", "gram")
+    ).select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("s"),
+        F.md5("gram").alias("gram_h"),
+    )
+    dup = (
+        post.groupBy("gram_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gram_h")
+    )
+    iv = post.join(dup, "gram_h", "left_semi").select(
+        F.col(id_col), F.col("s"), (F.col("s") + (n - 1)).alias("e")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        iv.withColumn("pme", F.max("e").over(w))
+        .select(
+            F.col(id_col),
+            F.greatest(
+                F.lit(0),
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce(F.col("pme"), F.lit(0)) + 1)
+                + 1,
+            ).alias("contrib"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("covered_tokens"))
+    )
+    nt = docs.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    cov = F.round(F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6)
+    return nt.join(covered, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias("covered_tokens"),
+        cov.alias("dup_coverage"),
+        (cov < F.lit(drop_threshold)).alias("keep"),
     )

@@ -3179,6 +3179,57 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_span_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), post AS (
+      SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r
+    ), dup AS (
+      SELECT g FROM post GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), iv AS (
+      SELECT doc_id, i AS s, i + 4 AS e
+      FROM post WHERE g IN (SELECT g FROM dup)
+    ), u AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pme
+      FROM iv
+    ), cov AS (
+      SELECT doc_id,
+             SUM(GREATEST(0, e - GREATEST(s, COALESCE(pme, 0) + 1) + 1))
+               AS covered
+      FROM u GROUP BY doc_id
+    ), nt AS (
+      SELECT doc_id, len(t) AS n_tok FROM toks
+    )
+    SELECT nt.doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(COALESCE(covered, 0) * 1.0 / n_tok, 6) AS dup_coverage,
+           ROUND(COALESCE(covered, 0) * 1.0 / n_tok, 6) < 0.5 AS keep
+    FROM nt LEFT JOIN cov ON nt.doc_id = cov.doc_id
+    """,
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: cross-document exact-substring-dedup signal (Lee et al.,
+    arXiv:2107.06499) — per doc, the token fraction covered by word
+    5-grams occurring in >= 2 distinct documents.  Fills the gap between
+    the intra-doc Gopher rules (ngram_repetition_stats,
+    top_ngram_coverage) and the whole-doc near-dup tiers (MinHash /
+    Jaccard): copied passages inside otherwise-distinct docs.  The Spark
+    plan shuffles 16-byte md5 gram keys (never text) and counts covered
+    tokens by interval union under one doc-keyed window — no position
+    explosion; the oracle re-derives the identical union relationally."""
+    from .operators.dedup import duplicated_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(docs, n=5)
+
+
+@register(
     "ngram_repetition_stats",
     """
     WITH toks AS (

@@ -519,3 +519,35 @@ def test_containment_catches_inclusion_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}
     jac = jaccard_pairs(docs, threshold=0.2).collect()
     assert jac == []  # symmetric dedup would keep both copies
+
+
+def test_dup_span_coverage_interval_union(spark):
+    """Cross-doc duplicated-span coverage: a span copied between two
+    otherwise-distinct docs is counted via interval UNION (overlapping
+    5-gram windows cover each token once), docs with no shared 5-gram
+    get coverage 0, and a whole-doc copy reaches coverage 1.0."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))  # 8-token copied passage
+    a = shared + " " + " ".join(f"a{i}" for i in range(12))  # 20 tokens
+    b = " ".join(f"b{i}" for i in range(12)) + " " + shared  # 20 tokens
+    c = " ".join(f"c{i}" for i in range(10))  # unique, 10 tokens
+    d = " ".join(f"d{i}" for i in range(6))  # 6 tokens, copied whole
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d), (5, d)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in duplicated_span_coverage(docs, n=5, drop_threshold=0.5).collect()
+    }
+    # The 8-token passage yields 4 overlapping 5-gram spans; union = 8.
+    assert rows[1]["covered_tokens"] == 8 and rows[1]["n_tokens"] == 20
+    assert rows[2]["covered_tokens"] == 8
+    assert rows[1]["dup_coverage"] == 0.4 and rows[1]["keep"]
+    assert rows[3]["covered_tokens"] == 0 and rows[3]["keep"]
+    # Whole-doc copies: every token covered, flagged for drop.
+    for i in (4, 5):
+        assert rows[i]["covered_tokens"] == 6
+        assert rows[i]["dup_coverage"] == 1.0 and not rows[i]["keep"]
