@@ -1096,6 +1096,59 @@ def quality_filter_en_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_prune_by_source",
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             ROUND(LEAST(1.0, n_tok / 50.0) * 0.5
+                   + (n_dis / n_tok) * 0.3
+                   + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2,
+                   6) AS quality_score
+      FROM (SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_dis
+            FROM documents)
+    ), r AS (
+      SELECT doc_id, source, quality_score,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality_score, doc_id) AS pr
+      FROM q
+    )
+    SELECT doc_id, source, quality_score, ROUND(pr, 6) AS q_rank
+    FROM r WHERE pr >= 0.4
+    """,
+)
+def quality_prune_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: per-source QUANTILE pruning — keep the top 60% of each
+    source by quality score, the relative-threshold form of corpus
+    pruning.  An absolute cutoff (quality_filter_en's >= 0.5) removes
+    wildly different fractions of heterogeneous sources (a clean-prose
+    source loses nothing, a noisy crawl loses most of itself); ranking
+    WITHIN the source prunes each stream proportionally, which is how
+    mixture-balanced pipelines apply quality filters.  One window over
+    the source key (single shuffle, no UDF); percent_rank's
+    (rank-1)/(n-1) is exact integer-derived double arithmetic, so the
+    kept set and q_rank match DuckDB bit-for-bit under the shared
+    (quality_score, doc_id) tiebreak."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs)
+    w = W.partitionBy("source").orderBy("quality_score", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        q.select("doc_id", "source", "quality_score", pr.alias("pr"))
+        .filter(F.col("pr") >= 0.4)
+        .select(
+            "doc_id",
+            "source",
+            "quality_score",
+            F.round("pr", 6).alias("q_rank"),
+        )
+    )
+
+
+@register(
     "doc_fingerprint",
     """
     SELECT doc_id,
@@ -5395,6 +5448,83 @@ def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), cold AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+    ), shc AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ), reach(node, comp) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON r.node = e.b
+    ), comp AS (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM allc
+    )
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: LEAKAGE-SAFE train/val/test split — the hash split keyed
+    by the near-dup COMPONENT instead of the doc_id, so a document and
+    its near-duplicates always land in the same split.  A plain per-doc
+    hash split leaks: with an 80/10/10 split, a train/test straddle
+    happens for ~32% of duplicated pairs, silently inflating eval
+    scores.  Composition of already-oracle-checked stages (df-capped
+    3-gram Jaccard pairs -> pointer-jumping connected components ->
+    md5-keyed deterministic split on the component label); the oracle
+    re-derives the closure with a recursive CTE and the identical
+    52-bit md5 U[0,1) arithmetic.  Same idempotence contract as
+    train_val_test_split: membership depends only on (salt, component),
+    stable under retries and corpus growth."""
+    from .operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.4, max_shingle_df=50)
+    cc = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    allc = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(F.col("doc_id"), F.coalesce("comp", "doc_id").alias("component"))
+    )
+    return train_val_test_split(allc, key_col="component").select(
+        "doc_id", "component", "split"
+    )
+
+
+@register(
     "stratified_sample_by_lang",
     """
     SELECT doc_id, lang, source
@@ -5637,8 +5767,10 @@ DRIVER_WINDOW: list[str] = [
     # round-6 additions top_ngram_coverage / scd2_priority_history /
     # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders /
     # dedup_keep_best_lsh / rollup_cascade_hourly / dq_rule_violations /
-    # quarantine_events / asof_join_tolerance and the r6 oracle upgrades
-    # multimodal_frames / approx_percentile_order_value.
+    # quarantine_events / asof_join_tolerance, the r6 oracle upgrades
+    # multimodal_frames / approx_percentile_order_value, and the late-r6
+    # curation additions dup_span_coverage / leakage_safe_split /
+    # quality_prune_by_source.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.
     "json_extract_props",

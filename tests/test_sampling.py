@@ -138,3 +138,49 @@ def test_split_is_streaming_safe_and_batch_parity(spark, tmp_path):
         ).select("doc_id", "split").collect()
     }
     assert got == want and len(got) == 300
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every near-dup component lands wholly inside one split — the
+    property a per-doc hash split does not have.  Checked on the fixture
+    corpus: the registry query's (doc_id -> component, split) assignment
+    is constant within each component, and multi-doc components exist so
+    the check is not vacuous."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["leakage_safe_split"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], set()).add(r["split"])
+    assert len(rows) == 500
+    assert any(
+        len([r for r in rows if r["component"] == c]) > 1 for c in by_comp
+    ), "fixture must contain multi-doc near-dup components"
+    assert all(len(s) == 1 for s in by_comp.values())
+
+
+def test_quality_prune_by_source_keeps_top_fraction(spark):
+    """Per-source quantile pruning: within every source the kept set is
+    exactly the percent_rank >= 0.4 suffix — no kept doc scores below a
+    dropped doc of the same source (under the doc_id tiebreak), and each
+    source retains ~60% of its docs."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import quality_score
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    kept = QUERIES["quality_prune_by_source"].fn(spark, sf).collect()
+    full = quality_score(load_table(spark, sf, "documents")).select(
+        "doc_id", "source", "quality_score"
+    ).collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    by_src = {}
+    for r in full:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda r: (r["quality_score"], r["doc_id"]))
+        n = len(docs)
+        expect = {d["doc_id"] for i, d in enumerate(docs) if i / (n - 1) >= 0.4}
+        got = {d["doc_id"] for d in docs if d["doc_id"] in kept_ids}
+        assert got == expect, src
+        assert 0.55 <= len(got) / n <= 0.65
