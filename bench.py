@@ -76,6 +76,12 @@ EXTENDED = [
     "rollup_cascade_hourly",
     "dq_rule_violations",
     "asof_join_tolerance",
+    # late-r6 curation additions: cross-doc duplicated-span coverage,
+    # component-keyed split, per-source quantile pruning
+    "dup_span_coverage",
+    "leakage_safe_split",
+    "quality_prune_by_source",
+    "incremental_dedup_new_docs",
 ]
 
 

@@ -42,6 +42,7 @@ __all__ = [
     "assign_canonical",
     "keep_best",
     "duplicated_span_coverage",
+    "incremental_dedup",
 ]
 
 
@@ -397,29 +398,19 @@ def containment_pairs(
     )
 
 
-def minhash_lsh_pairs_md5(
+def _md5_band_buckets(
     docs: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    threshold: float = 0.4,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """MinHash-LSH near-dup pairs with a DuckDB-reproducible hash family.
-
-    Identical plan shape to :func:`minhash_lsh_pairs` (banded signatures ->
-    bucket-equality candidates -> exact-Jaccard verify), but the K hash
-    functions are ``substr(md5(seed || ':' || shingle), 1, 16)`` compared
-    lexicographically — a valid min-wise family (md5 is uniform over hex
-    strings) that an ANSI-SQL oracle can replicate bit-for-bit, unlike
-    xxhash64.  This makes the LSH output itself hash-checkable by the
-    external DuckDB gate: both engines derive the SAME candidate set, so
-    the comparison is exact regardless of the S-curve's recall.  The
-    xxhash64 variant remains the production path (integer min beats string
-    min on CPU); this one is the verification twin.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
-    """
+    num_hashes: int,
+    bands: int,
+    n: int,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature stage of the DuckDB-reproducible LSH family:
+    shingle postings plus per-doc (band, bucket) rows, where bucket =
+    md5 over the band's ``rows_per_band`` lexicographic-min md5-substring
+    minhashes.  Used by the self-join pair generator and the
+    increment-vs-history cross join."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
@@ -450,6 +441,33 @@ def minhash_lsh_pairs_md5(
     buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    return post, buckets
+
+
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a DuckDB-reproducible hash family.
+
+    Identical plan shape to :func:`minhash_lsh_pairs` (banded signatures ->
+    bucket-equality candidates -> exact-Jaccard verify), but the K hash
+    functions are ``substr(md5(seed || ':' || shingle), 1, 16)`` compared
+    lexicographically — a valid min-wise family (md5 is uniform over hex
+    strings) that an ANSI-SQL oracle can replicate bit-for-bit, unlike
+    xxhash64.  This makes the LSH output itself hash-checkable by the
+    external DuckDB gate: both engines derive the SAME candidate set, so
+    the comparison is exact regardless of the S-curve's recall.  The
+    xxhash64 variant remains the production path (integer min beats string
+    min on CPU); this one is the verification twin.
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    post, buckets = _md5_band_buckets(docs, num_hashes, bands, n, text_col, id_col)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -854,3 +872,95 @@ def duplicated_span_coverage(
         cov.alias("dup_coverage"),
         (cov < F.lit(drop_threshold)).alias("keep"),
     )
+
+
+def incremental_dedup(
+    history: DataFrame,
+    increment: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a corpus INCREMENT against accumulated HISTORY without ever
+    re-pairing history with itself — the operational form at 100 TB,
+    where the historical corpus is re-processed never and the daily
+    increment is small.
+
+    Two tiers, cheap-first:
+
+    * ``exact``  — md5(text) fingerprint equality against history
+      (matched_doc = lowest-id history holder, jaccard = 1.0);
+    * ``near``   — increment docs not caught above whose md5-family
+      MinHash band bucket collides with a history doc, verified by exact
+      shingle Jaccard >= threshold; matched_doc = argmax by
+      (jaccard DESC, history id ASC).
+
+    Scale shape: candidate generation is the CROSS join of increment
+    buckets against history buckets — O(|history| + |increment| x
+    collisions), never history x history; in production the history
+    side's signatures/buckets are a precomputed store, so the daily cost
+    reads signatures, not text.  Increment-internal duplicates are out
+    of scope by design (run the batch pair operators on the increment).
+
+    Output: (doc_id, matched_doc, tier, jaccard) — one row per
+    duplicated increment doc.
+    """
+    hfp = (
+        history.select(F.md5(text_col).alias("fp"), F.col(id_col).alias("hid"))
+        .groupBy("fp")
+        .agg(F.min("hid").alias("matched_doc"))
+    )
+    exact = (
+        increment.select(F.col(id_col), F.md5(text_col).alias("fp"))
+        .join(hfp, "fp")
+        .select(
+            F.col(id_col),
+            F.col("matched_doc"),
+            F.lit("exact").alias("tier"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    rest = increment.join(exact.select(id_col), id_col, "left_anti")
+    post_h, buckets_h = _md5_band_buckets(history, num_hashes, bands, n, text_col, id_col)
+    post_i, buckets_i = _md5_band_buckets(rest, num_hashes, bands, n, text_col, id_col)
+    cands = (
+        buckets_i.withColumnRenamed(id_col, "iid")
+        .join(buckets_h.withColumnRenamed(id_col, "hid"), ["band", "bucket"])
+        .select("iid", "hid")
+        .distinct()
+    )
+    sizes_i = post_i.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_i"))
+    sizes_h = post_h.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_h"))
+    common = (
+        cands.join(post_i.withColumnRenamed(id_col, "iid"), "iid")
+        .join(
+            post_h.withColumnRenamed(id_col, "hid"),
+            ["hid", "shingle"],
+        )
+        .groupBy("iid", "hid")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    verified = (
+        common.join(sizes_i.withColumnRenamed(id_col, "iid"), "iid")
+        .join(sizes_h.withColumnRenamed(id_col, "hid"), "hid")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_i") + F.col("n_h") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("iid").orderBy(F.col("jaccard").desc(), F.col("hid").asc())
+    near = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("iid").alias(id_col),
+            F.col("hid").alias("matched_doc"),
+            F.lit("near").alias("tier"),
+            F.col("jaccard"),
+        )
+    )
+    return exact.unionByName(near)

@@ -975,6 +975,98 @@ def minhash_lsh_pairs_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs_md5(docs, num_hashes=16, bands=4, n=3, threshold=0.4)
 
 
+@register(
+    "incremental_dedup_new_docs",
+    """
+    WITH hist AS (
+      SELECT * FROM documents WHERE doc_id % 5 <> 0
+    ), inc AS (
+      SELECT * FROM documents WHERE doc_id % 5 = 0
+    ), hfp AS (
+      SELECT md5(text) AS fp, MIN(doc_id) AS matched_doc
+      FROM hist GROUP BY md5(text)
+    ), exact AS (
+      SELECT i.doc_id, h.matched_doc,
+             'exact' AS tier, CAST(1.0 AS DOUBLE) AS jaccard
+      FROM inc i JOIN hfp h ON md5(i.text) = h.fp
+    ), rest AS (
+      SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+    ), tok_h AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM hist
+    ), sh_h AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM tok_h, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), tok_i AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM rest
+    ), sh_i AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM tok_i, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), hash_h AS (
+      SELECT doc_id, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+      FROM sh_h, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, seed
+    ), band_h AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM hash_h GROUP BY doc_id, seed // 4
+    ), hash_i AS (
+      SELECT doc_id, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+      FROM sh_i, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, seed
+    ), band_i AS (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM hash_i GROUP BY doc_id, seed // 4
+    ), cand AS (
+      SELECT DISTINCT i.doc_id AS iid, h.doc_id AS hid
+      FROM band_i i JOIN band_h h ON i.band = h.band AND i.bucket = h.bucket
+    ), size_h AS (
+      SELECT doc_id, COUNT(*) AS n_h FROM sh_h GROUP BY doc_id
+    ), size_i AS (
+      SELECT doc_id, COUNT(*) AS n_i FROM sh_i GROUP BY doc_id
+    ), common AS (
+      SELECT c.iid, c.hid, COUNT(*) AS common
+      FROM cand c
+      JOIN sh_i a ON a.doc_id = c.iid
+      JOIN sh_h b ON b.doc_id = c.hid AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), ver AS (
+      SELECT iid, hid,
+             ROUND(common * 1.0 / (n_i + n_h - common), 6) AS jaccard
+      FROM common
+      JOIN size_i si ON si.doc_id = iid
+      JOIN size_h sh ON sh.doc_id = hid
+      WHERE ROUND(common * 1.0 / (n_i + n_h - common), 6) >= 0.4
+    ), near AS (
+      SELECT iid AS doc_id, hid AS matched_doc, 'near' AS tier, jaccard
+      FROM (SELECT *, row_number() OVER (PARTITION BY iid
+                                         ORDER BY jaccard DESC, hid) AS rn
+            FROM ver)
+      WHERE rn = 1
+    )
+    SELECT * FROM exact UNION ALL SELECT * FROM near
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r6: INCREMENTAL dedup — new documents (doc_id % 5 = 0 as the
+    daily increment) checked against accumulated history (the other 80%)
+    without ever re-pairing history with itself: exact fingerprint tier,
+    then md5-family MinHash band buckets CROSS-joined increment-vs-
+    history and verified by exact Jaccard, argmax per new doc.  The
+    operational shape at 100 TB — history signatures are a precomputed
+    store, the daily cost is O(increment) — vs the batch pair operators
+    that assume a full-corpus pass.  Oracle re-derives both tiers
+    end-to-end (signatures, buckets, verification, argmax)."""
+    from .operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    increment = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_dedup(history, increment, num_hashes=16, bands=4, n=3, threshold=0.4)
+
+
 @register("simhash_pairs", None)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming <= 3, banded blocking)."""
@@ -5770,7 +5862,7 @@ DRIVER_WINDOW: list[str] = [
     # quarantine_events / asof_join_tolerance, the r6 oracle upgrades
     # multimodal_frames / approx_percentile_order_value, and the late-r6
     # curation additions dup_span_coverage / leakage_safe_split /
-    # quality_prune_by_source.
+    # quality_prune_by_source / incremental_dedup_new_docs.
     #
     # section-2 IIoT core: windows, sessions, projections, scalars.
     "json_extract_props",

@@ -551,3 +551,40 @@ def test_dup_span_coverage_interval_union(spark):
     for i in (4, 5):
         assert rows[i]["covered_tokens"] == 6
         assert rows[i]["dup_coverage"] == 1.0 and not rows[i]["keep"]
+
+
+def test_incremental_dedup_tiers_and_scope(spark):
+    """Increment-vs-history dedup: the exact tier catches verbatim
+    copies of history (lowest-id holder wins), the near tier catches
+    high-Jaccard rewrites with an argmax match, unique new docs pass
+    through, and increment-internal duplicates are out of scope by
+    contract (never reported)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x0 x1"  # ~0.9 jaccard
+    history = spark.createDataFrame(
+        [(1, base), (2, base), (3, " ".join(f"h{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (10, base),  # exact copy of history 1 and 2 -> min id 1
+            (11, near),  # near-dup of history 1/2; 1 wins the id tiebreak
+            (12, " ".join(f"u{i}" for i in range(40))),  # unique
+            (13, " ".join(f"v{i}" for i in range(40))),  # duplicated only
+            (14, " ".join(f"v{i}" for i in range(40))),  # within increment
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in incremental_dedup(history, increment, threshold=0.4).collect()
+    }
+    assert set(rows) == {10, 11}
+    assert rows[10]["tier"] == "exact" and rows[10]["matched_doc"] == 1
+    assert rows[10]["jaccard"] == 1.0
+    assert rows[11]["tier"] == "near" and rows[11]["matched_doc"] == 1
+    assert 0.8 <= rows[11]["jaccard"] < 1.0
