@@ -106,16 +106,25 @@ def exact_dedup_keep_first_fp(
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document -> (id, shingle) posting
-    list.  Built by zip_with-folding n shifted slices of the token array
-    (JVM-side, no UDF) — measured 2.7x faster than the per-position
-    sequence/slice form at sf0.1 (0.6 s vs 1.6 s), identical output."""
+def _gram_array(text_col: str, n: int):
+    """Array of word n-grams in position order (element k-1 = the gram
+    starting at 1-based token position k), built by zip_with-folding n
+    shifted slices of the token array (JVM-side, no UDF) — measured 2.7x
+    faster than the per-position sequence/slice form at sf0.1 (0.6 s vs
+    1.6 s), identical output.  Single source of gram construction for
+    every posting-list operator in this module."""
     toks = tokenize(text_col)
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for k in range(2, n + 1):
         acc = F.zip_with(acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document -> (id, shingle) posting
+    list (see :func:`_gram_array` for the fold)."""
+    acc = _gram_array(text_col, n)
     return docs.select(F.col(id_col), F.explode(F.array_distinct(acc)).alias("shingle"))
 
 
@@ -823,13 +832,8 @@ def duplicated_span_coverage(
       of every span — overlapping spans cost one row each, so the
       shuffle volume is O(#duplicated spans), independent of n.
     """
-    toks = tokenize(text_col)
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    acc = F.slice(toks, 1, m)
-    for k in range(2, n + 1):
-        acc = F.zip_with(acc, F.slice(toks, k, m), lambda a, b: F.concat_ws(" ", a, b))
     post = docs.select(
-        F.col(id_col), F.posexplode(acc).alias("pos0", "gram")
+        F.col(id_col), F.posexplode(_gram_array(text_col, n)).alias("pos0", "gram")
     ).select(
         F.col(id_col),
         (F.col("pos0") + 1).alias("s"),
@@ -863,7 +867,9 @@ def duplicated_span_coverage(
         .groupBy(id_col)
         .agg(F.sum("contrib").alias("covered_tokens"))
     )
-    nt = docs.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    nt = docs.select(
+        F.col(id_col), F.size(tokenize(text_col)).cast("long").alias("n_tokens")
+    )
     cov = F.round(F.coalesce(F.col("covered_tokens"), F.lit(0)) / F.col("n_tokens"), 6)
     return nt.join(covered, id_col, "left").select(
         F.col(id_col),

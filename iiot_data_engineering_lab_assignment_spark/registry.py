@@ -1202,12 +1202,12 @@ def quality_filter_en_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents)
     ), r AS (
       SELECT doc_id, source, quality_score,
-             percent_rank() OVER (PARTITION BY source
-                                  ORDER BY quality_score, doc_id) AS pr
+             cume_dist() OVER (PARTITION BY source
+                               ORDER BY quality_score, doc_id) AS cd
       FROM q
     )
-    SELECT doc_id, source, quality_score, ROUND(pr, 6) AS q_rank
-    FROM r WHERE pr >= 0.4
+    SELECT doc_id, source, quality_score, ROUND(cd, 6) AS q_rank
+    FROM r WHERE cd > 0.4
     """,
 )
 def quality_prune_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1218,24 +1218,26 @@ def quality_prune_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source loses nothing, a noisy crawl loses most of itself); ranking
     WITHIN the source prunes each stream proportionally, which is how
     mixture-balanced pipelines apply quality filters.  One window over
-    the source key (single shuffle, no UDF); percent_rank's
-    (rank-1)/(n-1) is exact integer-derived double arithmetic, so the
-    kept set and q_rank match DuckDB bit-for-bit under the shared
-    (quality_score, doc_id) tiebreak."""
+    the source key (single shuffle, no UDF).  cume_dist (i/n under the
+    unique (quality_score, doc_id) order), not percent_rank: a 1-row
+    partition gets cume_dist 1.0 and keeps its only doc, where
+    percent_rank's 0.0 would silently delete every single-document
+    source (r6 review finding); i/n is exact integer-derived double
+    arithmetic, so the kept set and q_rank match DuckDB bit-for-bit."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
     q = quality_score(docs)
     w = W.partitionBy("source").orderBy("quality_score", "doc_id")
-    pr = F.percent_rank().over(w)
+    cd = F.cume_dist().over(w)
     return (
-        q.select("doc_id", "source", "quality_score", pr.alias("pr"))
-        .filter(F.col("pr") >= 0.4)
+        q.select("doc_id", "source", "quality_score", cd.alias("cd"))
+        .filter(F.col("cd") > 0.4)
         .select(
             "doc_id",
             "source",
             "quality_score",
-            F.round("pr", 6).alias("q_rank"),
+            F.round("cd", 6).alias("q_rank"),
         )
     )
 

@@ -161,7 +161,7 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
 
 def test_quality_prune_by_source_keeps_top_fraction(spark):
     """Per-source quantile pruning: within every source the kept set is
-    exactly the percent_rank >= 0.4 suffix — no kept doc scores below a
+    exactly the cume_dist > 0.4 suffix — no kept doc scores below a
     dropped doc of the same source (under the doc_id tiebreak), and each
     source retains ~60% of its docs."""
     from iiot_data_engineering_lab_assignment_spark.operators.text import quality_score
@@ -180,7 +180,40 @@ def test_quality_prune_by_source_keeps_top_fraction(spark):
     for src, docs in by_src.items():
         docs.sort(key=lambda r: (r["quality_score"], r["doc_id"]))
         n = len(docs)
-        expect = {d["doc_id"] for i, d in enumerate(docs) if i / (n - 1) >= 0.4}
+        expect = {d["doc_id"] for i, d in enumerate(docs) if (i + 1) / n > 0.4}
         got = {d["doc_id"] for d in docs if d["doc_id"] in kept_ids}
         assert got == expect, src
         assert 0.55 <= len(got) / n <= 0.65
+
+
+def test_quality_prune_keeps_single_doc_sources(spark, tmp_path):
+    """A source with exactly one document keeps it: cume_dist of a 1-row
+    partition is 1.0 > 0.4.  (percent_rank would score it 0.0 and
+    silently delete the source — the r6 review finding this pins.)"""
+    import shutil
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    sfdir = tmp_path / "sf"
+    sfdir.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        shutil.copy(src, sfdir / f"{t}.parquet")
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(40)), "en", "lonely", 200),
+            (2, " ".join(f"b{i}" for i in range(40)), "en", "big", 200),
+            (3, " ".join(f"c{i}" for i in range(30)), "en", "big", 150),
+            (4, " ".join(f"d{i}" for i in range(20)), "en", "big", 100),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(sfdir / "documents.parquet"))
+    kept = {
+        r["doc_id"]: r["source"]
+        for r in QUERIES["quality_prune_by_source"].fn(spark, str(sfdir)).collect()
+    }
+    assert 1 in kept and kept[1] == "lonely"
+    # 'big' has 3 docs: cume_dist 1/3 <= 0.4 drops exactly the worst one.
+    assert len([s for s in kept.values() if s == "big"]) == 2

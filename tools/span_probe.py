@@ -58,6 +58,12 @@ def synth_docs(spark, n: int):
 
 def main() -> None:
     sizes = [int(a) for a in sys.argv[1:]] or [200_000, 1_000_000]
+    for n in sizes:
+        # Each of the 100 rotating passages recurs every 1000 docs; below
+        # 2000 docs some passages have df = 1 and are (correctly) not
+        # flagged, so the exact-histogram assertion would misfire.
+        if n < 2000:
+            raise SystemExit(f"corpus size must be >= 2000 (got {n})")
     spark = get_spark("span-probe")
     for n in sizes:
         path = "/tmp/span_probe_docs"
@@ -72,8 +78,12 @@ def main() -> None:
         )
         elapsed = time.time() - t0
         got = {int(r["covered_tokens"]): int(r["count"]) for r in dist}
-        # i % 100 == 7 implies i % 10 == 7 != 0: the two plant sets are disjoint.
-        expect = {12: n // 10 + n // 100, 0: n - n // 10 - n // 100}
+        # i % 100 == 7 implies i % 10 == 7 != 0: the two plant sets are
+        # disjoint.  Counts in [0, n): ceil(n/10) ids = 0 mod 10,
+        # floor((n+92)/100) ids = 7 mod 100 — exact for ANY n, not just
+        # multiples of 10 (r6 review finding).
+        planted = (n + 9) // 10 + (n + 92) // 100
+        expect = {12: planted, 0: n - planted}
         ok = got == expect
         print(
             json.dumps(
