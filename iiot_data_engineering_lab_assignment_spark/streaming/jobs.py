@@ -42,6 +42,7 @@ __all__ = [
     "fan_out_two_sinks",
     "wap_batch_writer",
     "stream_stream_left_range_join",
+    "incremental_dedup_stream_writer",
 ]
 
 
@@ -322,6 +323,74 @@ def wap_batch_writer(table_dir: str, audit=None):
         publish_epoch(df, table_dir, batch_id, audit=audit)
 
     return write
+
+
+def incremental_dedup_stream_writer(
+    history_dir: str,
+    dups_dir: str,
+    threshold: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """STREAMING corpus ingestion with history-aware dedup: a foreachBatch
+    writer where each micro-batch of documents is checked against the
+    accumulated history table (operators.dedup.incremental_dedup — exact
+    fingerprint tier, then MinHash-LSH cross join, never history x
+    history), duplicated docs are routed to a side sink with their match
+    and tier, and only clean docs append to history.  The streaming form
+    of the daily-increment pipeline: history grows monotonically and is
+    never re-paired with itself.
+
+    Exactly-once contract (the subtlety): history is written to
+    ``batch_id=N`` partition dirs with OVERWRITE, and each batch dedups
+    against history EXCLUDING ITS OWN partition — so a retried batch
+    (crash between write and checkpoint commit) neither matches the
+    copy it wrote on the failed attempt (which would flag every doc as
+    its own duplicate and wipe the partition) nor appends twice; the
+    rerun reproduces the original result bit-for-bit.  The exclusion
+    enumerates sibling partition dirs driver-side and reads them with
+    the batch's explicit schema — the crashed attempt's own dir (which
+    may hold a footer-less partial file) is never listed, touched by
+    schema inference, or scanned.
+
+    Within-batch exact duplicates collapse to the lowest id first
+    (near-dup pairs WITHIN one micro-batch are out of scope, matching
+    incremental_dedup's contract — run the batch pair operators over
+    history for a full retro-pass).
+    """
+    from ..operators.dedup import exact_dedup_keep_first, incremental_dedup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = exact_dedup_keep_first(batch_df, text_col, id_col)
+        root = Path(history_dir)
+        prior_paths = (
+            [
+                str(p)
+                for p in sorted(root.iterdir())
+                if p.name.startswith("batch_id=") and p.name != f"batch_id={batch_id}"
+            ]
+            if root.is_dir()
+            else []
+        )
+        prior = (
+            spark.read.schema(batch_df.schema).parquet(*prior_paths)
+            if prior_paths
+            else None
+        )
+        if prior is not None:
+            flagged = incremental_dedup(
+                prior, batch, threshold=threshold, text_col=text_col, id_col=id_col
+            )
+            clean = batch.join(flagged.select(id_col), id_col, "left_anti")
+        else:
+            flagged = None
+            clean = batch
+        if flagged is not None:
+            flagged.write.mode("overwrite").parquet(f"{dups_dir}/batch_id={batch_id}")
+        clean.write.mode("overwrite").parquet(f"{history_dir}/batch_id={batch_id}")
+
+    return process
 
 
 def fan_out_two_sinks(

@@ -293,3 +293,75 @@ def test_idempotent_batch_writer_retry_safe(spark, tmp_path):
     write(batch.withColumn("v", F.col("v") + 100), 1)
     out = spark.read.parquet(f"{sink}/batch_id=*")
     assert out.count() == 200  # 100 per distinct batch, retry absorbed
+
+
+def test_incremental_dedup_stream_writer(spark, tmp_path):
+    """Streaming history-aware dedup: micro-batches append only clean
+    docs to history, duplicates of PRIOR batches route to the dups sink
+    with match + tier, within-batch exact copies collapse to the lowest
+    id, and a retried batch (crash between write and checkpoint commit)
+    reproduces its original output instead of matching the copy it wrote
+    on the failed attempt."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    hist = str(tmp_path / "hist")
+    dups = str(tmp_path / "dups")
+    write = incremental_dedup_stream_writer(hist, dups)
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x0 x1"
+
+    write(spark.createDataFrame(
+        [(1, base), (2, " ".join(f"u{i}" for i in range(40)))], schema), 0)
+    assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 2}
+
+    b1 = spark.createDataFrame(
+        [(10, base), (11, near), (12, " ".join(f"v{i}" for i in range(40)))],
+        schema,
+    )
+    write(b1, 1)
+    hist_ids = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert hist_ids == {1, 2, 12}
+    flagged = {
+        r["doc_id"]: (r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(dups).collect()
+    }
+    assert flagged == {10: (1, "exact"), 11: (1, "near")}
+
+    # Retry of batch 1: identical history and dups — the rerun must not
+    # see batch 1's own partition as "history".
+    write(b1, 1)
+    assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 2, 12}
+    assert {
+        r["doc_id"]: (r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(dups).collect()
+    } == {10: (1, "exact"), 11: (1, "near")}
+
+    # Within-batch exact copies collapse (lowest id survives, silently).
+    t = " ".join(f"z{i}" for i in range(40))
+    write(spark.createDataFrame([(20, t), (21, t)], schema), 2)
+    assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 2, 12, 20}
+
+
+def test_incremental_dedup_stream_survives_crashed_partial(spark, tmp_path):
+    """A crash can leave a footer-less partial parquet file in the
+    batch's own partition dir; the retry must neither crash on schema
+    inference nor scan it — the own dir is excluded driver-side and then
+    overwritten."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    hist = str(tmp_path / "hist")
+    write = incremental_dedup_stream_writer(hist, str(tmp_path / "dups"))
+    schema = "doc_id long, text string"
+    write(spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(40)))], schema), 0)
+    crashed = tmp_path / "hist" / "batch_id=1"
+    crashed.mkdir()
+    (crashed / "part-00000.parquet").write_bytes(b"PAR1 truncated garbage")
+    write(spark.createDataFrame(
+        [(2, " ".join(f"b{i}" for i in range(40)))], schema), 1)
+    assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 2}
