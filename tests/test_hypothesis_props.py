@@ -141,3 +141,52 @@ def test_wav_roundtrip_property(samples, rate):
     s = np.array(samples, dtype=np.int16)
     out, r = decode_wav(encode_wav(s, rate))
     assert r == rate and np.array_equal(out, s)
+
+
+def _brute_force_span_coverage(texts: dict[int, str], n: int = 5):
+    """Python reference for duplicated_span_coverage: position sets, no
+    interval arithmetic — the independent check on the window-union
+    implementation."""
+    grams: dict[int, list[tuple[int, str]]] = {}
+    df: dict[str, set[int]] = {}
+    for d, t in texts.items():
+        toks = t.split(" ")
+        gs = [
+            (i, " ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)
+        ]
+        grams[d] = gs
+        for _, g in gs:
+            df.setdefault(g, set()).add(d)
+    out = {}
+    for d, t in texts.items():
+        covered: set[int] = set()
+        for i, g in grams[d]:
+            if len(df[g]) >= 2:
+                covered.update(range(i, i + n))
+        out[d] = (len(t.split(" ")), len(covered))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=25),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_dup_span_coverage_matches_python(spark, docs):
+    """duplicated_span_coverage's interval-union window == a brute-force
+    position-set reference, on tiny-alphabet corpora where cross-doc
+    5-gram collisions (incl. overlapping and adjacent spans) are dense."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        duplicated_span_coverage,
+    )
+
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in duplicated_span_coverage(df, n=5).collect()
+    }
+    assert got == _brute_force_span_coverage(texts, n=5)
