@@ -172,7 +172,25 @@ def asof_join(
     (NULL when no right row precedes the left row, or none within
     tolerance).
     """
+    import re
+
     from pyspark.sql import Window
+
+    if tolerance is not None:
+        # The tolerance lands inside F.expr(f"INTERVAL {tolerance}"): accept
+        # only `<int> <unit>` pairs so arbitrary expression text can never
+        # ride in through the parameter (review finding r6/ADVICE).
+        _unit = r"(?:year|month|week|day|hour|minute|second|millisecond|microsecond)s?"
+        if not re.fullmatch(rf"\s*\d+\s+{_unit}(?:\s+\d+\s+{_unit})*\s*", tolerance, re.IGNORECASE):
+            raise ValueError(
+                f"tolerance must be '<n> <unit>' interval text (got {tolerance!r})"
+            )
+    if "_rt" in right_value_cols:
+        raise ValueError(
+            "right_value_cols may not contain '_rt': asof_join reserves that "
+            "field name for the carried match timestamp — rename the column "
+            "before joining"
+        )
 
     lcols = left.columns
     # Carry the matched row as ONE struct (its own time + all values):

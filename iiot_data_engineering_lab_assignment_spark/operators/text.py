@@ -386,7 +386,13 @@ def top_ngram_coverage(
     family; the corpus never shuffles for a per-document statistic.
 
     Output: (id, top_gram, top_count, coverage, keep) where
-    coverage = top_count * n / n_tokens and keep = coverage <= threshold.
+    coverage = least(1.0, top_count * n / n_tokens) and
+    keep = coverage <= threshold.  ``top_count`` counts OVERLAPPING
+    occurrences (a degenerate doc like "a a a a" has bigram count 3 over
+    4 tokens), so the raw product can exceed the token count; the clamp
+    keeps the statistic an honest fraction-of-tokens bound per Gopher's
+    definition — for exact covered-token accounting under overlap, use
+    duplicated_span_coverage's interval-union form instead.
     Documents with fewer than ``n`` tokens have no n-gram: NULL top_gram,
     coverage 0.0, keep true.
     """
@@ -416,7 +422,7 @@ def top_ngram_coverage(
     folded = F.aggregate(srt, zero, step)
     n_tok = F.size(toks).cast("long")
     coverage = F.when(
-        m > 0, F.round(folded["best"] * F.lit(n) / n_tok, 6)
+        m > 0, F.least(F.lit(1.0), F.round(folded["best"] * F.lit(n) / n_tok, 6))
     ).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),

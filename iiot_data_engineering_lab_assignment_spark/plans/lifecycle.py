@@ -196,13 +196,14 @@ def write_audit_publish(
     spark = df.sparkSession
     vdir = os.path.join(table_dir, "_versions")
     os.makedirs(vdir, exist_ok=True)
-    # Reclaim crashed stages first: a crashed stage is an UNMARKED dir
+    # Stamp legacy pre-marker versions FIRST (at/below the pointer — fully
+    # audited when published), so a later rollback can never strand a good
+    # legacy snapshot above the pointer where the reclaim pass would
+    # mistake it for a crashed stage (ADVICE r6).
+    _wap_migrate_markers(table_dir)
+    # Reclaim crashed stages: a crashed stage is an UNMARKED dir
     # NEWER than the current pointer (staging always takes a number past
     # every existing dir, and the marker lands before the pointer swap).
-    # Unmarked dirs at or below the pointer are legacy versions published
-    # before markers existed — fully audited then, so they stay valid
-    # snapshots and rollback targets (migration rule; review finding r6:
-    # deleting them would destroy good pre-upgrade snapshots).
     current = _wap_current(table_dir)
     for d in sorted(os.listdir(vdir)):
         if (
@@ -264,6 +265,27 @@ def _wap_committed(vdir: str, version: str) -> bool:
     return os.path.exists(os.path.join(vdir, version, "_COMMITTED"))
 
 
+def _wap_migrate_markers(table_dir: str) -> None:
+    """One-time marker migration for pre-marker (legacy) tables: every
+    unmarked version dir at or below the current pointer was fully
+    audited when it was published, so stamp ``_COMMITTED`` into it on
+    first contact.  Run BEFORE any reclaim or rollback: once stamped, a
+    rollback that moves the pointer below a legacy version can no longer
+    expose it to the crashed-stage reclaim pass (ADVICE r6)."""
+    import os
+
+    current = _wap_current(table_dir)
+    if current is None:
+        return
+    vdir = os.path.join(table_dir, "_versions")
+    if not os.path.isdir(vdir):
+        return
+    for d in sorted(os.listdir(vdir)):
+        if d.startswith("v") and d <= current and not _wap_committed(vdir, d):
+            with open(os.path.join(vdir, d, "_COMMITTED"), "w") as f:
+                f.write("committed\n")  # legacy pre-marker version, migrated
+
+
 def read_published(spark: SparkSession, table_dir: str) -> DataFrame:
     """Resolve the WAP pointer and read the current published version —
     unaffected by in-flight stages, crashes, or audit failures."""
@@ -286,6 +308,9 @@ def rollback_published(table_dir: str) -> str:
     the new current."""
     import os
 
+    _wap_migrate_markers(table_dir)  # stamp legacy versions BEFORE moving
+    # the pointer below them (ADVICE r6: otherwise the next publish's
+    # reclaim pass would delete a stranded unmarked-but-good snapshot)
     with open(os.path.join(table_dir, "_CURRENT")) as f:
         current = f.read().strip()
     vdir = os.path.join(table_dir, "_versions")
@@ -448,22 +473,42 @@ def compact_epochs(
     return len(to_fold)
 
 
-def vacuum_epochs(table_dir: str) -> int:
+def vacuum_epochs(table_dir: str, grace_seconds: float = 0.0) -> int:
     """Physically delete epoch dirs no longer referenced by the manifest
     (superseded by compaction, or left by a pre-swap crash).  Run when no
     reader can still hold an older manifest — the retention knob real
-    table formats expose as VACUUM.  Returns dirs removed."""
+    table formats expose as VACUUM.  Returns dirs removed.
+
+    Writer-safety (ADVICE r6): the manifest is RE-READ immediately before
+    each delete, so an epoch committed by a concurrent
+    :func:`publish_epoch` between scan and delete is never removed.  A
+    dir that is STAGED but not yet committed is still unprotected by the
+    manifest — do not run vacuum while the streaming sink is actively
+    publishing, or pass ``grace_seconds`` > the sink's max batch duration
+    to skip any dir younger than that (mtime-based), which closes the
+    staging window too."""
     import os
     import shutil
+    import time
 
     manifest_path = os.path.join(table_dir, "_EPOCHS")
-    with open(manifest_path) as f:
-        referenced = {ln.strip() for ln in f if ln.strip()}
     edir = os.path.join(table_dir, "_epochs")
     removed = 0
+    now = time.time()
     for d in sorted(os.listdir(edir)):
+        path = os.path.join(edir, d)
+        if grace_seconds > 0:
+            try:
+                if now - os.path.getmtime(path) < grace_seconds:
+                    continue
+            except OSError:
+                continue  # raced with a concurrent delete/rename: leave it
+        # re-read per delete: a concurrent publish may have committed this
+        # dir after the previous iteration's read
+        with open(manifest_path) as f:
+            referenced = {ln.strip() for ln in f if ln.strip()}
         if d not in referenced:
-            shutil.rmtree(os.path.join(edir, d), ignore_errors=True)
+            shutil.rmtree(path, ignore_errors=True)
             removed += 1
     return removed
 

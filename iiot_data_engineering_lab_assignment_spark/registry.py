@@ -3425,8 +3425,8 @@ def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT nt.doc_id,
            b.gram AS top_gram,
            CAST(COALESCE(b.c, 0) AS BIGINT) AS top_count,
-           COALESCE(ROUND(b.c * 2.0 / nt.n_tok, 6), 0.0) AS coverage,
-           COALESCE(ROUND(b.c * 2.0 / nt.n_tok, 6), 0.0) <= 0.18 AS keep
+           COALESCE(LEAST(1.0, ROUND(b.c * 2.0 / nt.n_tok, 6)), 0.0) AS coverage,
+           COALESCE(LEAST(1.0, ROUND(b.c * 2.0 / nt.n_tok, 6)), 0.0) <= 0.18 AS keep
     FROM nt LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
     """,
 )

@@ -353,16 +353,33 @@ def incremental_dedup_stream_writer(
     may hold a footer-less partial file) is never listed, touched by
     schema inference, or scanned.
 
-    Within-batch exact duplicates collapse to the lowest id first
-    (near-dup pairs WITHIN one micro-batch are out of scope, matching
-    incremental_dedup's contract — run the batch pair operators over
-    history for a full retro-pass).
+    Within-batch exact duplicates collapse to the lowest id first and are
+    ALSO routed to the dups sink as ``tier='exact-intra'`` with
+    matched_doc = the surviving lowest id (ADVICE r6: dropping them
+    unrecorded made the dups table under-report).  Near-dup pairs WITHIN
+    one micro-batch remain out of scope, matching incremental_dedup's
+    contract — run the batch pair operators over history for a full
+    retro-pass.
     """
     from ..operators.dedup import exact_dedup_keep_first, incremental_dedup
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = exact_dedup_keep_first(batch_df, text_col, id_col)
+        # Intra-batch exact dups: same md5-fingerprint grouping as the
+        # incremental exact tier (16-byte shuffle key, text never shuffles).
+        fp_all = batch_df.select(F.col(id_col), F.md5(text_col).alias("fp"))
+        survivors = fp_all.groupBy("fp").agg(F.min(id_col).alias("matched_doc"))
+        intra = (
+            fp_all.join(survivors, "fp")
+            .filter(F.col(id_col) != F.col("matched_doc"))
+            .select(
+                F.col(id_col),
+                F.col("matched_doc"),
+                F.lit("exact-intra").alias("tier"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
         root = Path(history_dir)
         prior_paths = (
             [
@@ -383,11 +400,11 @@ def incremental_dedup_stream_writer(
                 prior, batch, threshold=threshold, text_col=text_col, id_col=id_col
             )
             clean = batch.join(flagged.select(id_col), id_col, "left_anti")
+            dups = flagged.unionByName(intra)
         else:
-            flagged = None
             clean = batch
-        if flagged is not None:
-            flagged.write.mode("overwrite").parquet(f"{dups_dir}/batch_id={batch_id}")
+            dups = intra
+        dups.write.mode("overwrite").parquet(f"{dups_dir}/batch_id={batch_id}")
         clean.write.mode("overwrite").parquet(f"{history_dir}/batch_id={batch_id}")
 
     return process

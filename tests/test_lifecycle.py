@@ -398,3 +398,68 @@ def test_snapshot_diff_classification_and_null_safety(spark):
     assert rows[3]["old_v"] is None and rows[3]["new_v"] == 30.0
     assert rows[4]["change_type"] == "delete" and rows[4]["new_v"] is None
     assert rows[6]["change_type"] == "insert" and rows[6]["old_v"] is None
+
+
+def test_wap_rollback_then_publish_preserves_stranded_legacy(spark, tmp_path):
+    """ADVICE r6: on a pre-marker (legacy) table, rollback used to move
+    the pointer BELOW a legitimately published legacy version; the next
+    publish's crashed-stage reclaim then deleted that unmarked-but-good
+    snapshot.  rollback_published now stamps _COMMITTED into every
+    legacy dir at/below the pointer BEFORE moving it, so the stranded
+    version survives as a snapshot and future rollback target."""
+    import os
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        read_published,
+        rollback_published,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_legacy_rb")
+    vdir = os.path.join(table, "_versions")
+    v1 = write_audit_publish(spark.range(0, 100), table, keep_versions=3)
+    v2 = write_audit_publish(spark.range(0, 50), table, keep_versions=3)
+    for v in (v1, v2):
+        os.remove(os.path.join(vdir, v, "_COMMITTED"))  # simulate pre-marker table
+    # First contact with the upgraded code is a ROLLBACK (no publish ran
+    # to stamp markers first): pointer moves v2 -> v1, stranding v2 above it.
+    assert rollback_published(table) == v1
+    assert os.path.exists(os.path.join(vdir, v2, "_COMMITTED"))  # stamped, not stranded
+    # The next publish must NOT reclaim v2 as a crashed stage.
+    v3 = write_audit_publish(spark.range(0, 7), table, keep_versions=3)
+    retained = sorted(d for d in os.listdir(vdir) if d.startswith("v"))
+    assert v2 in retained and retained[-1] == v3
+    assert read_published(spark, table).count() == 7
+
+
+def test_vacuum_epochs_grace_skips_young_dirs(spark, tmp_path):
+    """ADVICE r6: vacuum could delete a dir staged by a live
+    publish_epoch between its manifest read and the rmtree.  The
+    manifest is now re-read per delete (committed dirs always safe) and
+    grace_seconds skips any dir younger than the grace window — closing
+    the staged-but-uncommitted race too."""
+    import os
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        publish_epoch,
+        read_published_epochs,
+        vacuum_epochs,
+    )
+
+    table = str(tmp_path / "epochs_vac")
+    publish_epoch(spark.range(0, 10), table, 0)
+    publish_epoch(spark.range(10, 20), table, 1)
+    # Simulate a freshly STAGED (not yet committed) epoch: on disk, not
+    # in the manifest — exactly what a concurrent publish looks like
+    # mid-batch.
+    staged = os.path.join(table, "_epochs", "batch-00000002")
+    spark.range(20, 30).write.parquet(staged)
+    # With a grace window the staged dir survives vacuum.
+    assert vacuum_epochs(table, grace_seconds=3600) == 0
+    assert os.path.isdir(staged)
+    # The concurrent publish completes (same batch: overwrite-stage + commit).
+    publish_epoch(spark.range(20, 30), table, 2)
+    assert read_published_epochs(spark, table).count() == 30
+    # A later vacuum with no grace removes nothing: everything committed.
+    assert vacuum_epochs(table) == 0
+    assert read_published_epochs(spark, table).count() == 30

@@ -626,3 +626,28 @@ def test_all_codecs_reject_malformed_payloads_gracefully():
             blob = rng.randint(0, 256, n, dtype=np.uint8).tobytes()
             with _pytest.raises((ValueError, NotImplementedError)):
                 dec(blob)
+
+
+def test_asof_join_rejects_bad_tolerance_and_reserved_col(spark):
+    """ADVICE r6: the tolerance string lands inside F.expr — only strict
+    '<n> <unit>' interval text may pass; and '_rt' is reserved for the
+    carried match timestamp, so a right value column by that name must
+    be rejected rather than silently collided with."""
+    import pytest
+
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import asof_join
+
+    l = spark.createDataFrame([(1, "k", 1.0)], "ts long, k string, v double")
+    r = spark.createDataFrame([(1, "k", 2.0)], "ts long, k string, w double")
+    for bad in ("15 minutes); DROP TABLE x", "1 fortnight", "'1' minute", "minute"):
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(l, r, ["k"], "ts", ["w"], tolerance=bad)
+    with pytest.raises(ValueError, match="_rt"):
+        asof_join(l, r.withColumnRenamed("w", "_rt"), ["k"], "ts", ["_rt"])
+    # valid forms still accepted (multi-unit included)
+    out = asof_join(
+        l.withColumn("ts", F.col("ts").cast("timestamp")),
+        r.withColumn("ts", F.col("ts").cast("timestamp")),
+        ["k"], "ts", ["w"], tolerance="1 hour 30 minutes",
+    )
+    assert out.collect()[0]["w_right"] == 2.0

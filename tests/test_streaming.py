@@ -339,10 +339,24 @@ def test_incremental_dedup_stream_writer(spark, tmp_path):
         for r in spark.read.parquet(dups).collect()
     } == {10: (1, "exact"), 11: (1, "near")}
 
-    # Within-batch exact copies collapse (lowest id survives, silently).
+    # Within-batch exact copies collapse (lowest id survives) AND the
+    # collapsed copy is routed to the dups sink as tier='exact-intra'
+    # with matched_doc = the survivor (ADVICE r6: previously dropped
+    # unrecorded, under-reporting the dups table).
     t = " ".join(f"z{i}" for i in range(40))
     write(spark.createDataFrame([(20, t), (21, t)], schema), 2)
     assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 2, 12, 20}
+    assert {
+        r["doc_id"]: (r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(dups).collect()
+    } == {10: (1, "exact"), 11: (1, "near"), 21: (20, "exact-intra")}
+    # Retry of batch 2 reproduces the same dups rows exactly once.
+    write(spark.createDataFrame([(20, t), (21, t)], schema), 2)
+    assert {
+        r["doc_id"]
+        for r in spark.read.parquet(dups).collect()
+        if r["tier"] == "exact-intra"
+    } == {21}
 
 
 def test_incremental_dedup_stream_survives_crashed_partial(spark, tmp_path):
