@@ -95,7 +95,12 @@ def _materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bench")
+    # Truncation-proofing (r6: the driver's tail capture lost the summary
+    # JSON under a flood of Spark console-progress control lines): no
+    # progress bar, minimal log noise — the summary line must be the only
+    # thing this process prints on stdout.
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the three execution paths once so per-query numbers measure the
     # engine at steady state, not first-call class loading: JVM codegen,
@@ -162,21 +167,29 @@ def main() -> None:
     ext_timings, ext_reps = measure(EXTENDED)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps_used,
-                "extended": ext_timings,
-                "extended_reps": ext_reps,
-                "extended_total": round(sum(ext_timings.values()), 3),
-                "sf": sf,
-            }
-        )
+    summary = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "reps": reps_used,
+            "extended": ext_timings,
+            "extended_reps": ext_reps,
+            "extended_total": round(sum(ext_timings.values()), 3),
+            "sf": sf,
+        }
     )
+    # Belt and braces against capture truncation: the line goes to stdout
+    # (flushed) AND to a sidecar file next to this script, so the record
+    # survives even if the caller's pipe buffer drops the tail.
+    print(summary, flush=True)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_last.json"), "w") as f:
+            f.write(summary + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout copy still carries the record
     spark.stop()
 
 
