@@ -37,8 +37,10 @@ from ..sources.readers import _ensure_session_confs
 __all__ = [
     "events_file_stream",
     "streaming_rollup",
+    "streaming_enrich_dim",
     "streaming_dedup",
     "run_events_stream_rollup",
+    "run_events_stream_enriched_rollup",
     "fan_out_two_sinks",
     "wap_batch_writer",
     "stream_stream_left_range_join",
@@ -109,6 +111,82 @@ def streaming_rollup(
             "count_readings",
         )
     )
+
+
+def streaming_enrich_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the single most common
+    production streaming pattern, and the one the reference's data model
+    carries latently but never executes: its machine metadata (type,
+    location — ingestion/ingest_data.py:19-24) is generated into every
+    message instead of being joined from a dimension table.
+
+    The static side is explicitly ``broadcast()``: the stream side never
+    shuffles (a map-side hash join runs inside each micro-batch task),
+    which is the only shape that survives a 100 TB/day stream — a
+    shuffled stream-static join would re-partition every micro-batch.
+    Stateless (no watermark interaction): each micro-batch joins against
+    the dimension as of that batch; swap the dim by restarting the query
+    or reading it per-batch in foreachBatch for slowly-changing dims."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
+def run_events_stream_enriched_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str = "1 minute",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Stream-static enrichment end-to-end on the events fixture: the
+    events stream joins a broadcast user dimension (customer segment +
+    nation name — the star-schema analogue of the reference's machine
+    type/location metadata), then rolls up per 1-minute tumbling window
+    x (segment, nation, event_type).  availableNow replay, complete
+    mode, in-memory sink: the result equals the batch twin exactly, so
+    the DuckDB oracle is the batch SQL (same parity argument as
+    run_events_stream_rollup)."""
+    from ..sources.readers import load_table
+
+    stream = events_file_stream(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = (
+        customer.join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    enriched = streaming_enrich_dim(stream, dim, "user_id")
+    agg = streaming_rollup(
+        enriched, "ts", duration, "5 seconds", ["segment", "nation", "event_type"]
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def streaming_dedup(

@@ -379,3 +379,63 @@ def test_incremental_dedup_stream_survives_crashed_partial(spark, tmp_path):
     write(spark.createDataFrame(
         [(2, " ".join(f"b{i}" for i in range(40)))], schema), 1)
     assert {r["doc_id"] for r in spark.read.parquet(hist).collect()} == {1, 2}
+
+
+def test_stream_static_enrich_parity_and_broadcast(spark):
+    """NEW r7: stream-static dimension enrichment.  (1) The streaming
+    run (availableNow, complete mode) equals the batch twin exactly —
+    the parity property that makes the DuckDB oracle valid.  (2) The
+    join is a broadcast hash join: the fact/stream side must never
+    shuffle for the enrichment — the only shape that survives a
+    100 TB/day stream."""
+    from iiot_data_engineering_lab_assignment_spark.operators.aggregates import ROLLUP_AGGS
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        run_events_stream_enriched_rollup,
+        streaming_enrich_dim,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = run_events_stream_enriched_rollup(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    dim = customer.join(
+        F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+    enriched = streaming_enrich_dim(ev, dim, "user_id")  # batch DF: same code path
+    w = F.window("ts", "1 minute")
+    want = (
+        enriched.groupBy(w.alias("window"), "segment", "nation", "event_type")
+        .agg(*ROLLUP_AGGS("value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "segment",
+            "nation",
+            "event_type",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "count_readings",
+        )
+    )
+    key = ["window_start", "segment", "nation", "event_type"]
+    assert sorted(map(tuple, got.collect()), key=lambda r: tuple(map(str, r))) == sorted(
+        map(tuple, want.collect()), key=lambda r: tuple(map(str, r))
+    )
+    # Plan shape: broadcast hash join, and no Exchange between the events
+    # scan and the join (the stream side must not shuffle to be enriched).
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # The fact (stream) leg prints between the outer join node and the dim
+    # side's BroadcastExchange: the events scan must be in it, with no
+    # Exchange of its own.
+    fact_leg = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
+    assert "events.parquet" in fact_leg
+    assert "Exchange" not in fact_leg
