@@ -5126,6 +5126,100 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_assignments_fixed",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), cents0 AS (
+      SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8
+    ), a1 AS (
+      SELECT vec_id, ev, cell FROM (
+        SELECT e.vec_id, e.ev, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM e CROSS JOIN cents0 c)
+      WHERE rn = 1
+    ), u1 AS (
+      SELECT cell, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (SELECT cell, unnest(ev) AS v, generate_subscripts(ev, 1) AS i FROM a1)
+      GROUP BY cell, i
+    ), c1 AS (
+      SELECT s.cell, COALESCE(u.cv, s.cv) AS cv
+      FROM cents0 s
+      LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS cv FROM u1 GROUP BY cell) u
+        USING (cell)
+    ), a2 AS (
+      SELECT vec_id, ev, cell FROM (
+        SELECT e.vec_id, e.ev, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM e CROSS JOIN c1 c)
+      WHERE rn = 1
+    ), u2 AS (
+      SELECT cell, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (SELECT cell, unnest(ev) AS v, generate_subscripts(ev, 1) AS i FROM a2)
+      GROUP BY cell, i
+    ), c2 AS (
+      SELECT s.cell, COALESCE(u.cv, s.cv) AS cv
+      FROM cents0 s
+      LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS cv FROM u2 GROUP BY cell) u
+        USING (cell)
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+      SELECT e.vec_id, c.cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               list_dot_product(e.ev, e.ev)
+               - 2.0 * list_dot_product(e.ev, c.cv)
+               + list_dot_product(c.cv, c.cv), c.cell) AS rn
+      FROM e CROSS JOIN c2 c)
+    WHERE rn = 1
+    """,
+)
+def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: hash-checkable twin of ``kmeans_assignments`` (r6 verdict
+    ask #4) — the same pattern that landed semantic_dedup_pairs_fixed.
+    The adaptive loop's two non-SQL ingredients are pinned: the
+    farthest-first/xxhash64 seeding becomes the embeddings of vec_id
+    0..7, and the iteration count is FIXED at two Lloyd updates.  Every
+    remaining stage is deterministic arithmetic both engines reproduce:
+    assignment is argmin of |v|^2 - 2 v.c + |c|^2 with a (d2, cell)
+    tiebreak (sequential-fold dot products == list_dot_product); the
+    update is the oracle-backed exact-decimal centroid aggregate
+    (DECIMAL(28,14) sum -> double -> micro-unit round, order-independent
+    so partitioning cannot flip a borderline assignment); a cell that
+    loses all members retains its previous centroid (COALESCE in the
+    oracle, dict-carry in the engine).  Scale shape identical to the
+    production trainer: per iteration one assignment scan (centroids
+    broadcast as literals) + one scalar (cell, pos) shuffle; only the
+    k x d parameter table ever collects."""
+    from .operators.similarity import assign_cells, centroids
+
+    k, iters = 8, 2
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    }
+    for _ in range(iters):
+        assigned = assign_cells(emb, cents)
+        new = {c: list(v) for c, v in cents.items()}
+        for r in centroids(assigned, "cell").collect():
+            new[r["cell"]][r["pos"]] = r["centroid_v"]
+        cents = new
+    return assign_cells(emb, cents).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
+@register(
     "corpus_curation_pipeline",
     """
     WITH scored AS (
