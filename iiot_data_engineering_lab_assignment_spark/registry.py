@@ -5963,96 +5963,90 @@ def gapfill_interpolate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # Round-6 rotation (r5 verdict ask #2): 15 multiply-green slots retire
-    # to the local gate so 15 never-driver-checked queries get their first
-    # driver row.  Out: sensor_rollup_1m / events_passthrough /
-    # q1_pricing_summary (5x green r1-r5; the rollup family stays anchored
-    # by stream_tumbling_1m, projection by json_extract_props, TPC-H agg
-    # by the six shapes still in-window), q3/q9/q14 (2x green r4-r5),
-    # moving_avg_per_user (range_frame_hourly_avg's r1-r4 history plus
-    # percentile keeps window functions covered), set_intersect_buyers +
-    # grouping_sets_revenue (joins/set-ops keep left_join + the TPC-H
-    # block), cosine_topk (its int8 twin rotates in over the same data),
-    # token_length_histogram / media_dedup_hash / gapfill_locf_daily /
-    # cohort_weekly_retention / decontaminate_eval_overlap (3-4x green,
-    # families keep text_stats, dedup_exact, gapfill_interpolate, funnel,
-    # and the capped posting-list block).  Every evicted query stays in
-    # tools/check_oracles.py's full 155-query gate.
+    # Round-7 rotation (r6 verdict ask #1): 22 driver-green slots retire
+    # to the local gate so 22 first-time queries get a driver row —
+    # burning down the never-driver-checked backlog.
     #
-    # In (all first-time driver checks): fuzzy_match_documents,
-    # dedup_keep_best + near_dup_clusters' NEW capped form (the r5 scale
-    # flag fix, oracle-mirrored), cosine_topk_int8, ivf_topk,
-    # language_id_pred, cosine_dup_pairs_lsh, multimodal_resize, and the
-    # never-checked TPC-H shapes q5/q7/q8/q10/q11/q13/q16/q19.
-    # Remaining never-checked queue for r7: q4/q15/q18/q20, plus the
-    # round-6 additions top_ngram_coverage / scd2_priority_history /
-    # incremental_rollup_merge / hll_distinct_merge / snapshot_diff_orders /
-    # dedup_keep_best_lsh / rollup_cascade_hourly / dq_rule_violations /
-    # quarantine_events / asof_join_tolerance, the r6 oracle upgrades
-    # multimodal_frames / approx_percentile_order_value, and the late-r6
-    # curation additions dup_span_coverage / leakage_safe_split /
-    # quality_prune_by_source / incremental_dedup_new_docs.
+    # Out (every one already driver-green, family kept anchored):
+    # stream_session_5m (tumbling + the NEW stream-static enrichment keep
+    # streaming covered), left_join_order_counts (joins keep the TPC-H
+    # block + fuzzy + asof), percentile_order_value ->
+    # approx_percentile_order_value and asof_join_purchase_click ->
+    # asof_join_tolerance (same-family swaps), the twelve 2x/1x-green
+    # TPC-H shapes q5/q6/q7/q8/q10/q11/q12/q13/q16/q17/q19/q22 (TPC-H
+    # keeps the four never-checked shapes q4/q15/q18/q20),
+    # source_mixture_weights (mixture_downsample_uniform stays),
+    # minhash_lsh_pairs_md5 / near_dup_clusters / dedup_keep_best (the
+    # LSH+CC+argmax composition rotates in as dedup_keep_best_lsh),
+    # semantic_dedup_pairs_fixed (embedding dedup keeps
+    # cosine_dup_pairs_lsh; the fixed-quantizer pattern rotates in as
+    # kmeans_assignments_fixed), multimodal_decode (audio/video/resize/
+    # frames keep all modalities).  Every evicted query stays in
+    # tools/check_oracles.py's full local gate.
     #
-    # section-2 IIoT core: windows, sessions, projections, scalars.
+    # In (all first-time driver checks): the four TPC-H stragglers, the
+    # fourteen round-6 additions (warehouse/DQ/curation/dedup), the two
+    # r6 oracle upgrades (multimodal_frames,
+    # approx_percentile_order_value), and the two NEW r7 queries
+    # (stream_static_enrich, kmeans_assignments_fixed).
+    #
+    # section-2 IIoT core: projections, scalars, streaming replays.
     "json_extract_props",
-    # streaming replays (batch-parity checked)
     "stream_tumbling_1m",
-    "stream_session_5m",
-    # relational core: joins + window functions
-    "left_join_order_counts",
-    "percentile_order_value",
-    # temporal joins
-    "asof_join_purchase_click",
-    # TPC-H shapes (q6/q12/q17/q22 first checked r05;
-    # q5/q7/q8/q10/q11/q13/q16/q19 NEW r06)
-    "q6_forecast_revenue",
-    "q12_priority_by_ship_month",
-    "q17_small_quantity_revenue",
-    "q22_idle_balance_customers",
-    "q5_local_supplier_volume",
-    "q7_two_nation_volume",
-    "q8_market_share",
-    "q10_returned_item_customers",
-    "q11_important_stock",
-    "q13_customer_order_distribution",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    # LLM-pipeline: dedup cascade, curation, sharding — near_dup_clusters
-    # and dedup_keep_best run the r6-capped candidate stage (first driver
-    # check of the capped form); fuzzy record linkage NEW r06
+    "stream_static_enrich",
+    # relational core: window/aggregate shapes
+    "approx_percentile_order_value",
+    # temporal joins (tolerance-bounded as-of NEW to the driver)
+    "asof_join_tolerance",
+    # TPC-H shapes never driver-checked before r7
+    "q4_order_priority_checking",
+    "q15_top_supplier",
+    "q18_large_volume_customers",
+    "q20_excess_stock_suppliers",
+    # warehouse/curation ops (all NEW r6, first driver check)
+    "scd2_priority_history",
+    "snapshot_diff_orders",
+    "hll_distinct_merge",
+    "rollup_cascade_hourly",
+    "incremental_rollup_merge",
+    # data-quality tier (NEW r6, first driver check)
+    "dq_rule_violations",
+    "quarantine_events",
+    # LLM-pipeline: dedup cascade, curation, sharding
     "dedup_exact_fingerprint",
-    "source_mixture_weights",
     "containment_pairs",
-    "minhash_lsh_pairs_md5",
-    "near_dup_clusters",
-    "dedup_keep_best",
+    "dedup_keep_best_lsh",
+    "dup_span_coverage",
+    "incremental_dedup_new_docs",
+    "leakage_safe_split",
+    "quality_prune_by_source",
     "fuzzy_match_documents",
     "corpus_curation_pipeline",
     "token_budget_shards",
-    # text + similarity (int8 ANN, IVF ANN, LSH dup pairs, lang-ID all
-    # first-time driver checks r06)
+    # text + similarity
     "text_stats_per_doc",
     "tfidf_top_terms",
+    "top_ngram_coverage",
     "simhash_signature_md5",
     "winnowing_fingerprints_md5",
     "language_id_pred",
     "cosine_topk_int8",
     "ivf_topk",
     "cosine_dup_pairs_lsh",
-    "semantic_dedup_pairs_fixed",
     "lsh_topk",
     "knn_join_bulk",
-    # multimodal (one slot per modality + resize NEW r06)
-    "multimodal_decode",
+    "kmeans_assignments_fixed",
+    # multimodal (one slot per modality + resize + frame sampling)
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "multimodal_resize",
+    "multimodal_frames",
     # time-series + product analytics
     "gapfill_interpolate_daily",
     "time_weighted_avg",
     "mad_anomalies",
     "funnel_signup_to_purchase",
-    # deterministic sampling family (first checked r05)
+    # deterministic sampling family
     "train_val_test_split",
     "stratified_sample_by_lang",
     "mixture_downsample_uniform",
