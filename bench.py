@@ -82,6 +82,11 @@ EXTENDED = [
     "leakage_safe_split",
     "quality_prune_by_source",
     "incremental_dedup_new_docs",
+    # round-7 additions: stream-static broadcast enrichment, fixed-seed
+    # k-means twin, embedding-space incremental dedup
+    "stream_static_enrich",
+    "kmeans_assignments_fixed",
+    "incremental_semantic_dedup_fixed",
 ]
 
 

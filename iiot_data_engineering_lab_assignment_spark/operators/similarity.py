@@ -27,6 +27,7 @@ __all__ = [
     "assign_cells",
     "kmeans_train",
     "semantic_dedup_pairs",
+    "incremental_semantic_dedup",
 ]
 
 
@@ -650,3 +651,80 @@ def semantic_dedup_pairs(
         )
 
     return assigned.groupBy("cell").applyInPandas(cell_gemm, out_schema)
+
+
+def incremental_semantic_dedup(
+    history: DataFrame,
+    increment: DataFrame,
+    cents: dict[int, list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space increment-vs-history dedup — the SemDeDup analogue
+    of :func:`operators.dedup.incremental_dedup`, completing the
+    incremental story across both tiers: a daily embedding increment is
+    compared against accumulated history WITHOUT ever re-pairing history
+    with itself.
+
+    ``cents`` is the FIXED coarse quantizer (production: trained once on
+    history with :func:`kmeans_train` and stored; re-trained only on
+    drift).  Both sides assign to cells in a scan (centroids broadcast
+    as literals), then each cell runs one Arrow-batched cross-GEMM of
+    the increment slab against the history slab via cogrouped
+    applyInPandas — cost O(|inc_cell| x |hist_cell| x d) per cell,
+    never |hist|^2; a cell with an empty increment slab does no work, so
+    the daily cost is O(increment) as history grows.  In production the
+    history side's assignments are a precomputed stored table partitioned
+    by cell, so only the increment is assigned per run.
+
+    Returns (id_new, id_hist, cell, cosine) for cosine >= threshold.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    h = assign_cells(history, cents, id_col, emb_col)
+    i = assign_cells(increment, cents, id_col, emb_col)
+    out_schema = StructType(
+        [
+            StructField("id_new", LongType(), False),
+            StructField("id_hist", LongType(), False),
+            StructField("cell", IntegerType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    empty = pd.DataFrame({"id_new": [], "id_hist": [], "cell": [], "cosine": []})
+
+    def cell_cross(key, ipdf: pd.DataFrame, hpdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        (cell,) = key
+        if len(ipdf) == 0 or len(hpdf) == 0:
+            return empty
+        I = np.stack(ipdf[emb_col].to_numpy()).astype(np.float64)
+        H = np.stack(hpdf[emb_col].to_numpy()).astype(np.float64)
+        I /= np.linalg.norm(I, axis=1, keepdims=True)
+        H /= np.linalg.norm(H, axis=1, keepdims=True)
+        S = I @ H.T
+        ia, ih = np.where(S >= threshold)
+        return pd.DataFrame(
+            {
+                "id_new": ipdf[id_col].to_numpy()[ia],
+                "id_hist": hpdf[id_col].to_numpy()[ih],
+                "cell": np.full(len(ia), cell, dtype=np.int32),
+                "cosine": np.round(S[ia, ih], 6),
+            }
+        )
+
+    return (
+        i.groupBy("cell")
+        .cogroup(h.groupBy("cell"))
+        .applyInPandas(cell_cross, out_schema)
+    )

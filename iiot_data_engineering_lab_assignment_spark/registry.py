@@ -5220,6 +5220,85 @@ def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_semantic_dedup_fixed",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8
+    ), a AS (
+      SELECT vec_id, ev, cell FROM (
+        SELECT e.vec_id, e.ev, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM e CROSS JOIN cents c)
+      WHERE rn = 1
+    ), hist AS (
+      SELECT * FROM a WHERE vec_id < 250
+    ), inc AS (
+      SELECT * FROM a WHERE vec_id >= 250
+    )
+    SELECT i.vec_id AS id_new, h.vec_id AS id_hist,
+           CAST(i.cell AS INTEGER) AS cell,
+           CAST(ROUND((list_dot_product(i.ev, h.ev)
+                       / (sqrt(list_dot_product(i.ev, i.ev))
+                          * sqrt(list_dot_product(h.ev, h.ev))))
+                      * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cosine
+    FROM inc i JOIN hist h ON i.cell = h.cell
+    WHERE list_dot_product(i.ev, h.ev)
+          / (sqrt(list_dot_product(i.ev, i.ev))
+             * sqrt(list_dot_product(h.ev, h.ev))) >= 0.4
+    """,
+)
+def incremental_semantic_dedup_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: hash-checkable twin of the embedding-space
+    increment-vs-history dedup (``operators.similarity.
+    incremental_semantic_dedup`` carries the production cogrouped-GEMM
+    form; its pair-set agreement with this JVM form is pytest-asserted).
+    History = vec_id < 250, increment = the rest, quantizer = the fixed
+    vec_id 0..7 centroids (the semantic_dedup_pairs_fixed convention).
+    Candidate generation is cell-blocked — increment x history within a
+    cell, NEVER history x history — and the pair stage is an in-cell
+    equi-join with sequential-fold cosines, micro-unit rounded, so both
+    engines reproduce it bit-for-bit.  Threshold 0.4 (near-uniform
+    fixture embeddings, as in the other fixed twins)."""
+    from .operators.similarity import _as_double, assign_cells, dot, l2_norm
+
+    k, threshold, split = 8, 0.4, 250
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < k).collect()
+    }
+    assigned = assign_cells(emb, cents)
+    h = assigned.filter(F.col("vec_id") < split).select(
+        F.col("vec_id").alias("id_hist"),
+        "cell",
+        _as_double(F.col("embedding")).alias("eh"),
+    )
+    i = assigned.filter(F.col("vec_id") >= split).select(
+        F.col("vec_id").alias("id_new"),
+        "cell",
+        _as_double(F.col("embedding")).alias("ei"),
+    )
+    cos = dot(F.col("ei"), F.col("eh")) / (l2_norm(F.col("ei")) * l2_norm(F.col("eh")))
+    return (
+        i.join(h, ["cell"])
+        .filter(cos >= threshold)
+        .select(
+            "id_new",
+            "id_hist",
+            F.col("cell").cast("int").alias("cell"),
+            (F.round(cos * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+@register(
     "corpus_curation_pipeline",
     """
     WITH scored AS (
@@ -5989,6 +6068,22 @@ DRIVER_WINDOW: list[str] = [
     # r6 oracle upgrades (multimodal_frames,
     # approx_percentile_order_value), and the two NEW r7 queries
     # (stream_static_enrich, kmeans_assignments_fixed).
+    #
+    # Remaining never-driver-checked queue for r8 (all pass the local
+    # gate): string_functions, null_handling, conditional_aggregates,
+    # having_clause, daily_activity, dense_rank_ntile, array_functions,
+    # regex_extract_docs, date_math_orders, stats_moments,
+    # math_functions, in_subquery, first_last_window,
+    # percent_rank_cume_dist, grouping_indicator, chunk_documents,
+    # pack_chunks, redact_pii, stratified_take_per_lang,
+    # ngram_repetition_stats, latest_reading_per_sensor,
+    # sensor_gap_report, cosine_dup_pairs,
+    # stream_range_join_purchase_click, the NEW r7
+    # incremental_semantic_dedup_fixed, plus the rows-only five
+    # (multimodal_features, cosine_dup_pairs_blocked,
+    # winnowing_fingerprints, kmeans_assignments, semantic_dedup_pairs —
+    # weaker rows-only driver checks; their hash twins are in-window or
+    # already green).
     #
     # section-2 IIoT core: projections, scalars, streaming replays.
     "json_extract_props",

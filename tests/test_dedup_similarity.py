@@ -588,3 +588,48 @@ def test_incremental_dedup_tiers_and_scope(spark):
     assert rows[10]["jaccard"] == 1.0
     assert rows[11]["tier"] == "near" and rows[11]["matched_doc"] == 1
     assert 0.8 <= rows[11]["jaccard"] < 1.0
+
+
+def test_incremental_semantic_dedup_gemm_matches_jvm_twin(spark, embeddings):
+    """NEW r7: the production cogrouped-GEMM form of embedding-space
+    increment-vs-history dedup must agree with the JVM sequential-fold
+    form the registry's hash oracle pins — same pair set, cosines within
+    GEMM summation-order noise; and no history x history or increment x
+    increment pair may appear."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        _as_double,
+        assign_cells,
+        dot,
+        incremental_semantic_dedup,
+        l2_norm,
+    )
+
+    k, threshold, split = 8, 0.4, 250
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in embeddings.filter(F.col("vec_id") < k).collect()
+    }
+    history = embeddings.filter(F.col("vec_id") < split)
+    increment = embeddings.filter(F.col("vec_id") >= split)
+    gemm = incremental_semantic_dedup(history, increment, cents, threshold=threshold)
+    rows = gemm.collect()
+    assert all(r["id_new"] >= split and r["id_hist"] < split for r in rows)
+
+    assigned = assign_cells(embeddings, cents)
+    h = assigned.filter(F.col("vec_id") < split).select(
+        F.col("vec_id").alias("id_hist"), "cell",
+        _as_double(F.col("embedding")).alias("eh"),
+    )
+    i = assigned.filter(F.col("vec_id") >= split).select(
+        F.col("vec_id").alias("id_new"), "cell",
+        _as_double(F.col("embedding")).alias("ei"),
+    )
+    cos = dot(F.col("ei"), F.col("eh")) / (l2_norm(F.col("ei")) * l2_norm(F.col("eh")))
+    jvm = {
+        (r["id_new"], r["id_hist"]): r["c"]
+        for r in i.join(h, ["cell"]).filter(cos >= threshold)
+        .select("id_new", "id_hist", cos.alias("c")).collect()
+    }
+    got = {(r["id_new"], r["id_hist"]): r["cosine"] for r in rows}
+    assert set(got) == set(jvm)
+    assert all(abs(got[p] - jvm[p]) < 1e-6 for p in got)

@@ -119,29 +119,34 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-6 rotation: 15 never-driver-checked representatives swapped in
-    # for multiply-green cousins (r5 verdict ask #2)
+    # round-7 rotation: 22 first-time queries swapped in for driver-green
+    # cousins (r6 verdict ask #1)
     for required in [
-        "fuzzy_match_documents", "dedup_keep_best", "cosine_topk_int8",
-        "ivf_topk", "language_id_pred", "cosine_dup_pairs_lsh",
-        "multimodal_resize", "q5_local_supplier_volume",
-        "q7_two_nation_volume", "q8_market_share",
-        "q10_returned_item_customers", "q11_important_stock",
-        "q13_customer_order_distribution", "q16_supplier_part_counts",
-        "q19_disjunctive_revenue",
+        "stream_static_enrich", "kmeans_assignments_fixed",
+        "approx_percentile_order_value", "asof_join_tolerance",
+        "q4_order_priority_checking", "q15_top_supplier",
+        "q18_large_volume_customers", "q20_excess_stock_suppliers",
+        "scd2_priority_history", "snapshot_diff_orders",
+        "hll_distinct_merge", "rollup_cascade_hourly",
+        "incremental_rollup_merge", "dq_rule_violations",
+        "quarantine_events", "dedup_keep_best_lsh", "dup_span_coverage",
+        "incremental_dedup_new_docs", "leakage_safe_split",
+        "quality_prune_by_source", "top_ngram_coverage",
+        "multimodal_frames",
         # families that must never lose their in-window representative
-        "stream_tumbling_1m", "stream_session_5m", "json_extract_props",
-        "left_join_order_counts", "percentile_order_value",
-        "asof_join_purchase_click", "q6_forecast_revenue",
+        "stream_tumbling_1m", "json_extract_props",
         "dedup_exact_fingerprint", "containment_pairs",
-        "minhash_lsh_pairs_md5", "near_dup_clusters",
-        "multimodal_decode", "multimodal_audio_decode",
-        "multimodal_video_frames", "gapfill_interpolate_daily",
+        "fuzzy_match_documents", "cosine_topk_int8", "ivf_topk",
+        "language_id_pred", "cosine_dup_pairs_lsh",
+        "multimodal_audio_decode", "multimodal_video_frames",
+        "multimodal_resize", "gapfill_interpolate_daily",
         "mad_anomalies", "funnel_signup_to_purchase",
         "corpus_curation_pipeline", "token_budget_shards",
         "train_val_test_split", "zorder_key_events",
-        "semantic_dedup_pairs_fixed", "lsh_topk", "knn_join_bulk",
-        "tfidf_top_terms",
+        "lsh_topk", "knn_join_bulk", "tfidf_top_terms",
+        "text_stats_per_doc", "simhash_signature_md5",
+        "winnowing_fingerprints_md5", "time_weighted_avg",
+        "stratified_sample_by_lang", "mixture_downsample_uniform",
     ]:
         assert required in registry.DRIVER_WINDOW, required
     # every window entry must carry an oracle (strict round-4 invariant)
