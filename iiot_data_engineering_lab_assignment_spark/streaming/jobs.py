@@ -38,6 +38,7 @@ __all__ = [
     "events_file_stream",
     "streaming_rollup",
     "streaming_enrich_dim",
+    "dim_refresh_enrich_writer",
     "streaming_dedup",
     "run_events_stream_rollup",
     "run_events_stream_enriched_rollup",
@@ -133,6 +134,36 @@ def streaming_enrich_dim(
     the dimension as of that batch; swap the dim by restarting the query
     or reading it per-batch in foreachBatch for slowly-changing dims."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def dim_refresh_enrich_writer(
+    dim_path: str,
+    out_dir: str,
+    on: str | list[str],
+    how: str = "inner",
+):
+    """foreachBatch writer for SLOWLY-CHANGING dimension enrichment: the
+    dimension table is RE-READ from ``dim_path`` at every micro-batch,
+    so an updated dim (overwritten between batches by a nightly refresh,
+    an SCD2 build, or a WAP publish) takes effect on the next batch
+    without restarting the streaming query — the complement of
+    :func:`streaming_enrich_dim`, which pins the dim for the query's
+    lifetime.
+
+    The join inside the batch is still an explicit broadcast (the stream
+    side never shuffles); output is overwrite-per-batch_id partitions,
+    so a checkpoint retry reproduces its own batch idempotently.  Point
+    ``dim_path`` at a WAP table's published version for atomic dim swaps
+    (a half-written dim overwrite is otherwise observable mid-read)."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        dim = spark.read.parquet(dim_path)
+        df.join(F.broadcast(dim), on, how).write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return write
 
 
 def run_events_stream_enriched_rollup(

@@ -439,3 +439,48 @@ def test_stream_static_enrich_parity_and_broadcast(spark):
     fact_leg = plan.split("BroadcastHashJoin", 1)[1].split("BroadcastExchange", 1)[0]
     assert "events.parquet" in fact_leg
     assert "Exchange" not in fact_leg
+
+
+def test_dim_refresh_enrich_writer_picks_up_dim_change(spark, tmp_path):
+    """NEW r7: slowly-changing dimension enrichment — the foreachBatch
+    writer re-reads the dim per micro-batch, so a dim overwrite between
+    batches is reflected in the next batch's output without restarting
+    the query (streaming_enrich_dim's complement for non-static dims)."""
+    import uuid
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        dim_refresh_enrich_writer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    out_dir = str(tmp_path / "out")
+    schema = "k long, v double"
+    spark.createDataFrame([(1, "alpha")], "k long, site string").write.parquet(dim_path)
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    write = dim_refresh_enrich_writer(dim_path, out_dir, "k")
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .queryName(f"dimref_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        spark.createDataFrame([(1, 10.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        # dim refresh between batches
+        spark.createDataFrame([(1, "beta")], "k long, site string").write.mode(
+            "overwrite"
+        ).parquet(dim_path)
+        spark.createDataFrame([(1, 20.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["v"]: r["site"] for r in spark.read.parquet(out_dir).collect()}
+    assert rows == {10.0: "alpha", 20.0: "beta"}
