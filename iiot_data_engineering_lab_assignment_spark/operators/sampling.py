@@ -32,6 +32,7 @@ __all__ = [
     "sample_fraction",
     "train_val_test_split",
     "stratified_sample",
+    "epoch_shuffle",
 ]
 
 #: 2^52 - the 13-hex-digit hash fits in a double's mantissa exactly.
@@ -106,3 +107,53 @@ def stratified_sample(
     for k, v in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == F.lit(k), F.lit(v)).otherwise(frac)
     return df.filter(hash_uniform(key_col, salt) < frac)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-epoch permutation: a stable pseudo-random
+    global order over the corpus, different per epoch, identical across
+    runs/retries/cluster sizes — what a training loader needs instead of
+    ``ORDER BY rand()`` (task-seeded, unreproducible) or a driver-side
+    shuffle (doesn't scale).
+
+    Order key = md5("epoch:<epoch>:<id>"); shard = the key's 16-bit
+    prefix range-partitioned into ``n_shards``; pos = rank of the key
+    within the shard.  The total
+    order is (shard, pos): readers consume shards in shard order — a
+    distributed sort with NO single-task global stage, because the
+    shard id is itself derived from the key's most significant digits,
+    so concatenating shards in order IS the sorted-by-key order.  One
+    shard-keyed exchange + per-shard sort; shards are the parallel unit
+    for both the write and the training read.
+
+    Output: (id, epoch, shard, pos) — pos is 1-based within shard.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1 or n_shards > 0x10000:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    key = F.md5(
+        F.concat_ws(":", F.lit("epoch"), F.lit(str(epoch)), F.col(id_col).cast("string"))
+    )
+    # shard = RANGE partition of the key's 16-bit prefix (div, not mod):
+    # shard order == key order, so the (shard, pos) concatenation is the
+    # globally sorted order with no single-task stage
+    prefix = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    # exact in double (prefix*n_shards <= 2^32, /2^16 dyadic), so floor
+    # is deterministic and mirrors the SQL oracle bit-for-bit
+    shard = F.floor(prefix * n_shards / F.lit(0x10000)).cast("int")
+    tagged = docs.select(
+        F.col(id_col), key.alias("_key"), shard.alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    return tagged.select(
+        id_col,
+        F.lit(epoch).alias("epoch"),
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )

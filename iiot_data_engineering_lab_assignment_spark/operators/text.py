@@ -29,6 +29,7 @@ __all__ = [
     "ngram_repetition",
     "top_ngram_coverage",
     "token_budget_shards",
+    "length_bucket_packing",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
@@ -496,4 +497,59 @@ def token_budget_shards(
             "cum_tokens",
             F.expr(f"(cum_tokens - n_tokens) div {budget}").alias("shard_id"),
         )
+    )
+
+
+def length_bucket_packing(
+    docs: DataFrame,
+    batch_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-length bucketing for training-batch efficiency: group
+    documents into power-of-two token-length buckets, then pack each
+    bucket into fixed-size micro-batches in a deterministic order, and
+    report each batch's padded length — the standard padding-waste
+    reducer (batching random-length sequences pads everything to the
+    batch max; batching within a length bucket pads only to the bucket's
+    local max).
+
+    bucket = 2^ceil(log2(n_tokens)) (empty docs land in bucket 1);
+    batch_idx = 0-based position-div-batch_size within the bucket,
+    ordered by (n_tokens, id) so short batches pack with short;
+    pad_to = the batch's max token count — SUM(pad_to - n_tokens) over
+    the output is the total padding waste, directly comparable across
+    bucketing strategies.
+
+    Scale: one bucket-keyed exchange serves the packing window; the
+    per-batch max is a second window over the (bucket, batch_idx)
+    refinement of the same ordering.  No global sort — buckets are
+    independent, and at corpus scale the bucket key fans out to at most
+    ~40 distinct values, so compose with a salt on the window key if one
+    bucket dominates (same pattern as salted_join).
+
+    Output: (id, n_tokens, bucket, batch_idx, pad_to).
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(F.col(text_col))
+    base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    # bucket = smallest power of two >= n_tokens, computed INTEGER-side
+    # (2^bit_length(n-1)), never via float log2 — log2 of an exact power
+    # of two can land a hair under the integer in either engine and
+    # silently halve the bucket, breaking cross-engine agreement
+    bucket = F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint),"
+            " length(conv(cast(n_tokens - 1 as string), 10, 2))) as long)"
+        )
+    )
+    tagged = base.withColumn("bucket", bucket)
+    w = Window.partitionBy("bucket").orderBy("n_tokens", id_col)
+    packed = tagged.withColumn(
+        "batch_idx", ((F.row_number().over(w) - 1) / batch_size).cast("long")
+    )
+    wb = Window.partitionBy("bucket", "batch_idx")
+    return packed.withColumn("pad_to", F.max("n_tokens").over(wb)).select(
+        id_col, "n_tokens", "bucket", "batch_idx", "pad_to"
     )

@@ -5220,6 +5220,78 @@ def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_shuffle_order",
+    """
+    WITH keyed AS (
+      SELECT doc_id, md5('epoch:1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, k,
+             CAST(FLOOR(CAST(('0x' || substr(k, 1, 4)) AS BIGINT) * 64 / 65536.0)
+                  AS INTEGER) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, 1 AS epoch, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS INTEGER) AS pos
+    FROM sharded
+    """,
+)
+def epoch_shuffle_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: deterministic training-epoch permutation — the stable
+    pseudo-random global order a training loader needs instead of ORDER
+    BY rand() (task-seeded, unreproducible on retry) or a driver-side
+    shuffle.  Order key = md5(epoch:id); shard = range partition of the
+    key's 16-bit prefix, so concatenating shards in shard order IS the
+    key-sorted order — a distributed sort with no single-task global
+    stage (one shard-keyed exchange + per-shard sort).  Epoch 1,
+    64 shards over the documents table."""
+    from .operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, epoch=1, n_shards=64)
+
+
+@register(
+    "length_bucket_packing",
+    """
+    WITH base AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), tagged AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens <= 1 THEN CAST(1 AS BIGINT)
+                  ELSE CAST((CAST(1 AS BIGINT) << len(to_base(n_tokens - 1, 2)))
+                            AS BIGINT)
+             END AS bucket
+      FROM base
+    ), packed AS (
+      SELECT doc_id, n_tokens, bucket,
+             CAST(FLOOR((row_number() OVER (PARTITION BY bucket
+                                            ORDER BY n_tokens, doc_id) - 1)
+                        / 8.0) AS BIGINT) AS batch_idx
+      FROM tagged
+    )
+    SELECT doc_id, n_tokens, bucket, batch_idx,
+           MAX(n_tokens) OVER (PARTITION BY bucket, batch_idx) AS pad_to
+    FROM packed
+    """,
+)
+def length_bucket_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: sequence-length bucketing for training-batch efficiency —
+    power-of-two token-length buckets, fixed-size micro-batches packed
+    short-with-short inside each bucket, and the per-batch padded
+    length (pad_to), so SUM(pad_to - n_tokens) measures padding waste
+    directly.  The bucket is computed integer-side (2^bit_length(n-1)),
+    never via float log2, so both engines agree at exact powers of two.
+    One bucket-keyed exchange serves the packing window; batch_size 8."""
+    from .operators.text import length_bucket_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_bucket_packing(docs, batch_size=8)
+
+
+@register(
     "incremental_semantic_dedup_fixed",
     """
     WITH e AS (
@@ -6078,8 +6150,9 @@ DRIVER_WINDOW: list[str] = [
     # pack_chunks, redact_pii, stratified_take_per_lang,
     # ngram_repetition_stats, latest_reading_per_sensor,
     # sensor_gap_report, cosine_dup_pairs,
-    # stream_range_join_purchase_click, the NEW r7
-    # incremental_semantic_dedup_fixed, plus the rows-only five
+    # stream_range_join_purchase_click, the NEW r7 additions
+    # incremental_semantic_dedup_fixed / epoch_shuffle_order /
+    # length_bucket_packing, plus the rows-only five
     # (multimodal_features, cosine_dup_pairs_blocked,
     # winnowing_fingerprints, kmeans_assignments, semantic_dedup_pairs —
     # weaker rows-only driver checks; their hash twins are in-window or

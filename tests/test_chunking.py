@@ -175,3 +175,33 @@ def test_token_budget_shards_span_scales_with_corpus(spark):
     total = docs.select(F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("t")).first()["t"]
     last = derived.orderBy(F.desc("doc_id")).first()
     assert last["cum_tokens"] == total
+
+
+def test_length_bucket_packing_invariants(spark, documents):
+    """length_bucket_packing: bucket is the smallest power of two >=
+    n_tokens (exactly, including at powers of two); batches hold at most
+    batch_size docs within one bucket; pad_to is the batch max, so
+    pad_to >= n_tokens and padding waste is non-negative."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        length_bucket_packing,
+    )
+
+    out = length_bucket_packing(documents, batch_size=8).collect()
+    assert len(out) == documents.count()
+    for r in out:
+        b, n = r["bucket"], r["n_tokens"]
+        assert b & (b - 1) == 0 and b >= max(n, 1)  # power of two, covers n
+        if n > 1:
+            assert b < 2 * n  # smallest such power
+        assert r["pad_to"] >= n
+    from collections import Counter, defaultdict
+
+    sizes = Counter((r["bucket"], r["batch_idx"]) for r in out)
+    assert max(sizes.values()) <= 8
+    batch_max = defaultdict(int)
+    for r in out:
+        batch_max[(r["bucket"], r["batch_idx"])] = max(
+            batch_max[(r["bucket"], r["batch_idx"])], r["n_tokens"]
+        )
+    for r in out:
+        assert r["pad_to"] == batch_max[(r["bucket"], r["batch_idx"])]

@@ -217,3 +217,50 @@ def test_quality_prune_keeps_single_doc_sources(spark, tmp_path):
     assert 1 in kept and kept[1] == "lonely"
     # 'big' has 3 docs: cume_dist 1/3 <= 0.4 drops exactly the worst one.
     assert len([s for s in kept.values() if s == "big"]) == 2
+
+
+def test_epoch_shuffle_is_stable_permutation(spark, documents):
+    """epoch_shuffle: (1) every doc appears exactly once with a unique
+    (shard, pos) slot; (2) concatenating shards in shard order yields the
+    md5-key-sorted order (the no-global-stage distributed sort claim);
+    (3) the order is reproducible across calls but differs across
+    epochs."""
+    from iiot_data_engineering_lab_assignment_spark.operators.sampling import (
+        epoch_shuffle,
+    )
+
+    out = epoch_shuffle(documents, epoch=1, n_shards=16)
+    rows = out.collect()
+    assert len(rows) == documents.count()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    assert len({(r["shard"], r["pos"]) for r in rows}) == len(rows)
+
+    # concatenated shard order == global key order
+    concat_order = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["pos"]))
+    ]
+    keyed = documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit("epoch"), F.lit("1"),
+                          F.col("doc_id").cast("string"))).alias("k"),
+    ).collect()
+    key_order = [r["doc_id"] for r in sorted(keyed, key=lambda r: (r["k"], r["doc_id"]))]
+    assert concat_order == key_order
+
+    # stable across calls, different across epochs
+    again = [
+        r["doc_id"]
+        for r in sorted(
+            epoch_shuffle(documents, epoch=1, n_shards=16).collect(),
+            key=lambda r: (r["shard"], r["pos"]),
+        )
+    ]
+    assert again == concat_order
+    other = [
+        r["doc_id"]
+        for r in sorted(
+            epoch_shuffle(documents, epoch=2, n_shards=16).collect(),
+            key=lambda r: (r["shard"], r["pos"]),
+        )
+    ]
+    assert other != concat_order and sorted(other) == sorted(concat_order)
