@@ -83,10 +83,13 @@ EXTENDED = [
     "quality_prune_by_source",
     "incremental_dedup_new_docs",
     # round-7 additions: stream-static broadcast enrichment, fixed-seed
-    # k-means twin, embedding-space incremental dedup
+    # k-means twin, embedding-space incremental dedup, epoch shuffle,
+    # length-bucket packing
     "stream_static_enrich",
     "kmeans_assignments_fixed",
     "incremental_semantic_dedup_fixed",
+    "epoch_shuffle_order",
+    "length_bucket_packing",
 ]
 
 
