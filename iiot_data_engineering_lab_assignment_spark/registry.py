@@ -1850,28 +1850,34 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS merge_invariant
+           TRUE AS merge_consistent
     FROM events
     GROUP BY 1
     """,
 )
 def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r6: INCREMENTAL DISTINCT COUNTING — the sketch companion to
-    incremental_rollup_merge.  COUNT(DISTINCT) is the one core aggregate
-    with no algebraic partial state (a per-day distinct count cannot be
-    summed), so a 100 TB pipeline persists per-day HLL SKETCHES
-    (Datasketches binary, `hll_sketch_agg`) and answers all-time distinct
-    queries by register-wise-max union (`hll_union_agg`) — never
-    re-scanning history, mergeable across any slicing.
+    """NEW r6 (claim corrected r7): INCREMENTAL DISTINCT COUNTING — the
+    sketch companion to incremental_rollup_merge.  COUNT(DISTINCT) is
+    the one core aggregate with no algebraic partial state (a per-day
+    distinct count cannot be summed), so a 100 TB pipeline persists
+    per-day HLL SKETCHES (Datasketches binary, `hll_sketch_agg`) and
+    answers all-time distinct queries by register-wise-max union
+    (`hll_union_agg`) — never re-scanning history, mergeable across any
+    slicing.
 
-    The oracle-checked claim: the merged-from-daily-sketches estimate is
-    IDENTICAL to the direct single-pass estimate (union is register-wise
-    max; a one-pass sketch holds the same registers — merge invariance,
-    the property that makes a sketch store sound), exported as a boolean
-    the SQL oracle asserts TRUE per group, alongside the exact distinct
-    count both engines compute.  The estimate VALUE stays engine-internal
-    (Datasketches impl detail) — accuracy vs exact is covered by
-    approx_distinct_users' rsd-bound test."""
+    The oracle-checked claim (corrected at sf0.1, r7): while sketches
+    remain in exact coupon mode the merged and direct estimates are
+    bit-identical, but once a sketch promotes to dense HLL the direct
+    streaming path uses the HIP estimator while a union must fall back
+    to the composite estimator (public Apache Datasketches behavior) —
+    so estimate EQUALITY does not survive scale.  The sound cross-scale
+    property, asserted TRUE per group by the oracle, is that the
+    merged-from-daily estimate agrees with BOTH the direct estimate and
+    the exact count within a 5% envelope (~3x the lgK=12 rsd of 1.6%),
+    alongside the exact distinct count both engines compute.  The
+    estimate VALUE stays engine-internal (Datasketches impl detail) —
+    accuracy vs exact is additionally covered by approx_distinct_users'
+    rsd-bound test."""
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.withColumn("day", F.to_date("ts"))
@@ -1885,12 +1891,23 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("direct_est"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    tol = 0.05
+    consistent = (
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= F.lit(tol) * F.col("exact_users")
+        )
+        & (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            <= F.lit(tol) * F.col("exact_users")
+        )
+    )
     return (
         direct.join(merged, "event_type")
         .select(
             "event_type",
             "exact_users",
-            (F.col("merged_est") == F.col("direct_est")).alias("merge_invariant"),
+            consistent.alias("merge_consistent"),
         )
     )
 

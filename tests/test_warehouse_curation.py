@@ -98,10 +98,15 @@ def test_partial_merge_equals_direct_under_any_slicing(spark, events):
 
 
 def test_hll_sketch_merge_invariant_under_any_slicing(spark, events):
-    """The sketch-store contract behind hll_distinct_merge: HLL union is
-    register-wise max, so sketches built under ANY slicing merge to the
-    exact same estimate as a single pass — and the estimate is exact-ish
-    at fixture cardinalities."""
+    """The sketch-store contract behind hll_distinct_merge, by regime
+    (r7 correction, found by the sf0.1 oracle gate): (a) while sketches
+    stay in exact coupon mode — fixture cardinalities — sketches built
+    under ANY slicing merge to the BIT-IDENTICAL estimate of a single
+    pass; (b) once promoted to dense HLL, the direct streaming path uses
+    the HIP estimator while a union falls back to the composite
+    estimator (public Datasketches behavior), so equality weakens to
+    agreement within the sketch's error envelope — which is the claim
+    the registered query exports."""
     direct = {
         r["event_type"]: r["est"]
         for r in events.groupBy("event_type")
@@ -116,7 +121,7 @@ def test_hll_sketch_merge_invariant_under_any_slicing(spark, events):
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
     )
     merged = {r["event_type"]: r["est"] for r in sliced.collect()}
-    assert merged == direct  # identical, not merely close
+    assert merged == direct  # coupon mode: identical, not merely close
     exact = {
         r["event_type"]: r["n"]
         for r in events.groupBy("event_type")
@@ -125,6 +130,23 @@ def test_hll_sketch_merge_invariant_under_any_slicing(spark, events):
     }
     for k, n in exact.items():
         assert abs(merged[k] - n) <= max(2, 0.05 * n)
+
+    # dense-HLL regime: 50k distinct ids force promotion past coupon
+    # mode; equality is NOT guaranteed (HIP vs composite estimator), the
+    # 5% envelope is
+    big = spark.range(0, 50_000).select(F.col("id").alias("user_id"))
+    d = big.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
+    ).head()["est"]
+    m = (
+        big.withColumn("slice", F.pmod(F.xxhash64("user_id"), F.lit(7)))
+        .groupBy("slice")
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .head()["est"]
+    )
+    assert abs(m - d) <= 0.05 * 50_000
+    assert abs(m - 50_000) <= 0.05 * 50_000 and abs(d - 50_000) <= 0.05 * 50_000
 
 
 def test_partial_merge_is_incremental(spark):
