@@ -181,7 +181,10 @@ def asof_join(
         # only `<int> <unit>` pairs so arbitrary expression text can never
         # ride in through the parameter (review finding r6/ADVICE).
         _unit = r"(?:year|month|week|day|hour|minute|second|millisecond|microsecond)s?"
-        if not re.fullmatch(rf"\s*\d+\s+{_unit}(?:\s+\d+\s+{_unit})*\s*", tolerance, re.IGNORECASE):
+        _num = r"\d+(?:\.\d+)?"  # fractional magnitudes are valid INTERVAL text
+        if not re.fullmatch(
+            rf"\s*{_num}\s+{_unit}(?:\s+{_num}\s+{_unit})*\s*", tolerance, re.IGNORECASE
+        ):
             raise ValueError(
                 f"tolerance must be '<n> <unit>' interval text (got {tolerance!r})"
             )

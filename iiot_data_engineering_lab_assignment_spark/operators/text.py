@@ -532,6 +532,8 @@ def length_bucket_packing(
     """
     from pyspark.sql import Window
 
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     n_tok = token_count(F.col(text_col))
     base = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
     # bucket = smallest power of two >= n_tokens, computed INTEGER-side

@@ -479,23 +479,34 @@ def vacuum_epochs(table_dir: str, grace_seconds: float = 0.0) -> int:
     reader can still hold an older manifest — the retention knob real
     table formats expose as VACUUM.  Returns dirs removed.
 
-    Writer-safety (ADVICE r6): the manifest is RE-READ immediately before
-    each delete, so an epoch committed by a concurrent
-    :func:`publish_epoch` between scan and delete is never removed.  A
-    dir that is STAGED but not yet committed is still unprotected by the
-    manifest — do not run vacuum while the streaming sink is actively
-    publishing, or pass ``grace_seconds`` > the sink's max batch duration
-    to skip any dir younger than that (mtime-based), which closes the
-    staging window too."""
+    Writer-safety (ADVICE r6, wording corrected r7): vacuum assumes the
+    table's single-maintenance-writer contract — do NOT run it while a
+    publisher is active.  As defense-in-depth for operator error, the
+    manifest is re-read immediately before each actual delete (an epoch
+    committed between the initial scan and that re-read is spared) and
+    ``grace_seconds`` skips any dir younger than the grace window
+    (mtime-based), which also covers staged-but-uncommitted dirs.  These
+    NARROW the race to the instants around the re-read; only the
+    no-concurrent-writer contract eliminates it — a filesystem manifest
+    has no compare-and-swap to fence against (real table formats use the
+    catalog's conditional commit for exactly this)."""
     import os
     import shutil
     import time
 
     manifest_path = os.path.join(table_dir, "_EPOCHS")
     edir = os.path.join(table_dir, "_epochs")
+
+    def referenced() -> set[str]:
+        with open(manifest_path) as f:
+            return {ln.strip() for ln in f if ln.strip()}
+
     removed = 0
     now = time.time()
+    keep = referenced()  # one read covers the common all-referenced case
     for d in sorted(os.listdir(edir)):
+        if d in keep:
+            continue
         path = os.path.join(edir, d)
         if grace_seconds > 0:
             try:
@@ -503,11 +514,10 @@ def vacuum_epochs(table_dir: str, grace_seconds: float = 0.0) -> int:
                     continue
             except OSError:
                 continue  # raced with a concurrent delete/rename: leave it
-        # re-read per delete: a concurrent publish may have committed this
-        # dir after the previous iteration's read
-        with open(manifest_path) as f:
-            referenced = {ln.strip() for ln in f if ln.strip()}
-        if d not in referenced:
+        # deletion candidate: re-read to confirm it was not committed
+        # since the scan (defense-in-depth, not a guarantee — see above)
+        keep = referenced()
+        if d not in keep:
             shutil.rmtree(path, ignore_errors=True)
             removed += 1
     return removed

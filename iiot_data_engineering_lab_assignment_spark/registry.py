@@ -5185,8 +5185,10 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT cell, unnest(ev) AS v, generate_subscripts(ev, 1) AS i FROM a2)
       GROUP BY cell, i
     ), c2 AS (
+      -- empty-cell fallback is the PREVIOUS iteration's centroid (c1),
+      -- not the seed: the engine dict-carries iteration-1 state
       SELECT s.cell, COALESCE(u.cv, s.cv) AS cv
-      FROM cents0 s
+      FROM c1 s
       LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS cv FROM u2 GROUP BY cell) u
         USING (cell)
     )

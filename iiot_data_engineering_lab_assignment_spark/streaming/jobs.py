@@ -463,28 +463,42 @@ def incremental_dedup_stream_writer(
     schema inference, or scanned.
 
     Within-batch exact duplicates collapse to the lowest id first and are
-    ALSO routed to the dups sink as ``tier='exact-intra'`` with
-    matched_doc = the surviving lowest id (ADVICE r6: dropping them
-    unrecorded made the dups table under-report).  Near-dup pairs WITHIN
-    one micro-batch remain out of scope, matching incremental_dedup's
-    contract — run the batch pair operators over history for a full
-    retro-pass.
+    ALSO routed to the dups sink as ``tier='exact-intra'`` (ADVICE r6:
+    dropping them unrecorded made the dups table under-report);
+    ``matched_doc`` always names a doc that actually SURVIVES — when the
+    batch's lowest-id copy is itself flagged against history, the
+    collapsed copies are redirected to that history match (review
+    finding r7), so resolving matched_doc against history + this batch's
+    clean set never dangles.  NULL-``text`` documents cannot match
+    anything (SQL NULL never equals NULL): they pass through to history
+    as non-duplicates rather than vanishing unrecorded (review finding
+    r7) — run a DQ quarantine upstream to keep them out entirely (see
+    tools/nightly_flow_probe.py).  Near-dup pairs WITHIN one micro-batch
+    remain out of scope, matching incremental_dedup's contract — run the
+    batch pair operators over history for a full retro-pass.
     """
-    from ..operators.dedup import exact_dedup_keep_first, incremental_dedup
+    from ..operators.dedup import incremental_dedup
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = exact_dedup_keep_first(batch_df, text_col, id_col)
-        # Intra-batch exact dups: same md5-fingerprint grouping as the
-        # incremental exact tier (16-byte shuffle key, text never shuffles).
-        fp_all = batch_df.select(F.col(id_col), F.md5(text_col).alias("fp"))
-        survivors = fp_all.groupBy("fp").agg(F.min(id_col).alias("matched_doc"))
+        # NULL-text docs: no fingerprint, can't be anyone's duplicate —
+        # carried straight through to history (never silently dropped).
+        nulls = batch_df.filter(F.col(text_col).isNull())
+        non_null = batch_df.filter(F.col(text_col).isNotNull())
+        # ONE md5-fingerprint grouping (16-byte shuffle key, text never
+        # shuffles) serves both the keep-first collapse and the intra-dup
+        # routing — same keying as the incremental exact tier, so the two
+        # stages can never disagree on the survivor.
+        fp_all = non_null.select(F.col(id_col), F.md5(text_col).alias("fp"))
+        survivors = fp_all.groupBy("fp").agg(F.min(id_col).alias("_keep"))
+        keep_ids = survivors.select(F.col("_keep").alias(id_col))
+        batch = non_null.join(keep_ids, id_col, "left_semi")
         intra = (
             fp_all.join(survivors, "fp")
-            .filter(F.col(id_col) != F.col("matched_doc"))
+            .filter(F.col(id_col) != F.col("_keep"))
             .select(
                 F.col(id_col),
-                F.col("matched_doc"),
+                F.col("_keep").alias("matched_doc"),
                 F.lit("exact-intra").alias("tier"),
                 F.lit(1.0).alias("jaccard"),
             )
@@ -509,12 +523,28 @@ def incremental_dedup_stream_writer(
                 prior, batch, threshold=threshold, text_col=text_col, id_col=id_col
             )
             clean = batch.join(flagged.select(id_col), id_col, "left_anti")
+            # Redirect intra dups whose survivor was itself flagged vs
+            # history: their identical text makes them duplicates of the
+            # SAME history doc, so matched_doc points there instead of at
+            # a doc that never reaches history.
+            redirect = flagged.select(
+                F.col(id_col).alias("matched_doc"),
+                F.col("matched_doc").alias("_final"),
+            )
+            intra = intra.join(redirect, "matched_doc", "left").select(
+                F.col(id_col),
+                F.coalesce("_final", "matched_doc").alias("matched_doc"),
+                "tier",
+                "jaccard",
+            )
             dups = flagged.unionByName(intra)
         else:
             clean = batch
             dups = intra
         dups.write.mode("overwrite").parquet(f"{dups_dir}/batch_id={batch_id}")
-        clean.write.mode("overwrite").parquet(f"{history_dir}/batch_id={batch_id}")
+        clean.unionByName(nulls).write.mode("overwrite").parquet(
+            f"{history_dir}/batch_id={batch_id}"
+        )
 
     return process
 

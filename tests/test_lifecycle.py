@@ -434,10 +434,11 @@ def test_wap_rollback_then_publish_preserves_stranded_legacy(spark, tmp_path):
 
 def test_vacuum_epochs_grace_skips_young_dirs(spark, tmp_path):
     """ADVICE r6: vacuum could delete a dir staged by a live
-    publish_epoch between its manifest read and the rmtree.  The
-    manifest is now re-read per delete (committed dirs always safe) and
-    grace_seconds skips any dir younger than the grace window — closing
-    the staged-but-uncommitted race too."""
+    publish_epoch between its manifest read and the rmtree.  Vacuum now
+    re-reads the manifest before each actual delete and grace_seconds
+    skips any dir younger than the grace window — defense-in-depth that
+    narrows the race; the single-maintenance-writer contract (don't run
+    vacuum while a publisher is active) is what eliminates it."""
     import os
 
     from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (

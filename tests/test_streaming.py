@@ -358,6 +358,25 @@ def test_incremental_dedup_stream_writer(spark, tmp_path):
         if r["tier"] == "exact-intra"
     } == {21}
 
+    # Review finding r7: when the batch's surviving copy is ITSELF
+    # flagged against history, the collapsed copies redirect to the
+    # history match — matched_doc never dangles on a non-survivor.
+    write(spark.createDataFrame([(30, base), (31, base)], schema), 3)
+    hist_ids = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert 30 not in hist_ids and 31 not in hist_ids  # both are dups of 1
+    b3 = {
+        r["doc_id"]: (r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(f"{dups}/batch_id=3").collect()
+    }
+    assert b3[30] == (1, "exact")
+    assert b3[31] == (1, "exact-intra")  # redirected past removed doc 30
+
+    # Review finding r7: NULL-text docs can't match anything — they pass
+    # through to history instead of vanishing unrecorded.
+    write(spark.createDataFrame([(40, None)], schema), 4)
+    assert 40 in {r["doc_id"] for r in spark.read.parquet(hist).collect()}
+    assert spark.read.parquet(f"{dups}/batch_id=4").count() == 0
+
 
 def test_incremental_dedup_stream_survives_crashed_partial(spark, tmp_path):
     """A crash can leave a footer-less partial parquet file in the

@@ -23,9 +23,11 @@ Stages (each timed):
 
 Planted increment composition (fractions of N_INC):
   2% exact duplicates of history, 2% near duplicates of history (base
-  text + 2 extra tokens), 1% intra-increment exact copies, 0.5% DQ
-  violations (empty text), rest fresh.  The probe asserts the flagged /
-  quarantined counts match the plant.
+  text + one extra token, J~0.93), 1% intra-increment exact copies,
+  0.5% DQ violations (NULL text), rest fresh.  The probe asserts the
+  flagged / quarantined counts match the plant; the bands reference
+  history docs by position, so n_increment * 2% must not exceed
+  n_history (validated at startup).
 
 Usage: python tools/nightly_flow_probe.py [n_history] [n_increment]
 Prints one JSON line.
@@ -131,6 +133,12 @@ def synth_increment(spark, n_hist: int, n_inc: int):
 def main() -> None:
     n_hist = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_inc = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    if int(n_inc * 0.02) > n_hist:
+        sys.exit(
+            f"n_increment*2% ({int(n_inc * 0.02)}) exceeds n_history ({n_hist}): "
+            "the exact/near bands reference history docs by position — "
+            "pass a larger n_history or a smaller n_increment"
+        )
     spark = get_spark("nightly-flow-probe")
     table = "/tmp/nightly_flow_probe_history"
     shutil.rmtree(table, ignore_errors=True)
