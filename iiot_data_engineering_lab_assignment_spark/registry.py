@@ -3575,6 +3575,185 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_point_in_time_join",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                    OR lag(o_orderpriority) OVER w <> o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), isl AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ), spans AS (
+      SELECT o_custkey, island,
+             MIN(o_orderpriority) AS span_priority,
+             MIN(o_orderdate) AS valid_from
+      FROM isl GROUP BY o_custkey, island
+    ), vspans AS (
+      SELECT o_custkey, span_priority, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY island)
+               AS valid_to
+      FROM spans
+    ), facts AS (
+      SELECT l.l_shipdate, o.o_custkey, o.o_orderpriority
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), matched AS (
+      -- INNER range join (IEJoin-friendly); by span contiguity a fact
+      -- matches iff l_shipdate >= the customer's first valid_from, so
+      -- the LEFT-join nulls are exactly the before-history leg below
+      SELECT f.l_shipdate,
+             CASE WHEN s.span_priority <> f.o_orderpriority
+                  THEN 1 ELSE 0 END AS chg,
+             0 AS beforeh
+      FROM facts f
+      JOIN vspans s
+        ON f.o_custkey = s.o_custkey
+       AND s.valid_from <= f.l_shipdate
+       AND (s.valid_to IS NULL OR f.l_shipdate < s.valid_to)
+    ), before AS (
+      SELECT f.l_shipdate, 0 AS chg, 1 AS beforeh
+      FROM facts f
+      JOIN (SELECT o_custkey, MIN(valid_from) AS h0 FROM vspans GROUP BY 1) fs
+        ON f.o_custkey = fs.o_custkey
+      WHERE f.l_shipdate < fs.h0
+    )
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(chg) AS BIGINT) AS n_priority_changed,
+           CAST(SUM(beforeh) AS BIGINT) AS n_before_history
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM before)
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: POINT-IN-TIME (bitemporal) join against SCD2 history —
+    the query an SCD2 table exists to answer: join each fact to the
+    dimension version valid AT THE FACT'S OWN TIME, not the current one.
+    Here each shipped lineitem looks up its customer's priority AS OF
+    the ship date (built by scd2_priority_history) and the rollup counts
+    items whose customer priority had CHANGED between order placement
+    and shipment — a number that is structurally nonzero, so the oracle
+    checks real temporal-join semantics, not a tautology.
+
+    Implemented as a LEFT interval join (custkey equi-key +
+    contiguous-span range residual), NOT the as-of union trick: two SCD2
+    spans can share a valid_from date (same-day attribute flip collapses
+    the older span to an empty interval), and the interval predicate
+    excludes empty spans deterministically where an as-of tie would be
+    partition-order-dependent.  LEFT because the fixture generator lets
+    some shipdates precede the customer's first order date — those facts
+    fall before recorded history and are REPORTED (n_before_history)
+    rather than silently dropped, the honest PIT contract.  One
+    key-partitioned shuffle; the span side is tiny (one row per
+    attribute change) and broadcasts."""
+    from pyspark.sql import Window
+
+    spans = scd2_priority_history(spark, sf_dir).select(
+        F.col("o_custkey"),
+        F.col("o_orderpriority").alias("span_priority"),
+        "valid_from",
+        "valid_to",
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    facts = li.select("l_orderkey", "l_shipdate").join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey", "o_orderpriority"
+        ),
+        "l_orderkey",
+    )
+    pit = facts.join(
+        F.broadcast(spans),
+        (facts["o_custkey"] == spans["o_custkey"])
+        & (spans["valid_from"] <= facts["l_shipdate"])
+        & (spans["valid_to"].isNull() | (facts["l_shipdate"] < spans["valid_to"])),
+        "left",
+    )
+    return (
+        pit.groupBy(F.trunc("l_shipdate", "mm").alias("ship_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.when(
+                    F.col("span_priority") != F.col("o_orderpriority"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_priority_changed"),
+            F.sum(
+                F.when(F.col("span_priority").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_before_history"),
+        )
+    )
+
+
+@register(
+    "ewma_sensor_state",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ), series AS (
+      SELECT user_id, list(v ORDER BY day) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_days, MAX(day) AS last_day
+      FROM daily GROUP BY 1
+    )
+    SELECT user_id, n_days, last_day,
+           CAST(ROUND(list_reduce(s, (acc, x) -> 0.3 * x + 0.7 * acc)
+                      * 1000000.0, 0) AS BIGINT) / 1000000.0 AS ewma
+    FROM series
+    """,
+)
+def ewma_sensor_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: exponentially-weighted moving average — the classic IIoT
+    sensor-smoothing statistic (y_t = 0.3 x_t + 0.7 y_{t-1}, seeded
+    y_1 = x_1) over each user's daily mean series, reporting the CURRENT
+    smoothed state per key (the stateful companion of
+    latest_reading_per_sensor).  The recurrence is inherently sequential,
+    so it runs as a per-key sorted-array fold — sort_array(collect_list)
+    then F.aggregate seeded with the first element, which DuckDB's
+    list_reduce reproduces operation-for-operation (same IEEE ops, same
+    order -> identical bits; micro-unit rounded on output).
+
+    Scale: one shuffle to the key; the per-key series must fit a task
+    (fine for per-day series).  For unbounded series, EWMA composes
+    ASSOCIATIVELY as affine maps — a segment folds to (m, c) with
+    y_out = m * y_in + c, m = 0.7^len — so segments tree-aggregate like
+    any algebraic partial; this registered form keeps the direct fold
+    the oracle can mirror."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    series = daily.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "v"))).alias("sv"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+    )
+    arr = F.transform(F.col("sv"), lambda e: e["v"])
+    ewma = F.aggregate(
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.element_at(arr, 1),
+        lambda acc, x: F.lit(0.3) * x + F.lit(0.7) * acc,
+    )
+    return series.select(
+        "user_id",
+        "n_days",
+        "last_day",
+        (F.round(ewma * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+            "ewma"
+        ),
+    )
+
+
+@register(
     "snapshot_diff_orders",
     """
     WITH new_t AS (
@@ -6171,7 +6350,8 @@ DRIVER_WINDOW: list[str] = [
     # sensor_gap_report, cosine_dup_pairs,
     # stream_range_join_purchase_click, the NEW r7 additions
     # incremental_semantic_dedup_fixed / epoch_shuffle_order /
-    # length_bucket_packing, plus the rows-only five
+    # length_bucket_packing / scd2_point_in_time_join /
+    # ewma_sensor_state, plus the rows-only five
     # (multimodal_features, cosine_dup_pairs_blocked,
     # winnowing_fingerprints, kmeans_assignments, semantic_dedup_pairs —
     # weaker rows-only driver checks; their hash twins are in-window or
