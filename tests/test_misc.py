@@ -245,3 +245,18 @@ def test_nightly_etl_wap_publishes_and_survives_bad_run(spark, events, tmp_path)
     )
     # the published table is untouched by the failed run
     assert read_published(spark, table).count() == 300
+
+
+def test_bench_query_names_are_registered():
+    """bench.py's HEADLINE/EXTENDED lists are run by the external driver;
+    a registry rename that orphans a name would crash that run — guard
+    the linkage here."""
+    import bench
+
+    from iiot_data_engineering_lab_assignment_spark import registry
+
+    for name in bench.HEADLINE + bench.EXTENDED:
+        assert name in registry.QUERIES, name
+    assert len(set(bench.HEADLINE + bench.EXTENDED)) == len(
+        bench.HEADLINE + bench.EXTENDED
+    )
