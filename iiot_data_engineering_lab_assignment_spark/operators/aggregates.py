@@ -26,6 +26,7 @@ __all__ = [
     "grouped_stats",
     "rollup_partials",
     "merge_rollup_partials",
+    "ewma_state_segmented",
 ]
 
 
@@ -139,3 +140,69 @@ def grouped_stats(
     if mode == "cube":
         return df.cube(*group_cols).agg(*aggs)
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def ewma_state_segmented(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    segment_col: str | None = None,
+) -> DataFrame:
+    """Tree-aggregable EWMA — the scale path for the recurrence
+    y_t = alpha*x_t + (1-alpha)*y_{t-1} (zero-initialized, y_0 = 0) when
+    a key's series is too long for one task's sorted-array fold.
+
+    EWMA composes ASSOCIATIVELY as affine maps: a segment holding values
+    x_1..x_n folds to (m, c) with y_out = m*y_in + c, where
+    m = (1-alpha)^n and c is the segment's own zero-seeded fold; two
+    consecutive segments compose as (m1*m2, m2*c1 + c2).  So the plan
+    is the standard two-level partial-aggregate shape: (1) ONE shuffle
+    to (key, segment) computes per-segment (m, c) from a bounded sorted
+    array — segment size (e.g. one day) bounds task memory regardless
+    of series length; (2) the tiny per-segment summaries fold in
+    segment order per key.  Float caveat: re-association changes
+    summation order, so the result agrees with the direct fold to
+    ~1e-12 relative, not bit-for-bit — use the direct form
+    (registry.ewma_sensor_state) when an external value-hash must match.
+
+    ``segment_col`` defaults to the calendar day of ``time_col``.
+    Returns (key..., n_obs, ewma).
+    """
+    seg = (
+        F.col(segment_col) if segment_col else F.to_date(time_col).alias("_seg")
+    )
+    per_seg = (
+        df.select(*key_cols, seg.alias("_seg"), F.col(time_col).alias("_t"), F.col(value_col).alias("_v"))
+        .groupBy(*key_cols, "_seg")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_t", "_v"))).alias("_tv"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    vals = F.transform(F.col("_tv"), lambda e: e["_v"])
+    # zero-seeded fold of the segment, and its decay factor (1-a)^n
+    c = F.aggregate(
+        vals, F.lit(0.0), lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc
+    )
+    m = F.pow(F.lit(1.0 - alpha), F.col("_n"))
+    summaries = per_seg.select(
+        *key_cols,
+        F.struct(F.col("_seg").alias("s"), m.alias("m"), c.alias("c")).alias("_mc"),
+        F.col("_n"),
+    )
+    per_key = summaries.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list("_mc")).alias("_mcs"),
+        F.sum("_n").alias("n_obs"),
+    )
+    zero = F.struct(F.lit(1.0).alias("m"), F.lit(0.0).alias("c"))
+    composed = F.aggregate(
+        F.col("_mcs"),
+        zero,
+        lambda acc, x: F.struct(
+            (acc["m"] * x["m"]).alias("m"),
+            (x["m"] * acc["c"] + x["c"]).alias("c"),
+        ),
+    )
+    return per_key.select(*key_cols, "n_obs", composed["c"].alias("ewma"))

@@ -75,3 +75,45 @@ def test_time_weighted_avg_within_minmax(spark, events):
     )
     j = out.join(bounds, ["user_id", "event_type"])
     assert j.filter((F.col("twa") < F.col("lo") - 1e-6) | (F.col("twa") > F.col("hi") + 1e-6)).count() == 0
+
+
+def test_ewma_segmented_matches_direct_fold(spark, events):
+    """The tree-aggregable EWMA (per-segment affine maps composed in
+    segment order) must agree with the direct zero-seeded sequential
+    fold to float re-association noise, for ANY segmentation — daily
+    segments and a coarse 3-way hash segmentation give the same answer."""
+    from iiot_data_engineering_lab_assignment_spark.operators.aggregates import (
+        ewma_state_segmented,
+    )
+
+    alpha = 0.3
+    # direct zero-seeded fold per user over (ts, value) order
+    rows = events.select("user_id", "ts", "value").collect()
+    series = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"])):
+        series.setdefault(r["user_id"], []).append(r["value"])
+    want = {
+        u: __import__("functools").reduce(
+            lambda acc, x: alpha * x + (1 - alpha) * acc, xs, 0.0
+        )
+        for u, xs in series.items()
+    }
+    got = {
+        r["user_id"]: r["ewma"]
+        for r in ewma_state_segmented(
+            events, ["user_id"], "ts", "value", alpha=alpha
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) <= 1e-9 * max(1.0, abs(want[u])), u
+    # segmentation-invariance: month segments instead of days
+    got2 = {
+        r["user_id"]: r["ewma"]
+        for r in ewma_state_segmented(
+            events.withColumn("_m", F.trunc("ts", "mm")),
+            ["user_id"], "ts", "value", alpha=alpha, segment_col="_m",
+        ).collect()
+    }
+    for u in want:
+        assert abs(got2[u] - want[u]) <= 1e-9 * max(1.0, abs(want[u])), u
