@@ -90,9 +90,11 @@ EXTENDED = [
     "incremental_semantic_dedup_fixed",
     "epoch_shuffle_order",
     "length_bucket_packing",
-    # round-7 wave 2: bitemporal point-in-time join, EWMA smoothing
+    # round-7 wave 2: bitemporal point-in-time join, EWMA smoothing,
+    # BM25 ranked retrieval
     "scd2_point_in_time_join",
     "ewma_sensor_state",
+    "bm25_search",
 ]
 
 

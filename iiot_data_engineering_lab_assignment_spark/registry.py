@@ -5418,6 +5418,105 @@ def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_search",
+    """
+    WITH dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(dlen AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN ('spark', 'join', 'stream')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+               AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS bm25
+    FROM scored
+    GROUP BY 1
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r7: BM25 document retrieval (Robertson/Sparck-Jones with
+    Lucene's +1 IDF smoothing; k1=1.2, b=0.75) for the fixed query
+    {spark, join, stream} — the ranked-retrieval companion to
+    tfidf_top_terms, the tool a curation pipeline reaches for when
+    investigating near-duplicates or pulling topical slices.  Corpus stats
+    (N, exact-decimal avgdl) ride along as a broadcast 1-row aggregate
+    (no collect); per-term scores are identical scalar arithmetic in
+    both engines, and the per-doc sum goes through an exact DECIMAL cast
+    so partitioning cannot reorder float addition; top-20 by (rounded
+    score, doc_id) so the LIMIT boundary is deterministic cross-engine.
+    Scale: the inverted-index shuffle carries only query-term postings
+    (terms are filtered BEFORE the tf aggregate), so cost is
+    O(postings(q)), not O(corpus)."""
+    from .operators.text import token_count, tokenize
+
+    q_terms = ["spark", "join", "stream"]
+    k1, b = 1.2, 0.75
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.col("dlen").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term")).filter(
+        F.col("term").isin(q_terms)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (1.0 - b + F.lit(b) * F.col("dlen") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
     "epoch_shuffle_order",
     """
     WITH keyed AS (
@@ -6351,7 +6450,7 @@ DRIVER_WINDOW: list[str] = [
     # stream_range_join_purchase_click, the NEW r7 additions
     # incremental_semantic_dedup_fixed / epoch_shuffle_order /
     # length_bucket_packing / scd2_point_in_time_join /
-    # ewma_sensor_state, plus the rows-only five
+    # ewma_sensor_state / bm25_search, plus the rows-only five
     # (multimodal_features, cosine_dup_pairs_blocked,
     # winnowing_fingerprints, kmeans_assignments, semantic_dedup_pairs —
     # weaker rows-only driver checks; their hash twins are in-window or
