@@ -190,3 +190,69 @@ def test_dup_span_coverage_matches_python(spark, docs):
         for r in duplicated_span_coverage(df, n=5).collect()
     }
     assert got == _brute_force_span_coverage(texts, n=5)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    n_shards=st.sampled_from([1, 2, 7, 64, 65536]),
+    epoch=st.integers(min_value=0, max_value=3),
+)
+def test_epoch_shuffle_permutation_property(spark, n, n_shards, epoch):
+    """For ANY corpus size, shard count (including the 1 and 65536
+    boundaries), and epoch: output is a permutation (each doc exactly
+    once, (shard, pos) slots unique, pos contiguous from 1 per shard)
+    and concatenated shard order equals the md5-key order."""
+    from iiot_data_engineering_lab_assignment_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    rows = epoch_shuffle(docs, epoch=epoch, n_shards=n_shards).collect()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n
+    assert len({(r["shard"], r["pos"]) for r in rows}) == n
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    import hashlib
+
+    def key(i):
+        return hashlib.md5(f"epoch:{epoch}:{i}".encode()).hexdigest()
+
+    concat = [r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["pos"]))]
+    assert concat == sorted(range(n), key=lambda i: (key(i), i))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=30),
+    batch_size=st.integers(min_value=1, max_value=5),
+)
+def test_length_bucket_packing_property(spark, lens, batch_size):
+    """For ANY token-length multiset and batch size: every doc lands in
+    the smallest power-of-two bucket covering it, batches never exceed
+    batch_size, and pad_to is each batch's max length."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        length_bucket_packing,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * ln)) for i, ln in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    out = length_bucket_packing(docs, batch_size=batch_size).collect()
+    assert len(out) == len(lens)
+    from collections import Counter, defaultdict
+
+    sizes = Counter((r["bucket"], r["batch_idx"]) for r in out)
+    assert max(sizes.values()) <= batch_size
+    bmax = defaultdict(int)
+    for r in out:
+        n, b = r["n_tokens"], r["bucket"]
+        assert n == lens[r["doc_id"]]
+        assert b & (b - 1) == 0 and b >= max(n, 1) and (n <= 1 or b < 2 * n)
+        bmax[(b, r["batch_idx"])] = max(bmax[(b, r["batch_idx"])], n)
+    for r in out:
+        assert r["pad_to"] == bmax[(r["bucket"], r["batch_idx"])]
