@@ -660,6 +660,7 @@ def incremental_semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    history_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-space increment-vs-history dedup — the SemDeDup analogue
     of :func:`operators.dedup.incremental_dedup`, completing the
@@ -674,9 +675,12 @@ def incremental_semantic_dedup(
     the increment slab against the history slab via cogrouped
     applyInPandas — cost O(|inc_cell| x |hist_cell| x d) per cell,
     never |hist|^2; a cell with an empty increment slab does no work, so
-    the daily cost is O(increment) as history grows.  In production the
-    history side's assignments are a precomputed stored table partitioned
-    by cell, so only the increment is assigned per run.
+    the daily cost is O(increment) as history grows.  In production pass
+    ``history_assigned`` — the history side's (id, embedding, cell)
+    table precomputed once and stored partitioned by cell (each daily
+    run then assigns only the increment, and the cogroup's history leg
+    reads pre-bucketed files with no assignment scan); when omitted,
+    history is assigned inline against the same ``cents``.
 
     Returns (id_new, id_hist, cell, cosine) for cosine >= threshold.
     """
@@ -690,7 +694,11 @@ def incremental_semantic_dedup(
         StructType,
     )
 
-    h = assign_cells(history, cents, id_col, emb_col)
+    h = (
+        history_assigned
+        if history_assigned is not None
+        else assign_cells(history, cents, id_col, emb_col)
+    )
     i = assign_cells(increment, cents, id_col, emb_col)
     out_schema = StructType(
         [

@@ -633,3 +633,11 @@ def test_incremental_semantic_dedup_gemm_matches_jvm_twin(spark, embeddings):
     got = {(r["id_new"], r["id_hist"]): r["cosine"] for r in rows}
     assert set(got) == set(jvm)
     assert all(abs(got[p] - jvm[p]) < 1e-6 for p in got)
+
+    # stored-assignments production path: passing the precomputed history
+    # (id, embedding, cell) table yields the identical pair set
+    stored = assign_cells(history, cents)
+    rows2 = incremental_semantic_dedup(
+        history, increment, cents, threshold=threshold, history_assigned=stored
+    ).collect()
+    assert {(r["id_new"], r["id_hist"]) for r in rows2} == set(got)
