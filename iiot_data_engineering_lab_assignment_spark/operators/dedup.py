@@ -43,6 +43,7 @@ __all__ = [
     "keep_best",
     "duplicated_span_coverage",
     "incremental_dedup",
+    "build_history_signature_store",
 ]
 
 
@@ -880,6 +881,33 @@ def duplicated_span_coverage(
     )
 
 
+def build_history_signature_store(
+    history: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Precompute the history side of :func:`incremental_dedup` ONCE —
+    the store a production pipeline persists so daily runs read
+    signatures, never historical text.  Returns
+    ``{"fingerprints", "postings", "buckets"}``; write fingerprints
+    partitioned/bucketed by ``fp``, postings by ``shingle``, buckets by
+    ``(band, bucket)`` so the daily joins are co-located reads.  The
+    store is only valid for the same (num_hashes, bands, n) it was
+    built with; append each day's clean docs to keep it current."""
+    fingerprints = (
+        history.select(F.md5(text_col).alias("fp"), F.col(id_col).alias("hid"))
+        .groupBy("fp")
+        .agg(F.min("hid").alias("matched_doc"))
+    )
+    postings, buckets = _md5_band_buckets(
+        history, num_hashes, bands, n, text_col, id_col
+    )
+    return {"fingerprints": fingerprints, "postings": postings, "buckets": buckets}
+
+
 def incremental_dedup(
     history: DataFrame,
     increment: DataFrame,
@@ -889,6 +917,7 @@ def incremental_dedup(
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    history_store: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Dedup a corpus INCREMENT against accumulated HISTORY without ever
     re-pairing history with itself — the operational form at 100 TB,
@@ -907,18 +936,21 @@ def incremental_dedup(
     Scale shape: candidate generation is the CROSS join of increment
     buckets against history buckets — O(|history| + |increment| x
     collisions), never history x history; in production the history
-    side's signatures/buckets are a precomputed store, so the daily cost
-    reads signatures, not text.  Increment-internal duplicates are out
-    of scope by design (run the batch pair operators on the increment).
+    side's signatures/buckets are a precomputed store — pass
+    ``history_store`` (from :func:`build_history_signature_store`,
+    persisted and appended daily) and the history text is never
+    re-read or re-hashed; built with the SAME (num_hashes, bands, n).
+    Increment-internal duplicates are out of scope by design (run the
+    batch pair operators on the increment).
 
     Output: (doc_id, matched_doc, tier, jaccard) — one row per
     duplicated increment doc.
     """
-    hfp = (
-        history.select(F.md5(text_col).alias("fp"), F.col(id_col).alias("hid"))
-        .groupBy("fp")
-        .agg(F.min("hid").alias("matched_doc"))
-    )
+    if history_store is None:
+        history_store = build_history_signature_store(
+            history, num_hashes, bands, n, text_col, id_col
+        )
+    hfp = history_store["fingerprints"]
     exact = (
         increment.select(F.col(id_col), F.md5(text_col).alias("fp"))
         .join(hfp, "fp")
@@ -930,7 +962,7 @@ def incremental_dedup(
         )
     )
     rest = increment.join(exact.select(id_col), id_col, "left_anti")
-    post_h, buckets_h = _md5_band_buckets(history, num_hashes, bands, n, text_col, id_col)
+    post_h, buckets_h = history_store["postings"], history_store["buckets"]
     post_i, buckets_i = _md5_band_buckets(rest, num_hashes, bands, n, text_col, id_col)
     cands = (
         buckets_i.withColumnRenamed(id_col, "iid")

@@ -641,3 +641,36 @@ def test_incremental_semantic_dedup_gemm_matches_jvm_twin(spark, embeddings):
         history, increment, cents, threshold=threshold, history_assigned=stored
     ).collect()
     assert {(r["id_new"], r["id_hist"]) for r in rows2} == set(got)
+
+
+def test_incremental_dedup_signature_store_path(spark):
+    """Passing a precomputed history signature store (the production
+    form: fingerprints + postings + buckets persisted once, appended
+    daily) yields the identical flagged set as inline computation."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        build_history_signature_store,
+        incremental_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x0 x1"
+    hist = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"u{i}" for i in range(40)))], schema
+    )
+    inc = spark.createDataFrame(
+        [(10, base), (11, near), (12, " ".join(f"v{i}" for i in range(40)))],
+        schema,
+    )
+    inline = {
+        (r["doc_id"], r["matched_doc"], r["tier"])
+        for r in incremental_dedup(hist, inc, threshold=0.4).collect()
+    }
+    store = build_history_signature_store(hist)
+    stored = {
+        (r["doc_id"], r["matched_doc"], r["tier"])
+        for r in incremental_dedup(
+            hist, inc, threshold=0.4, history_store=store
+        ).collect()
+    }
+    assert inline == stored == {(10, 1, "exact"), (11, 1, "near")}
