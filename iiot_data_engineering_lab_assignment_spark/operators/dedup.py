@@ -909,7 +909,7 @@ def build_history_signature_store(
 
 
 def incremental_dedup(
-    history: DataFrame,
+    history: DataFrame | None,
     increment: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
@@ -947,6 +947,8 @@ def incremental_dedup(
     duplicated increment doc.
     """
     if history_store is None:
+        if history is None:
+            raise ValueError("provide history or history_store")
         history_store = build_history_signature_store(
             history, num_hashes, bands, n, text_col, id_col
         )

@@ -440,6 +440,10 @@ def incremental_dedup_stream_writer(
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    store_dir: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
 ):
     """STREAMING corpus ingestion with history-aware dedup: a foreachBatch
     writer where each micro-batch of documents is checked against the
@@ -476,8 +480,29 @@ def incremental_dedup_stream_writer(
     tools/nightly_flow_probe.py).  Near-dup pairs WITHIN one micro-batch
     remain out of scope, matching incremental_dedup's contract — run the
     batch pair operators over history for a full retro-pass.
+
+    ``store_dir`` (r7): the at-scale mode.  Without it, every batch
+    re-reads and RE-HASHES all historical text — O(history) per batch,
+    fine for tests, wrong for a long-lived stream.  With it, the writer
+    MAINTAINS the history signature store incrementally (fingerprints /
+    shingle postings / band buckets as per-batch partitions, same
+    overwrite-own-partition retry contract as history), and each batch
+    dedups against the STORE — per-batch cost O(batch + store read),
+    historical text never touched again.  The store is bound to
+    (num_hashes, bands, n); changing them requires a rebuild via
+    operators.dedup.build_history_signature_store over history.
     """
-    from ..operators.dedup import incremental_dedup
+    from ..operators.dedup import build_history_signature_store, incremental_dedup
+
+    def _prior_parts(root_dir: str, batch_id: int) -> list[str]:
+        root = Path(root_dir)
+        if not root.is_dir():
+            return []
+        return [
+            str(p)
+            for p in sorted(root.iterdir())
+            if p.name.startswith("batch_id=") and p.name != f"batch_id={batch_id}"
+        ]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -503,24 +528,44 @@ def incremental_dedup_stream_writer(
                 F.lit(1.0).alias("jaccard"),
             )
         )
-        root = Path(history_dir)
-        prior_paths = (
-            [
-                str(p)
-                for p in sorted(root.iterdir())
-                if p.name.startswith("batch_id=") and p.name != f"batch_id={batch_id}"
-            ]
-            if root.is_dir()
-            else []
-        )
-        prior = (
-            spark.read.schema(batch_df.schema).parquet(*prior_paths)
-            if prior_paths
-            else None
-        )
-        if prior is not None:
+        if store_dir is not None:
+            # signature-store mode: dedup against the maintained store;
+            # historical TEXT is never re-read or re-hashed
+            id_type = dict(batch_df.dtypes)[id_col]
+            fp_parts = _prior_parts(f"{store_dir}/fingerprints", batch_id)
+            store = None
+            if fp_parts:
+                store = {
+                    "fingerprints": spark.read.schema(
+                        f"fp string, matched_doc {id_type}"
+                    ).parquet(*fp_parts),
+                    "postings": spark.read.schema(
+                        f"{id_col} {id_type}, shingle string"
+                    ).parquet(*_prior_parts(f"{store_dir}/postings", batch_id)),
+                    "buckets": spark.read.schema(
+                        f"{id_col} {id_type}, band int, bucket string"
+                    ).parquet(*_prior_parts(f"{store_dir}/buckets", batch_id)),
+                }
+            prior = None  # text partitions are write-only in store mode
+        else:
+            store = None
+            prior_paths = _prior_parts(history_dir, batch_id)
+            prior = (
+                spark.read.schema(batch_df.schema).parquet(*prior_paths)
+                if prior_paths
+                else None
+            )
+        if prior is not None or store is not None:
             flagged = incremental_dedup(
-                prior, batch, threshold=threshold, text_col=text_col, id_col=id_col
+                prior,
+                batch,
+                num_hashes=num_hashes,
+                bands=bands,
+                n=n,
+                threshold=threshold,
+                text_col=text_col,
+                id_col=id_col,
+                history_store=store,
             )
             clean = batch.join(flagged.select(id_col), id_col, "left_anti")
             # Redirect intra dups whose survivor was itself flagged vs
@@ -545,6 +590,16 @@ def incremental_dedup_stream_writer(
         clean.unionByName(nulls).write.mode("overwrite").parquet(
             f"{history_dir}/batch_id={batch_id}"
         )
+        if store_dir is not None:
+            # extend the store with THIS batch's clean docs (nulls carry no
+            # signatures); overwrite-own-partition keeps retries idempotent
+            add = build_history_signature_store(
+                clean, num_hashes, bands, n, text_col, id_col
+            )
+            for sub in ("fingerprints", "postings", "buckets"):
+                add[sub].write.mode("overwrite").parquet(
+                    f"{store_dir}/{sub}/batch_id={batch_id}"
+                )
 
     return process
 

@@ -503,3 +503,55 @@ def test_dim_refresh_enrich_writer_picks_up_dim_change(spark, tmp_path):
         q.stop()
     rows = {r["v"]: r["site"] for r in spark.read.parquet(out_dir).collect()}
     assert rows == {10.0: "alpha", 20.0: "beta"}
+
+
+def test_incremental_dedup_stream_store_mode_equivalent(spark, tmp_path):
+    """r7: signature-store mode — the writer maintains per-batch
+    fingerprint/posting/bucket partitions and dedups against the STORE
+    (historical text never re-hashed).  Same micro-batch sequence
+    through both modes must produce identical history and dups tables,
+    and a store-mode retry must be idempotent (own store partition
+    excluded, like history)."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x0 x1"
+    batches = [
+        [(1, base), (2, " ".join(f"u{i}" for i in range(40)))],
+        [(10, base), (11, near), (12, " ".join(f"v{i}" for i in range(40)))],
+        [(20, base), (21, base)],  # intra pair whose survivor is a dup of 1
+    ]
+    results = {}
+    for mode in ("text", "store"):
+        hist = str(tmp_path / f"hist_{mode}")
+        dups = str(tmp_path / f"dups_{mode}")
+        kw = {"store_dir": str(tmp_path / "store")} if mode == "store" else {}
+        write = incremental_dedup_stream_writer(hist, dups, **kw)
+        for b, rows in enumerate(batches):
+            write(spark.createDataFrame(rows, schema), b)
+        if mode == "store":  # retry the last batch: must be a no-op
+            write(spark.createDataFrame(batches[-1], schema), len(batches) - 1)
+        results[mode] = (
+            {r["doc_id"] for r in spark.read.parquet(hist).collect()},
+            {
+                (r["doc_id"], r["matched_doc"], r["tier"])
+                for r in spark.read.parquet(dups).collect()
+            },
+        )
+    assert results["text"] == results["store"]
+    hist_ids, dup_rows = results["store"]
+    assert hist_ids == {1, 2, 12}
+    assert dup_rows == {
+        (10, 1, "exact"),
+        (11, 1, "near"),
+        (20, 1, "exact"),
+        (21, 1, "exact-intra"),
+    }
+    import os
+
+    for sub in ("fingerprints", "postings", "buckets"):
+        parts = sorted(os.listdir(tmp_path / "store" / sub))
+        assert parts == ["batch_id=0", "batch_id=1", "batch_id=2"]
