@@ -44,6 +44,8 @@ __all__ = [
     "duplicated_span_coverage",
     "incremental_dedup",
     "build_history_signature_store",
+    "persist_history_signature_store",
+    "load_history_signature_store",
 ]
 
 
@@ -1004,3 +1006,40 @@ def incremental_dedup(
         )
     )
     return exact.unionByName(near)
+
+
+def persist_history_signature_store(
+    store: dict[str, DataFrame],
+    table_prefix: str,
+    num_buckets: int = 32,
+) -> dict[str, str]:
+    """Persist a :func:`build_history_signature_store` result as BUCKETED
+    catalog tables — the IO lever for the store-backed incremental path:
+    fingerprints hash-clustered on ``fp`` (the exact-tier join key),
+    postings on ``shingle`` and buckets on ``bucket`` (each a subset of
+    its join's keys, so the partitioning satisfies the join's clustering
+    and the BIG history side joins without an exchange; only the small
+    per-batch increment side shuffles).  The bucketing shuffle is paid
+    once at store-build time and amortized over every daily run.
+
+    Returns the table names; reload with
+    :func:`load_history_signature_store`.  Requires a catalog (bucket
+    metadata lives in the metastore) — same constraint as
+    plans.lifecycle.write_bucketed.
+    """
+    from ..plans.lifecycle import write_bucketed
+
+    names = {
+        "fingerprints": (f"{table_prefix}_fp", "fp"),
+        "postings": (f"{table_prefix}_post", "shingle"),
+        "buckets": (f"{table_prefix}_buck", "bucket"),
+    }
+    for part, (table, key) in names.items():
+        write_bucketed(store[part], table, key, num_buckets)
+    return {part: table for part, (table, _) in names.items()}
+
+
+def load_history_signature_store(spark, tables: dict[str, str]) -> dict[str, DataFrame]:
+    """Reload a persisted bucketed signature store for
+    :func:`incremental_dedup` (pass as ``history_store``)."""
+    return {part: spark.table(name) for part, name in tables.items()}

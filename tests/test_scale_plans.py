@@ -422,3 +422,51 @@ def test_round6_query_plan_contracts(spark):
     p = plan_of(spark, "snapshot_diff_orders")
     assert "Exchange SinglePartition" not in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_signature_store_joins_without_history_exchange(spark, tmp_path):
+    """r7: the persisted signature store is bucketed on each join's key
+    (fp / shingle / bucket), so the BIG history side of the incremental
+    dedup joins reads pre-clustered buckets instead of shuffling — the
+    store-build shuffle is paid once, daily runs only shuffle the small
+    increment.  Assert identical results AND strictly fewer hash
+    exchanges than the unbucketed plan, with bucketed scans present."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        build_history_signature_store,
+        incremental_dedup,
+        load_history_signature_store,
+        persist_history_signature_store,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS sigstore LOCATION '{tmp_path / 'wh'}'")
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x0 x1"
+    hist = spark.createDataFrame(
+        [(i, f"{base} uniq{i}") for i in range(200)] + [(999, base)], schema
+    )
+    inc = spark.createDataFrame([(2000, base), (2001, near)], schema)
+
+    store = build_history_signature_store(hist)
+    tables = persist_history_signature_store(store, "sigstore.hist", num_buckets=8)
+    loaded = load_history_signature_store(spark, tables)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        unbucketed = incremental_dedup(hist, inc, threshold=0.4)
+        bucketed = incremental_dedup(None, inc, threshold=0.4, history_store=loaded)
+        r_u = {(r["doc_id"], r["matched_doc"], r["tier"]) for r in unbucketed.collect()}
+        r_b = {(r["doc_id"], r["matched_doc"], r["tier"]) for r in bucketed.collect()}
+        assert r_u == r_b == {(2000, 999, "exact"), (2001, 999, "near")}
+        p_u = unbucketed._jdf.queryExecution().executedPlan().toString()
+        p_b = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in p_b
+        assert p_b.count("Exchange hashpartitioning") < p_u.count(
+            "Exchange hashpartitioning"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
