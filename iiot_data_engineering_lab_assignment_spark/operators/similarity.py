@@ -419,8 +419,10 @@ def cosine_dup_pairs_blocked(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         Am = np.stack(A["v"].to_numpy())
         Bm = np.stack(B["v"].to_numpy())
-        Am /= np.linalg.norm(Am, axis=1, keepdims=True)
-        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        # norm clamp: a zero-norm embedding gets cosine 0 (below any
+        # positive threshold) instead of NaN + divide warnings (ADVICE r7)
+        Am /= np.maximum(np.linalg.norm(Am, axis=1, keepdims=True), 1e-12)
+        Bm /= np.maximum(np.linalg.norm(Bm, axis=1, keepdims=True), 1e-12)
         M = Am @ Bm.T
         ia, ib = np.where(M >= threshold)
         id_a = A["vid"].to_numpy()[ia]
@@ -636,7 +638,8 @@ def semantic_dedup_pairs(
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cell": [], "cosine": []})
         M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        # norm clamp: zero-norm rows -> cosine 0, not NaN (ADVICE r7)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         S = M @ M.T
         ia, ib = np.where(S >= threshold)
         ids = pdf[id_col].to_numpy()
@@ -718,8 +721,9 @@ def incremental_semantic_dedup(
             return empty
         I = np.stack(ipdf[emb_col].to_numpy()).astype(np.float64)
         H = np.stack(hpdf[emb_col].to_numpy()).astype(np.float64)
-        I /= np.linalg.norm(I, axis=1, keepdims=True)
-        H /= np.linalg.norm(H, axis=1, keepdims=True)
+        # norm clamp: zero-norm rows -> cosine 0, not NaN (ADVICE r7)
+        I /= np.maximum(np.linalg.norm(I, axis=1, keepdims=True), 1e-12)
+        H /= np.maximum(np.linalg.norm(H, axis=1, keepdims=True), 1e-12)
         S = I @ H.T
         ia, ih = np.where(S >= threshold)
         return pd.DataFrame(

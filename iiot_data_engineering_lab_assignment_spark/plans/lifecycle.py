@@ -281,7 +281,14 @@ def _wap_migrate_markers(table_dir: str) -> None:
     if not os.path.isdir(vdir):
         return
     for d in sorted(os.listdir(vdir)):
-        if d.startswith("v") and d <= current and not _wap_committed(vdir, d):
+        # isdir guard: a stray regular file in _versions must not crash
+        # publish/rollback with NotADirectoryError (ADVICE r7)
+        if (
+            d.startswith("v")
+            and d <= current
+            and os.path.isdir(os.path.join(vdir, d))
+            and not _wap_committed(vdir, d)
+        ):
             with open(os.path.join(vdir, d, "_COMMITTED"), "w") as f:
                 f.write("committed\n")  # legacy pre-marker version, migrated
 

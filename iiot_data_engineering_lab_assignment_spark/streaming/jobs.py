@@ -491,6 +491,14 @@ def incremental_dedup_stream_writer(
     historical text never touched again.  The store is bound to
     (num_hashes, bands, n); changing them requires a rebuild via
     operators.dedup.build_history_signature_store over history.
+
+    Store-mode crash safety: the history and store writes for one batch
+    are separate, so each completed batch stamps
+    ``<store_dir>/_complete/batch_id=N`` LAST; the next invocation
+    rebuilds any unstamped prior batch's store partitions from its
+    history partition before deduping.  Under Structured Streaming the
+    checkpoint retry already re-runs the whole batch; the marker makes
+    DIRECT callers (tools/stream_store_probe.py, tests) equally safe.
     """
     from ..operators.dedup import build_history_signature_store, incremental_dedup
 
@@ -503,6 +511,40 @@ def incremental_dedup_stream_writer(
             for p in sorted(root.iterdir())
             if p.name.startswith("batch_id=") and p.name != f"batch_id={batch_id}"
         ]
+
+    def _heal_store(spark: SparkSession, schema, batch_id: int) -> None:
+        """Store-mode crash repair (ADVICE r7): the history partition and
+        the three signature-store partitions for one batch are separate
+        non-atomic writes.  Structured Streaming's batch retry heals a
+        crash between them, but DIRECT callers (tools, tests) have no
+        retry — a batch whose history landed but whose store writes did
+        not would silently miss every future duplicate of those docs.
+        Each completed batch stamps ``<store_dir>/_complete/batch_id=N``;
+        here any prior history partition missing its stamp gets its store
+        partitions rebuilt from that partition's text, then stamped."""
+        marker_dir = Path(store_dir) / "_complete"
+        hist_root = Path(history_dir)
+        if not hist_root.is_dir():
+            return
+        for p in sorted(hist_root.iterdir()):
+            if not p.name.startswith("batch_id=") or p.name == f"batch_id={batch_id}":
+                continue
+            if (marker_dir / p.name).exists():
+                continue
+            hist = (
+                spark.read.schema(schema)
+                .parquet(str(p))
+                .filter(F.col(text_col).isNotNull())
+            )
+            rebuilt = build_history_signature_store(
+                hist, num_hashes, bands, n, text_col, id_col
+            )
+            for sub in ("fingerprints", "postings", "buckets"):
+                rebuilt[sub].write.mode("overwrite").parquet(
+                    f"{store_dir}/{sub}/{p.name}"
+                )
+            marker_dir.mkdir(parents=True, exist_ok=True)
+            (marker_dir / p.name).touch()
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -531,6 +573,7 @@ def incremental_dedup_stream_writer(
         if store_dir is not None:
             # signature-store mode: dedup against the maintained store;
             # historical TEXT is never re-read or re-hashed
+            _heal_store(spark, batch_df.schema, batch_id)
             id_type = dict(batch_df.dtypes)[id_col]
             fp_parts = _prior_parts(f"{store_dir}/fingerprints", batch_id)
             store = None
@@ -571,16 +614,22 @@ def incremental_dedup_stream_writer(
             # Redirect intra dups whose survivor was itself flagged vs
             # history: their identical text makes them duplicates of the
             # SAME history doc, so matched_doc points there instead of at
-            # a doc that never reaches history.
+            # a doc that never reaches history.  The redirected row
+            # carries the SURVIVOR's tier/jaccard (ADVICE r7): the dup is
+            # text-identical to the survivor, so its similarity to the
+            # final matched_doc is exactly the survivor's — keeping
+            # tier='exact-intra'/jaccard=1.0 would overstate a NEAR match.
             redirect = flagged.select(
                 F.col(id_col).alias("matched_doc"),
                 F.col("matched_doc").alias("_final"),
+                F.col("tier").alias("_ftier"),
+                F.col("jaccard").alias("_fjac"),
             )
             intra = intra.join(redirect, "matched_doc", "left").select(
                 F.col(id_col),
                 F.coalesce("_final", "matched_doc").alias("matched_doc"),
-                "tier",
-                "jaccard",
+                F.coalesce("_ftier", "tier").alias("tier"),
+                F.coalesce("_fjac", "jaccard").alias("jaccard"),
             )
             dups = flagged.unionByName(intra)
         else:
@@ -600,6 +649,9 @@ def incremental_dedup_stream_writer(
                 add[sub].write.mode("overwrite").parquet(
                     f"{store_dir}/{sub}/batch_id={batch_id}"
                 )
+            marker_dir = Path(store_dir) / "_complete"
+            marker_dir.mkdir(parents=True, exist_ok=True)
+            (marker_dir / f"batch_id={batch_id}").touch()
 
     return process
 

@@ -674,3 +674,41 @@ def test_incremental_dedup_signature_store_path(spark):
         ).collect()
     }
     assert inline == stored == {(10, 1, "exact"), (11, 1, "near")}
+
+
+def test_zero_norm_embeddings_yield_no_nan_pairs(spark):
+    """ADVICE r7: a zero-norm embedding must produce cosine 0 (below any
+    positive threshold, so simply absent) rather than NaN rows or numpy
+    divide warnings — in semantic_dedup_pairs, incremental_semantic_dedup,
+    and cosine_dup_pairs_blocked alike."""
+    import math
+
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        cosine_dup_pairs_blocked,
+        incremental_semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # exact dup of 0
+        (2, [0.0, 0.0, 0.0]),   # zero-norm: must never pair, never NaN
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = semantic_dedup_pairs(df, k=1, threshold=0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+    assert all(not math.isnan(r["cosine"]) for r in pairs)
+
+    cents = {0: [1.0, 0.0, 0.0]}
+    inc = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ipairs = incremental_semantic_dedup(df, inc, cents, threshold=0.9).collect()
+    assert {(r["id_new"], r["id_hist"]) for r in ipairs} == {(10, 0), (10, 1)}
+    assert all(not math.isnan(r["cosine"]) for r in ipairs)
+
+    bpairs = cosine_dup_pairs_blocked(df, threshold=0.9, n_blocks=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in bpairs} == {(0, 1)}
+    assert all(not math.isnan(r["cosine"]) for r in bpairs)

@@ -464,3 +464,26 @@ def test_vacuum_epochs_grace_skips_young_dirs(spark, tmp_path):
     # A later vacuum with no grace removes nothing: everything committed.
     assert vacuum_epochs(table) == 0
     assert read_published_epochs(spark, table).count() == 30
+
+
+def test_wap_stray_file_in_versions_tolerated(spark, tmp_path):
+    """ADVICE r7: a stray regular FILE in _versions (editor droppings,
+    OS metadata) must not crash publish/rollback — the legacy-marker
+    stamp loop now guards with isdir before opening <dir>/_COMMITTED."""
+    import os
+
+    from iiot_data_engineering_lab_assignment_spark.plans.lifecycle import (
+        read_published,
+        rollback_published,
+        write_audit_publish,
+    )
+
+    table = str(tmp_path / "wap_table")
+    write_audit_publish(spark.range(0, 10), table)
+    # stray regular file sorting below the current pointer
+    with open(os.path.join(table, "_versions", "v00000000_stray"), "w") as f:
+        f.write("not a version dir\n")
+    v2 = write_audit_publish(spark.range(0, 20), table)  # must not raise
+    assert read_published(spark, table).count() == 20
+    assert rollback_published(table) != v2  # rollback also tolerates it
+    assert read_published(spark, table).count() == 10

@@ -451,6 +451,16 @@ def test_bucketed_signature_store_joins_without_history_exchange(spark, tmp_path
     tables = persist_history_signature_store(store, "sigstore.hist", num_buckets=8)
     loaded = load_history_signature_store(spark, tables)
 
+    # save the session's actual values so the finally block restores THEM,
+    # not hardcoded assumptions about the session default (ADVICE r7)
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -467,6 +477,5 @@ def test_bucketed_signature_store_joins_without_history_exchange(spark, tmp_path
             "Exchange hashpartitioning"
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -361,15 +361,33 @@ def test_incremental_dedup_stream_writer(spark, tmp_path):
     # Review finding r7: when the batch's surviving copy is ITSELF
     # flagged against history, the collapsed copies redirect to the
     # history match — matched_doc never dangles on a non-survivor.
+    # ADVICE r7: the redirected row carries the SURVIVOR's tier/jaccard
+    # (the dup is text-identical to the survivor, so its relationship to
+    # the final matched_doc is exactly the survivor's).
     write(spark.createDataFrame([(30, base), (31, base)], schema), 3)
     hist_ids = {r["doc_id"] for r in spark.read.parquet(hist).collect()}
     assert 30 not in hist_ids and 31 not in hist_ids  # both are dups of 1
     b3 = {
-        r["doc_id"]: (r["matched_doc"], r["tier"])
+        r["doc_id"]: (r["matched_doc"], r["tier"], r["jaccard"])
         for r in spark.read.parquet(f"{dups}/batch_id=3").collect()
     }
-    assert b3[30] == (1, "exact")
-    assert b3[31] == (1, "exact-intra")  # redirected past removed doc 30
+    assert b3[30] == (1, "exact", 1.0)
+    assert b3[31] == (1, "exact", 1.0)  # redirected past removed doc 30
+
+    # NEAR-tier survivor: the redirected copy must NOT claim jaccard=1.0
+    # against the history doc it only nearly matches.
+    write(spark.createDataFrame([(35, near), (36, near)], schema), 5)
+    b5 = {
+        r["doc_id"]: (r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(f"{dups}/batch_id=5").collect()
+    }
+    assert b5[35] == (1, "near")
+    assert b5[36] == (1, "near")  # survivor's tier carried through
+    jac5 = {
+        r["doc_id"]: r["jaccard"]
+        for r in spark.read.parquet(f"{dups}/batch_id=5").collect()
+    }
+    assert jac5[36] == jac5[35] < 1.0
 
     # Review finding r7: NULL-text docs can't match anything — they pass
     # through to history instead of vanishing unrecorded.
@@ -548,10 +566,56 @@ def test_incremental_dedup_stream_store_mode_equivalent(spark, tmp_path):
         (10, 1, "exact"),
         (11, 1, "near"),
         (20, 1, "exact"),
-        (21, 1, "exact-intra"),
+        (21, 1, "exact"),  # redirected copy carries survivor's tier (ADVICE r7)
     }
     import os
 
     for sub in ("fingerprints", "postings", "buckets"):
         parts = sorted(os.listdir(tmp_path / "store" / sub))
         assert parts == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    # every completed batch is stamped (ADVICE r7 crash-safety marker)
+    assert sorted(os.listdir(tmp_path / "store" / "_complete")) == [
+        "batch_id=0",
+        "batch_id=1",
+        "batch_id=2",
+    ]
+
+
+def test_incremental_dedup_store_heals_unstamped_batch(spark, tmp_path):
+    """ADVICE r7: store-mode writes history then the three store
+    partitions non-atomically.  A crash after the history write but
+    before the store writes leaves an unstamped batch whose docs would
+    silently never match future duplicates for DIRECT callers (no
+    Structured Streaming retry).  The next invocation must detect the
+    missing ``_complete`` stamp and rebuild that batch's store
+    partitions from its history partition."""
+    import shutil
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    store = tmp_path / "store"
+    write = incremental_dedup_stream_writer(
+        str(tmp_path / "hist"), str(tmp_path / "dups"), store_dir=str(store)
+    )
+    write(spark.createDataFrame([(1, base)], schema), 0)
+    # simulate the crash: history partition for batch 0 exists, but the
+    # store partitions and stamp are gone
+    for sub in ("fingerprints", "postings", "buckets"):
+        shutil.rmtree(store / sub / "batch_id=0")
+    (store / "_complete" / "batch_id=0").unlink()
+    # next batch must heal the store first, then still flag the dup of 1
+    write(spark.createDataFrame([(10, base)], schema), 1)
+    dup_rows = {
+        (r["doc_id"], r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(str(tmp_path / "dups")).collect()
+    }
+    assert dup_rows == {(10, 1, "exact")}
+    import os
+
+    assert sorted(os.listdir(store / "_complete")) == ["batch_id=0", "batch_id=1"]
+    for sub in ("fingerprints", "postings", "buckets"):
+        assert (store / sub / "batch_id=0").is_dir()  # rebuilt from history
