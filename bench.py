@@ -193,10 +193,24 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # Belt and braces against capture truncation: the line goes to stdout
-    # (flushed) AND to a sidecar file next to this script, so the record
-    # survives even if the caller's pipe buffer drops the tail.
+    # Belt and braces against capture truncation (r7: the driver's tail
+    # window clipped the HEAD of the one long line, losing
+    # headline_total even with the sidecar): the FULL record prints
+    # first and goes to the sidecar; the LAST stdout line is a compact
+    # summary holding only the driver-contract fields (metric / value /
+    # unit / queries / sf, ~1 KB) so no tail window can clip it.
     print(summary, flush=True)
+    compact = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended_total": round(sum(ext_timings.values()), 3),
+            "sf": sf,
+        }
+    )
+    print(compact, flush=True)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_last.json"), "w") as f:
