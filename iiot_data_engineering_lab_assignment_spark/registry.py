@@ -1912,15 +1912,38 @@ def hll_distinct_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", None)
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_envelope
+    FROM events
+    GROUP BY 1
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct (the count-distinct you actually
-    run at 100 TB).  Sketch internals are engine-specific => rows-only;
-    tests assert the estimate lands within the configured rsd of exact."""
+    run at 100 TB).  The estimate VALUE is engine-internal (HLL++ vs
+    DuckDB's HLL differ by design), so the oracle-checked claim — the r7
+    hll_distinct_merge pattern, upgraded from rows-only r8 — is the
+    published accuracy contract itself: the rsd=0.02 estimate lands
+    within a 6% envelope (3x rsd) of the exact count, asserted as a
+    boolean the oracle emits as TRUE.  A regression that broke the
+    estimator (or silently fell back to exact=0) now flips the hash."""
     ev = load_table(spark, sf_dir, "events")
+    tol = 0.06  # 3x the configured rsd
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= F.lit(tol) * F.countDistinct("user_id")
+        ).alias("within_envelope"),
     )
 
 
@@ -2733,6 +2756,38 @@ def stream_range_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFr
     from .streaming.jobs import run_stream_stream_range_join
 
     return run_stream_stream_range_join(spark, sf_dir, interval="6 hours")
+
+
+@register(
+    "stream_left_join_purchase_click",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user_id,
+                      ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id, p.purchase_ts, c.click_ts
+    FROM p LEFT JOIN c
+      ON p.user_id = c.c_user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL '6 hours'
+     AND c.click_ts < p.purchase_ts
+    WHERE p.purchase_ts < (SELECT max(ts) - INTERVAL '7 hours' FROM events)
+    """,
+)
+def stream_left_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8 (r7 verdict ask #6): watermarked stream-stream LEFT OUTER
+    interval join — the semantics users get wrong, because a purchase
+    with no qualifying click emits its NULL row only once the watermark
+    PROVES absence (delay up to watermark + range span, here flushed by
+    availableNow's final no-data micro-batch).  Both the stream and the
+    batch oracle restrict to purchases older than max(ts) - 7h (range
+    span 6h + margin), below which every null is provable — making
+    append-mode output exactly batch-left-join parity.  The
+    null-emission TIMING itself is pinned by
+    tests/test_stream_stream_join.py with explicit micro-batches."""
+    from .streaming.jobs import run_stream_stream_left_join
+
+    return run_stream_stream_left_join(spark, sf_dir, interval="6 hours")
 
 
 @register(
@@ -6411,113 +6466,83 @@ def gapfill_interpolate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # Round-7 rotation (r6 verdict ask #1): 22 driver-green slots retire
-    # to the local gate so 22 first-time queries get a driver row —
-    # burning down the never-driver-checked backlog.
+    # Round-8 rotation (r7 verdict ask #1): burn down the ENTIRE
+    # never-driver-checked backlog in one window — all 30 oracle-backed
+    # stragglers, the 5 rows-only queries (weaker driver check; each has
+    # an oracle-green hash twin already driver-checked), and the 2 NEW
+    # r8 queries (stream_left_join_purchase_click, plus
+    # approx_distinct_users upgraded rows-only -> envelope oracle).
+    # After this window every oracle-backed query in the registry has
+    # had at least one driver-green row.
     #
-    # Out (every one already driver-green, family kept anchored):
-    # stream_session_5m (tumbling + the NEW stream-static enrichment keep
-    # streaming covered), left_join_order_counts (joins keep the TPC-H
-    # block + fuzzy + asof), percentile_order_value ->
-    # approx_percentile_order_value and asof_join_purchase_click ->
-    # asof_join_tolerance (same-family swaps), the twelve 2x/1x-green
-    # TPC-H shapes q5/q6/q7/q8/q10/q11/q12/q13/q16/q17/q19/q22 (TPC-H
-    # keeps the four never-checked shapes q4/q15/q18/q20),
-    # source_mixture_weights (mixture_downsample_uniform stays),
-    # minhash_lsh_pairs_md5 / near_dup_clusters / dedup_keep_best (the
-    # LSH+CC+argmax composition rotates in as dedup_keep_best_lsh),
-    # semantic_dedup_pairs_fixed (embedding dedup keeps
-    # cosine_dup_pairs_lsh; the fixed-quantizer pattern rotates in as
-    # kmeans_assignments_fixed), multimodal_decode (audio/video/resize/
-    # frames keep all modalities).  Every evicted query stays in
+    # Out (every one driver-green r7 or earlier, family kept anchored):
+    # the r7 first-timers (TPC-H q4/q15/q18/q20, warehouse/DQ block,
+    # dedup cascade rows, kmeans_assignments_fixed, stream_static_enrich,
+    # multimodal audio/video/resize/frames, sampling family,
+    # zorder carried below).  Every evicted query stays in
     # tools/check_oracles.py's full local gate.
     #
-    # In (all first-time driver checks): the four TPC-H stragglers, the
-    # fourteen round-6 additions (warehouse/DQ/curation/dedup), the two
-    # r6 oracle upgrades (multimodal_frames,
-    # approx_percentile_order_value), and the two NEW r7 queries
-    # (stream_static_enrich, kmeans_assignments_fixed).
-    #
-    # Remaining never-driver-checked queue for r8 (all pass the local
-    # gate): string_functions, null_handling, conditional_aggregates,
-    # having_clause, daily_activity, dense_rank_ntile, array_functions,
-    # regex_extract_docs, date_math_orders, stats_moments,
-    # math_functions, in_subquery, first_last_window,
-    # percent_rank_cume_dist, grouping_indicator, chunk_documents,
-    # pack_chunks, redact_pii, stratified_take_per_lang,
-    # ngram_repetition_stats, latest_reading_per_sensor,
-    # sensor_gap_report, cosine_dup_pairs,
-    # stream_range_join_purchase_click, the NEW r7 additions
-    # incremental_semantic_dedup_fixed / epoch_shuffle_order /
-    # length_bucket_packing / scd2_point_in_time_join /
-    # ewma_sensor_state / bm25_search, plus the rows-only five
-    # (multimodal_features, cosine_dup_pairs_blocked,
-    # winnowing_fingerprints, kmeans_assignments, semantic_dedup_pairs —
-    # weaker rows-only driver checks; their hash twins are in-window or
-    # already green).
-    #
-    # section-2 IIoT core: projections, scalars, streaming replays.
-    "json_extract_props",
+    # 13 carry-over anchors re-checked (flagship + one per family):
+    "sensor_rollup_1m",
     "stream_tumbling_1m",
-    "stream_static_enrich",
-    # relational core: window/aggregate shapes
-    "approx_percentile_order_value",
-    # temporal joins (tolerance-bounded as-of NEW to the driver)
-    "asof_join_tolerance",
-    # TPC-H shapes never driver-checked before r7
-    "q4_order_priority_checking",
-    "q15_top_supplier",
-    "q18_large_volume_customers",
-    "q20_excess_stock_suppliers",
-    # warehouse/curation ops (all NEW r6, first driver check)
-    "scd2_priority_history",
-    "snapshot_diff_orders",
-    "hll_distinct_merge",
-    "rollup_cascade_hourly",
-    "incremental_rollup_merge",
-    # data-quality tier (NEW r6, first driver check)
-    "dq_rule_violations",
-    "quarantine_events",
-    # LLM-pipeline: dedup cascade, curation, sharding
+    "json_extract_props",
+    "q1_pricing_summary",
+    "customer_order_revenue",
     "dedup_exact_fingerprint",
-    "containment_pairs",
-    "dedup_keep_best_lsh",
-    "dup_span_coverage",
+    "minhash_lsh_pairs_md5",
     "incremental_dedup_new_docs",
-    "leakage_safe_split",
-    "quality_prune_by_source",
-    "fuzzy_match_documents",
-    "corpus_curation_pipeline",
-    "token_budget_shards",
-    # text + similarity
     "text_stats_per_doc",
-    "tfidf_top_terms",
-    "top_ngram_coverage",
-    "simhash_signature_md5",
-    "winnowing_fingerprints_md5",
-    "language_id_pred",
-    "cosine_topk_int8",
-    "ivf_topk",
-    "cosine_dup_pairs_lsh",
-    "lsh_topk",
-    "knn_join_bulk",
-    "kmeans_assignments_fixed",
-    # multimodal (one slot per modality + resize + frame sampling)
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "multimodal_resize",
-    "multimodal_frames",
-    # time-series + product analytics
+    "cosine_topk",
+    "multimodal_decode",
     "gapfill_interpolate_daily",
-    "time_weighted_avg",
-    "mad_anomalies",
-    "funnel_signup_to_purchase",
-    # deterministic sampling family
-    "train_val_test_split",
-    "stratified_sample_by_lang",
-    "mixture_downsample_uniform",
-    # storage layout: Z-order clustering keys
     "zorder_key_events",
+    # NEW r8: watermarked stream-stream LEFT OUTER join (batch parity on
+    # closed purchases) + HLL accuracy-envelope upgrade
+    "stream_left_join_purchase_click",
+    "approx_distinct_users",
+    # relational stragglers, first driver check
+    "string_functions",
+    "null_handling",
+    "conditional_aggregates",
+    "having_clause",
+    "daily_activity",
+    "dense_rank_ntile",
+    "array_functions",
+    "regex_extract_docs",
+    "date_math_orders",
+    "stats_moments",
+    "math_functions",
+    "in_subquery",
+    "first_last_window",
+    "percent_rank_cume_dist",
+    "grouping_indicator",
+    # text / curation stragglers, first driver check
+    "chunk_documents",
+    "pack_chunks",
+    "redact_pii",
+    "stratified_take_per_lang",
+    "ngram_repetition_stats",
+    # IIoT time-series stragglers, first driver check
+    "latest_reading_per_sensor",
+    "sensor_gap_report",
+    # similarity / streaming stragglers, first driver check
+    "cosine_dup_pairs",
+    "stream_range_join_purchase_click",
+    # r7 additions, first driver check
+    "incremental_semantic_dedup_fixed",
+    "epoch_shuffle_order",
+    "length_bucket_packing",
+    "scd2_point_in_time_join",
+    "ewma_sensor_state",
+    "bm25_search",
+    # rows-only five, first driver (rows-only) check — hash-family /
+    # RNG / sketch-internal reasons documented per-query; oracle-green
+    # md5/fixed twins are anchored above or driver-green in r5-r7
+    "multimodal_features",
+    "cosine_dup_pairs_blocked",
+    "winnowing_fingerprints",
+    "kmeans_assignments",
+    "semantic_dedup_pairs",
 ]
 
 

@@ -358,6 +358,75 @@ def run_stream_stream_range_join(
     return spark.table(name)
 
 
+def run_stream_stream_left_join(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: str = "6 hours",
+    watermark: str = "5 seconds",
+    closed_margin: str = "7 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join over the events fixture,
+    restricted to CLOSED purchases so the append-mode result is exactly
+    batch-left-join parity (the oracle-checkable form of
+    :func:`stream_stream_left_range_join`).
+
+    Append mode can only emit a purchase's NULL row once the watermark
+    PROVES no qualifying click can still arrive — Structured Streaming
+    delays outer nulls by up to (watermark delay + range span), so the
+    stream's raw output withholds nulls for purchases near the stream
+    tail.  Both the stream result and the batch oracle therefore filter
+    to purchases older than ``max(ts) - closed_margin`` (margin > range
+    span + watermark delay): below that boundary every null is provable
+    and flushed by availableNow's final no-data micro-batch, so the two
+    sides agree row-for-row.  Matched rows emit immediately and carry no
+    such subtlety; the same filter applies to both sides symmetrically.
+    """
+    stream = events_file_stream(spark, sf_dir)
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = stream_stream_left_range_join(p, c, interval=interval)
+    name = f"ssleft_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ssl_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from ..sources.readers import load_table
+
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg((F.max("ts") - F.expr(f"INTERVAL {closed_margin}")).alias("c"))
+        .collect()[0]["c"]
+    )
+    return spark.table(name).filter(F.col("purchase_ts") < F.lit(cutoff))
+
+
 def stream_stream_left_range_join(
     purchases: DataFrame,
     clicks: DataFrame,
@@ -444,6 +513,8 @@ def incremental_dedup_stream_writer(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    bucketed_store_prefix: str | None = None,
+    store_buckets: int = 16,
 ):
     """STREAMING corpus ingestion with history-aware dedup: a foreachBatch
     writer where each micro-batch of documents is checked against the
@@ -499,8 +570,77 @@ def incremental_dedup_stream_writer(
     history partition before deduping.  Under Structured Streaming the
     checkpoint retry already re-runs the whole batch; the marker makes
     DIRECT callers (tools/stream_store_probe.py, tests) equally safe.
+
+    ``bucketed_store_prefix`` (r8): the store as BUCKETED catalog tables
+    (``<prefix>_fp/_post/_buck``, hash-clustered on each join's key with
+    ``store_buckets`` buckets, partitioned by batch_id) instead of loose
+    per-batch parquet.  The dedup joins then read the big store side
+    pre-clustered — no store-side exchange, only the small batch
+    shuffles — which removes the unbucketed store's per-batch
+    O(store-shuffle) cost that made it LOSE to text mode below ~400k
+    docs of history (SCALE.md r7 crossover).  Appends use
+    insertInto with dynamic partition overwrite, so a retried batch
+    replaces its own partition (same contract as the parquet store);
+    the ``_complete`` stamp lives under
+    ``<history_dir>/_store_complete``.  Requires a session catalog.
+    Mutually exclusive with ``store_dir``.
     """
     from ..operators.dedup import build_history_signature_store, incremental_dedup
+
+    if store_dir is not None and bucketed_store_prefix is not None:
+        raise ValueError("store_dir and bucketed_store_prefix are mutually exclusive")
+    bucketed_names = {
+        "fingerprints": (f"{bucketed_store_prefix}_fp", "fp"),
+        "postings": (f"{bucketed_store_prefix}_post", "shingle"),
+        "buckets": (f"{bucketed_store_prefix}_buck", "bucket"),
+    }
+
+    def _write_bucketed_store_batch(spark: SparkSession, add, batch_id: int) -> None:
+        """Append one batch's signatures to the bucketed catalog tables —
+        insertInto + dynamic partition overwrite replaces only this
+        batch's own partition on retry."""
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for part, (table, key) in bucketed_names.items():
+                df_b = add[part].withColumn("batch_id", F.lit(batch_id))
+                if spark.catalog.tableExists(table):
+                    df_b.write.mode("overwrite").insertInto(table)
+                else:
+                    (
+                        df_b.write.mode("overwrite")
+                        .format("parquet")
+                        .partitionBy("batch_id")
+                        .bucketBy(store_buckets, key)
+                        .saveAsTable(table)
+                    )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def _heal_bucketed_store(spark: SparkSession, schema, batch_id: int) -> None:
+        """Bucketed-mode twin of ``_heal_store``: rebuild any prior
+        history partition's table partitions whose stamp is missing."""
+        marker_dir = Path(history_dir) / "_store_complete"
+        hist_root = Path(history_dir)
+        if not hist_root.is_dir():
+            return
+        for p in sorted(hist_root.iterdir()):
+            if not p.name.startswith("batch_id=") or p.name == f"batch_id={batch_id}":
+                continue
+            if (marker_dir / p.name).exists():
+                continue
+            hist = (
+                spark.read.schema(schema)
+                .parquet(str(p))
+                .filter(F.col(text_col).isNotNull())
+            )
+            rebuilt = build_history_signature_store(
+                hist, num_hashes, bands, n, text_col, id_col
+            )
+            bid = int(p.name.split("=")[1])
+            _write_bucketed_store_batch(spark, rebuilt, bid)
+            marker_dir.mkdir(parents=True, exist_ok=True)
+            (marker_dir / p.name).touch()
 
     def _prior_parts(root_dir: str, batch_id: int) -> list[str]:
         root = Path(root_dir)
@@ -590,6 +730,20 @@ def incremental_dedup_stream_writer(
                     ).parquet(*_prior_parts(f"{store_dir}/buckets", batch_id)),
                 }
             prior = None  # text partitions are write-only in store mode
+        elif bucketed_store_prefix is not None:
+            # bucketed-store mode: the catalog tables ARE the store; the
+            # dedup joins read them pre-clustered on each join key (no
+            # store-side exchange — only the small batch shuffles)
+            _heal_bucketed_store(spark, batch_df.schema, batch_id)
+            store = None
+            if spark.catalog.tableExists(bucketed_names["fingerprints"][0]):
+                store = {
+                    part: spark.table(table)
+                    .filter(F.col("batch_id") != batch_id)
+                    .drop("batch_id")
+                    for part, (table, _) in bucketed_names.items()
+                }
+            prior = None  # text partitions are write-only in store mode
         else:
             store = None
             prior_paths = _prior_parts(history_dir, batch_id)
@@ -650,6 +804,14 @@ def incremental_dedup_stream_writer(
                     f"{store_dir}/{sub}/batch_id={batch_id}"
                 )
             marker_dir = Path(store_dir) / "_complete"
+            marker_dir.mkdir(parents=True, exist_ok=True)
+            (marker_dir / f"batch_id={batch_id}").touch()
+        elif bucketed_store_prefix is not None:
+            add = build_history_signature_store(
+                clean, num_hashes, bands, n, text_col, id_col
+            )
+            _write_bucketed_store_batch(spark, add, batch_id)
+            marker_dir = Path(history_dir) / "_store_complete"
             marker_dir.mkdir(parents=True, exist_ok=True)
             (marker_dir / f"batch_id={batch_id}").touch()
 

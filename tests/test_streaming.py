@@ -619,3 +619,97 @@ def test_incremental_dedup_store_heals_unstamped_batch(spark, tmp_path):
     assert sorted(os.listdir(store / "_complete")) == ["batch_id=0", "batch_id=1"]
     for sub in ("fingerprints", "postings", "buckets"):
         assert (store / sub / "batch_id=0").is_dir()  # rebuilt from history
+
+
+def test_incremental_dedup_bucketed_store_mode(spark, tmp_path):
+    """r8: bucketed-store mode — the writer maintains the signature store
+    as batch_id-partitioned BUCKETED catalog tables and dedups against
+    them.  Must produce the same history/dups as text mode, retry
+    idempotently (insertInto dynamic overwrite replaces only the own
+    partition), keep the store side exchange-free in the exact-tier
+    join, and heal an unstamped batch like the parquet store."""
+    import os
+    import uuid as _uuid
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(38)) + " x0 x1"
+    batches = [
+        [(1, base), (2, " ".join(f"u{i}" for i in range(40)))],
+        [(10, base), (11, near), (12, " ".join(f"v{i}" for i in range(40)))],
+        [(20, base), (21, base)],
+    ]
+    prefix = f"bstore_{_uuid.uuid4().hex[:8]}"
+    results = {}
+    for mode in ("text", "bucketed"):
+        hist = str(tmp_path / f"hist_{mode}")
+        dups = str(tmp_path / f"dups_{mode}")
+        kw = (
+            {"bucketed_store_prefix": prefix, "store_buckets": 4}
+            if mode == "bucketed"
+            else {}
+        )
+        write = incremental_dedup_stream_writer(hist, dups, **kw)
+        for b, rows in enumerate(batches):
+            write(spark.createDataFrame(rows, schema), b)
+        if mode == "bucketed":  # retry the last batch: must be a no-op
+            write(spark.createDataFrame(batches[-1], schema), len(batches) - 1)
+        results[mode] = (
+            {r["doc_id"] for r in spark.read.parquet(hist).collect()},
+            {
+                (r["doc_id"], r["matched_doc"], r["tier"])
+                for r in spark.read.parquet(dups).collect()
+            },
+        )
+    assert results["text"] == results["bucketed"]
+    assert results["bucketed"][0] == {1, 2, 12}
+    # the catalog store holds exactly one partition per batch, bucketed
+    fp_table = f"{prefix}_fp"
+    parts = {
+        r["batch_id"] for r in spark.table(fp_table).select("batch_id").collect()
+    }
+    # batch 2's docs were ALL dups -> clean set empty -> no partition
+    assert parts == {0, 1}
+    # store side joins pre-clustered: a join against the store reads the
+    # bucketed layout with NO store-side exchange (bucketed scans only
+    # activate when a join can exploit them)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = spark.createDataFrame([("00",)], "fp string").join(
+            spark.table(fp_table).drop("batch_id"), "fp"
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "Bucketed: true" in plan
+    # heal: drop batch 1's store partition + stamp, next write rebuilds it
+    hist_dir = tmp_path / "hist_bucketed"
+    (hist_dir / "_store_complete" / "batch_id=1").unlink()
+    spark.sql(f"ALTER TABLE {fp_table} DROP PARTITION (batch_id=1)")
+    write = incremental_dedup_stream_writer(
+        str(hist_dir), str(tmp_path / "dups_bucketed"),
+        bucketed_store_prefix=prefix, store_buckets=4,
+    )
+    write(
+        spark.createDataFrame(
+            [(30, " ".join(f"v{i}" for i in range(40)))], schema  # dup of 12
+        ),
+        3,
+    )
+    d3 = {
+        (r["doc_id"], r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(
+            str(tmp_path / "dups_bucketed") + "/batch_id=3"
+        ).collect()
+    }
+    assert d3 == {(30, 12, "exact")}  # only findable if batch 1 was healed
+    assert sorted(os.listdir(hist_dir / "_store_complete")) == [
+        "batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3",
+    ]
+    for part in ("fp", "post", "buck"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{part}")

@@ -8,8 +8,11 @@ time series — text mode grows with accumulated history, store mode's
 hashing cost stays flat (its growth is only the store-read, ~16 bytes a
 shingle vs re-hashing full text).
 
-Usage: python tools/stream_store_probe.py [n_batches] [batch_docs]
-Prints one JSON line.
+Usage: python tools/stream_store_probe.py [n_batches] [batch_docs] [modes]
+``modes`` is a comma list from {text, store, bucketed} (default all
+three); ``bucketed`` maintains the store as batch_id-partitioned
+bucketed catalog tables (r8) — the layout that removes the unbucketed
+store's per-batch store-side shuffle.  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -53,6 +56,9 @@ def batch_docs_df(spark, start: int, count: int):
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    modes = (
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ["text", "store", "bucketed"]
+    )
     spark = get_spark("stream-store-probe")
     out: dict = {
         "metric": "stream_store_probe",
@@ -60,10 +66,17 @@ def main() -> None:
         "n_batches": n_batches,
         "batch_docs": batch_docs,
     }
-    for mode in ("text", "store"):
+    for mode in modes:
         root = f"/tmp/stream_store_probe_{mode}"
         shutil.rmtree(root, ignore_errors=True)
-        kw = {"store_dir": f"{root}/store"} if mode == "store" else {}
+        if mode == "store":
+            kw = {"store_dir": f"{root}/store"}
+        elif mode == "bucketed":
+            for part in ("fp", "post", "buck"):
+                spark.sql(f"DROP TABLE IF EXISTS probe_bstore_{part}")
+            kw = {"bucketed_store_prefix": "probe_bstore", "store_buckets": 16}
+        else:
+            kw = {}
         write = incremental_dedup_stream_writer(f"{root}/hist", f"{root}/dups", **kw)
         times = []
         for b in range(n_batches):
@@ -75,7 +88,7 @@ def main() -> None:
         out[f"{mode}_total"] = round(sum(times), 2)
     # growth ratio of the LAST batch over the second batch (first batch
     # has no history in either mode)
-    for mode in ("text", "store"):
+    for mode in modes:
         t = out[f"{mode}_per_batch"]
         out[f"{mode}_growth"] = round(t[-1] / max(t[1], 0.01), 2)
     print(json.dumps(out))
