@@ -95,6 +95,8 @@ EXTENDED = [
     "scd2_point_in_time_join",
     "ewma_sensor_state",
     "bm25_search",
+    # round-8: watermarked stream-stream LEFT OUTER interval join
+    "stream_left_join_purchase_click",
 ]
 
 

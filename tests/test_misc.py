@@ -119,39 +119,49 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-7 rotation: 22 first-time queries swapped in for driver-green
-    # cousins (r6 verdict ask #1)
-    for required in [
-        "stream_static_enrich", "kmeans_assignments_fixed",
-        "approx_percentile_order_value", "asof_join_tolerance",
-        "q4_order_priority_checking", "q15_top_supplier",
-        "q18_large_volume_customers", "q20_excess_stock_suppliers",
-        "scd2_priority_history", "snapshot_diff_orders",
-        "hll_distinct_merge", "rollup_cascade_hourly",
-        "incremental_rollup_merge", "dq_rule_violations",
-        "quarantine_events", "dedup_keep_best_lsh", "dup_span_coverage",
-        "incremental_dedup_new_docs", "leakage_safe_split",
-        "quality_prune_by_source", "top_ngram_coverage",
-        "multimodal_frames",
-        # families that must never lose their in-window representative
-        "stream_tumbling_1m", "json_extract_props",
-        "dedup_exact_fingerprint", "containment_pairs",
-        "fuzzy_match_documents", "cosine_topk_int8", "ivf_topk",
-        "language_id_pred", "cosine_dup_pairs_lsh",
-        "multimodal_audio_decode", "multimodal_video_frames",
-        "multimodal_resize", "gapfill_interpolate_daily",
-        "mad_anomalies", "funnel_signup_to_purchase",
-        "corpus_curation_pipeline", "token_budget_shards",
-        "train_val_test_split", "zorder_key_events",
-        "lsh_topk", "knn_join_bulk", "tfidf_top_terms",
-        "text_stats_per_doc", "simhash_signature_md5",
-        "winnowing_fingerprints_md5", "time_weighted_avg",
-        "stratified_sample_by_lang", "mixture_downsample_uniform",
-    ]:
+    # round-8 rotation (r7 verdict ask #1): the ENTIRE never-driver-
+    # checked backlog is in-window — 30 oracle-backed stragglers, the
+    # 5 rows-only queries, 2 new r8 queries — plus 13 family anchors
+    first_timers = [
+        "string_functions", "null_handling", "conditional_aggregates",
+        "having_clause", "daily_activity", "dense_rank_ntile",
+        "array_functions", "regex_extract_docs", "date_math_orders",
+        "stats_moments", "math_functions", "in_subquery",
+        "first_last_window", "percent_rank_cume_dist",
+        "grouping_indicator", "chunk_documents", "pack_chunks",
+        "redact_pii", "stratified_take_per_lang",
+        "ngram_repetition_stats", "latest_reading_per_sensor",
+        "sensor_gap_report", "cosine_dup_pairs",
+        "stream_range_join_purchase_click",
+        "incremental_semantic_dedup_fixed", "epoch_shuffle_order",
+        "length_bucket_packing", "scd2_point_in_time_join",
+        "ewma_sensor_state", "bm25_search",
+        # new r8
+        "stream_left_join_purchase_click", "approx_distinct_users",
+    ]
+    anchors = [
+        "sensor_rollup_1m", "stream_tumbling_1m", "json_extract_props",
+        "q1_pricing_summary", "customer_order_revenue",
+        "dedup_exact_fingerprint", "minhash_lsh_pairs_md5",
+        "incremental_dedup_new_docs", "text_stats_per_doc",
+        "cosine_topk", "multimodal_decode", "gapfill_interpolate_daily",
+        "zorder_key_events",
+    ]
+    rows_only_in_window = [
+        "multimodal_features", "cosine_dup_pairs_blocked",
+        "winnowing_fingerprints", "kmeans_assignments",
+        "semantic_dedup_pairs",
+    ]
+    for required in first_timers + anchors + rows_only_in_window:
         assert required in registry.DRIVER_WINDOW, required
-    # every window entry must carry an oracle (strict round-4 invariant)
+    # every window entry carries an oracle EXCEPT the five rows-only
+    # queries deliberately rotated in for their (weaker) driver check —
+    # each has a documented hard reason and an oracle-green hash twin
     for name in registry.DRIVER_WINDOW:
-        assert registry.QUERIES[name].oracle is not None, name
+        if name not in rows_only_in_window:
+            assert registry.QUERIES[name].oracle is not None, name
+        else:
+            assert registry.QUERIES[name].oracle is None, name
 
 
 def test_nightly_etl_counts_verified(spark, events, tmp_path):

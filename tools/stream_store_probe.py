@@ -72,8 +72,15 @@ def main() -> None:
         if mode == "store":
             kw = {"store_dir": f"{root}/store"}
         elif mode == "bucketed":
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
             for part in ("fp", "post", "buck"):
                 spark.sql(f"DROP TABLE IF EXISTS probe_bstore_{part}")
+                # a PREVIOUS session's table dies with its in-memory
+                # catalog but leaves the warehouse dir -> saveAsTable
+                # would fail with LOCATION_ALREADY_EXISTS
+                shutil.rmtree(
+                    os.path.join(wh, f"probe_bstore_{part}"), ignore_errors=True
+                )
             kw = {"bucketed_store_prefix": "probe_bstore", "store_buckets": 16}
         else:
             kw = {}
