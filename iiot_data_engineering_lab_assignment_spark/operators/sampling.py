@@ -33,6 +33,7 @@ __all__ = [
     "train_val_test_split",
     "stratified_sample",
     "epoch_shuffle",
+    "weighted_sample_per_group",
 ]
 
 #: 2^52 - the 13-hex-digit hash fits in a double's mantissa exactly.
@@ -156,4 +157,53 @@ def epoch_shuffle(
         F.lit(epoch).alias("epoch"),
         "shard",
         F.row_number().over(w).alias("pos"),
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``k`` rows per group whose Efraimidis–Spirakis key
+    ``ln(u) / w`` is largest, where ``u`` is the md5-derived U[0,1)
+    variate and ``w`` the row's weight.  Equivalent to drawing k items
+    sequentially with probability proportional to remaining weight
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — they state it as max u^(1/w); ln(u)/w is the same
+    ordering without the pow, and pow's libm rounding differs across
+    engines while ln + divide agree to the bit on dyadic-rational u).
+
+    Scale: the only shuffle is the per-group top-k window (or a global
+    TakeOrdered when ``group_cols`` is None) — the sampling key itself
+    is a scan-level expression, so at 100 TB this costs exactly one
+    exchange on the group key, and AQE's skew handling applies to hot
+    groups.  Deterministic under retries/growth like everything in this
+    module: a row's key depends only on (salt, id, weight).
+
+    Zero/negative weights never win: their key is -inf (w<=0 guarded to
+    NULL -> filtered), matching the "weight 0 means never sampled"
+    contract.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = hash_uniform(key_col, salt)
+    w = F.col(weight_col).cast("double")
+    es_key = F.when(w > 0, F.log(u) / w)
+    parts = [F.col(c) for c in (group_cols or [])]
+    win = Window.partitionBy(*parts).orderBy(
+        F.col("_es_key").desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("_es_key", es_key)
+        .filter(F.col("_es_key").isNotNull())
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es_key")
     )

@@ -6448,6 +6448,278 @@ def gapfill_interpolate_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample_by_length",
+    """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln(CAST(('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+                                     1, 13)) AS BIGINT)
+                / 4503599627370496.0) / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY es_key DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    WHERE sample_rank <= 5
+    """,
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: Efraimidis-Spirakis weighted sampling WITHOUT replacement —
+    keep 5 docs per source with probability proportional to length
+    (n_chars), the "sample long documents preferentially" curation move.
+    Deterministic (md5-keyed U[0,1), so retries/growth never resample)
+    and distributed: the ES key is a scan-level expression; the only
+    shuffle is the per-group top-k window.  ln(u)/w replaces the paper's
+    u^(1/w) — identical ordering, and ln+divide agree bit-for-bit across
+    engines on the dyadic-rational u where pow's libm rounding may not."""
+    from .operators.sampling import weighted_sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, k=5, weight_col="n_chars", group_cols=["source"]
+    ).select("source", "doc_id", "n_chars", "sample_rank")
+
+
+@register(
+    "mixture_temperature_weights",
+    """
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), sc AS (
+      SELECT source, n_docs, n_tokens,
+             power(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM per), 0.7) AS s
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM per), 6) AS raw_share,
+           ROUND(s / (SELECT SUM(s) FROM sc), 6) AS weight
+    FROM sc
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: temperature-scaled mixture weights (w_s proportional to
+    p_s^alpha, alpha=0.7 — the multilingual/domain-rebalancing rule from
+    the XLM-R / Gopher lineage): up-weights tail sources relative to
+    their raw token share without flattening the mixture entirely.
+    Token shares come from one groupBy(source) aggregate; both
+    normalizers ride along as broadcast 1-row aggregates (no collect,
+    no single-partition window), so the plan scales to any corpus with
+    exactly one exchange on the low-cardinality source key."""
+    from .operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_t"))
+    sc = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.col("_t")).alias("_p"),
+        F.pow(F.col("n_tokens") * 1.0 / F.col("_t"), 0.7).alias("_s"),
+    )
+    ssum = sc.agg(F.sum("_s").alias("_ss"))
+    return sc.crossJoin(F.broadcast(ssum)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("_p", 6).alias("raw_share"),
+        F.round(F.col("_s") / F.col("_ss"), 6).alias("weight"),
+    )
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH bm_ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM ({QUERIES["bm25_search"].oracle}) bm
+    ), cs_ranked AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r
+      FROM ({QUERIES["cosine_topk"].oracle}) cs
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + c.r), 0),
+                 6) AS rrf_score,
+           CAST(b.r AS INTEGER) AS bm25_rank,
+           CAST(c.r AS INTEGER) AS cosine_rank
+    FROM bm_ranked b FULL OUTER JOIN cs_ranked c ON b.doc_id = c.doc_id
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: hybrid retrieval via Reciprocal Rank Fusion (Cormack et
+    al. 2009, k=60) — fuse the lexical BM25 top-20 with the dense cosine
+    top-10 into one ranking, the standard two-tower search pattern.  The
+    two legs ARE the registered bm25_search / cosine_topk plans (their
+    oracles compose verbatim into this one), so every scale property
+    they proved carries over; the fusion itself ranks two tiny top-k
+    result sets (single-partition windows over <=20 rows by
+    construction — the legs already reduced the corpus) and full-outer
+    joins them on doc id."""
+    from pyspark.sql import Window
+
+    bm = QUERIES["bm25_search"].fn(spark, sf_dir)
+    cs = QUERIES["cosine_topk"].fn(spark, sf_dir)
+    bm_r = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("bm25_rank"),
+    )
+    cs_r = cs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("cosine_rank"),
+    )
+    j = bm_r.join(cs_r, "doc_id", "full_outer")
+    rrf = F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("cosine_rank")), F.lit(0.0)
+    )
+    return j.select(
+        "doc_id",
+        F.round(rrf, 6).alias("rrf_score"),
+        "bm25_rank",
+        "cosine_rank",
+    )
+
+
+@register(
+    "winsorize_event_values",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           ROUND(AVG(e.value), 6) AS avg_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, b.p05), b.p95)), 6) AS avg_winsor,
+           ROUND(ANY_VALUE(b.p05), 6) AS p05_r,
+           ROUND(ANY_VALUE(b.p95), 6) AS p95_r
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: winsorized robust aggregation — clip each sensor reading
+    to its event-type's exact [p05, p95] band before averaging, the
+    outlier-tolerant rollup (zscore/mad flag anomalies; winsorize keeps
+    the aggregate usable WITH them present).  Two passes: an exact
+    interpolated-percentile aggregate per type (Spark `percentile` ==
+    DuckDB `quantile_cont`, the precedent percentile_order_value pinned)
+    broadcast back onto the scan, then one grouped aggregate — so the
+    clip bounds never shuffle the fact table twice.  Boundary safety:
+    an interpolated bound either equals a data value exactly (integer
+    index, bit-identical in both engines) or lies strictly between two
+    adjacent values, so the < / > clip comparisons cannot flip across
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+            ).otherwise(0)
+        ).alias("n_clipped"),
+        F.round(F.avg("value"), 6).alias("avg_raw"),
+        F.round(F.avg(clipped), 6).alias("avg_winsor"),
+        F.round(F.first("p05"), 6).alias("p05_r"),
+        F.round(F.first("p95"), 6).alias("p95_r"),
+    )
+
+
+@register(
+    "source_vocab_novelty",
+    """
+    WITH st AS (
+      SELECT DISTINCT source, term
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+    ), tc AS (
+      SELECT term, COUNT(*) AS ns FROM st GROUP BY 1
+    )
+    SELECT st.source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN tc.ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exclusive,
+           ROUND(SUM(CASE WHEN tc.ns = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+                 6) AS exclusivity
+    FROM st JOIN tc USING (term)
+    GROUP BY 1
+    """,
+)
+def source_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: corpus-level vocabulary accounting per source — how many
+    distinct terms each source contributes and what fraction appear in
+    NO other source (the "does this source add anything" question a
+    mixture designer asks before paying to ingest it).  Shape: the
+    (source, term) distinct collapses each term to at most n_sources
+    rows BEFORE the term-frequency join, so hot terms cannot skew the
+    join — the whole plan is posting-list sized, never corpus-sized."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("term")
+    ).distinct()
+    tc = st.groupBy("term").agg(F.count(F.lit(1)).alias("ns"))
+    excl = F.when(F.col("ns") == 1, 1).otherwise(0)
+    return (
+        st.join(tc, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(excl).alias("n_exclusive"),
+            F.round(F.sum(excl) * 1.0 / F.count(F.lit(1)), 6).alias("exclusivity"),
+        )
+    )
+
+
+@register(
+    "stream_dedup_doubled",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def stream_dedup_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: dropDuplicatesWithinWatermark under a REAL duplicated
+    feed — the events stream unioned with a second replay of itself
+    (every row delivered exactly twice, the at-least-once upstream
+    worst case), deduplicated on event_id with bounded state.  The
+    oracle is the pristine table: if the operator under- or over-drops
+    a single row, the value hash flips.  State is evicted at the
+    watermark horizon (rate x horizon, not all-keys-ever) — the only
+    form that survives an unbounded 100 TB/day stream; the in-batch
+    duplicate distance here (0 seconds) is the Kafka-redelivery regime
+    the bounded form is designed for."""
+    from .streaming.jobs import run_stream_dedup_doubled
+
+    return run_stream_dedup_doubled(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

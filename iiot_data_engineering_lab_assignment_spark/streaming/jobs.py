@@ -40,6 +40,7 @@ __all__ = [
     "streaming_enrich_dim",
     "dim_refresh_enrich_writer",
     "streaming_dedup",
+    "run_stream_dedup_doubled",
     "run_events_stream_rollup",
     "run_events_stream_enriched_rollup",
     "fan_out_two_sinks",
@@ -246,6 +247,48 @@ def streaming_dedup(
     if bounded_state:
         return s.dropDuplicatesWithinWatermark(keys)
     return s.dropDuplicates(keys)
+
+
+def run_stream_dedup_doubled(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Replay the events fixture TWICE (two independent file-stream
+    sources unioned — every event delivered exactly two times, the
+    at-least-once upstream worst case) through
+    :func:`streaming_dedup`'s bounded-state form and return the
+    materialized result: it must equal the pristine table row-for-row.
+
+    Duplicates here arrive in the same micro-batch (distance 0, inside
+    any watermark horizon), so bounded-state eviction can never
+    re-admit one — the parity with ``SELECT * FROM events`` is exact,
+    not probabilistic.  dropDuplicatesWithinWatermark keeps the
+    first-seen copy; the copies are bit-identical so "which copy" is
+    unobservable."""
+    s1 = events_file_stream(spark, sf_dir)
+    s2 = events_file_stream(spark, sf_dir)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    dd = streaming_dedup(
+        s1.unionByName(s2), ["event_id"], "ts", watermark=watermark
+    ).select(*cols)
+    name = f"sdedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sdd_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def run_events_stream_rollup(

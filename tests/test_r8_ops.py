@@ -1,0 +1,90 @@
+"""Round-8 operators: winsorized aggregation, RRF hybrid search,
+vocabulary novelty, and the doubled-stream dedup replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_winsorize_bounds_and_clipping(spark):
+    """Hand-checkable winsorization: one wild outlier per side gets
+    clipped to the exact interpolated p05/p95 of its group."""
+    vals = [float(v) for v in range(1, 20)] + [1000.0, -1000.0]
+    df = spark.createDataFrame(
+        [("t", i, v) for i, v in enumerate(vals)],
+        "event_type string, event_id long, value double",
+    )
+    bounds = df.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    b = bounds.collect()[0]
+    # n=21 -> index = p*(n-1): p05 at position 1.0 (sorted[1]),
+    # p95 at position 19.0 (sorted[19]) of the sorted values
+    s = sorted(vals)
+    assert b["p05"] == s[1] and b["p95"] == s[19]
+    clipped = df.join(F.broadcast(bounds), "event_type").select(
+        F.least(F.greatest("value", "p05"), "p95").alias("cv")
+    )
+    cvs = sorted(r["cv"] for r in clipped.collect())
+    assert cvs[0] == s[1] and cvs[-1] == s[19]
+    assert -1000.0 not in cvs and 1000.0 not in cvs
+
+
+def test_winsorize_query_clips_only_tails(spark):
+    rows = QUERIES["winsorize_event_values"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # ~10% of each group sits outside [p05, p95] by construction
+        assert 0 < r["n_clipped"] < 0.2 * r["n"]
+        assert r["p05_r"] <= r["avg_winsor"] <= r["p95_r"]
+
+
+def test_hybrid_rrf_scores_and_membership(spark):
+    """RRF fusion: docs in both legs outrank rank-equivalent docs in one
+    leg; scores are exactly the 1/(60+r) sums of the leg ranks."""
+    rows = QUERIES["hybrid_search_rrf"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        expected = 0.0
+        if r["bm25_rank"] is not None:
+            expected += 1.0 / (60 + r["bm25_rank"])
+        if r["cosine_rank"] is not None:
+            expected += 1.0 / (60 + r["cosine_rank"])
+        assert abs(r["rrf_score"] - expected) < 1e-6
+        assert r["bm25_rank"] is not None or r["cosine_rank"] is not None
+    both = [r for r in rows if r["bm25_rank"] and r["cosine_rank"]]
+    single = [r for r in rows if not (r["bm25_rank"] and r["cosine_rank"])]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) > min(
+            r["rrf_score"] for r in single
+        )
+
+
+def test_source_vocab_novelty_invariants(spark):
+    rows = QUERIES["source_vocab_novelty"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_exclusive"] <= r["n_types"]
+        assert abs(r["exclusivity"] - r["n_exclusive"] / r["n_types"]) < 1e-6
+    # the fixture vocabulary is a shared base word list, so sources must
+    # share types (nobody is 100% exclusive)
+    assert all(r["n_exclusive"] < r["n_types"] for r in rows)
+
+
+def test_stream_dedup_doubled_equals_pristine_table(spark):
+    """Every event delivered twice, deduped on event_id -> exactly the
+    pristine table (the registry oracle's claim, pinned here in-suite)."""
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    out = QUERIES["stream_dedup_doubled"].fn(spark, SF)
+    base = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    assert out.count() == base.count()
+    assert out.exceptAll(base).count() == 0
+    assert base.exceptAll(out).count() == 0

@@ -264,3 +264,64 @@ def test_epoch_shuffle_is_stable_permutation(spark, documents):
         )
     ]
     assert other != concat_order and sorted(other) == sorted(concat_order)
+
+
+def test_weighted_sample_per_group_contract(spark):
+    """E-S weighted sampling: k per group, deterministic, zero/negative
+    weights never sampled, and heavy weights dominate (w -> inf drives
+    the key ln(u)/w -> 0-, the maximum)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(g, i, 1.0) for g in ("a", "b") for i in range(20)]
+    rows += [("a", 100, 1e9), ("a", 101, 0.0), ("b", 102, -3.0)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, w double")
+
+    out = weighted_sample_per_group(
+        df, k=3, weight_col="w", group_cols=["grp"]
+    ).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in by_grp.values())
+    # the 1e9-weight row always wins its group; w<=0 rows never appear
+    assert 100 in by_grp["a"]
+    assert 101 not in by_grp["a"] and 102 not in by_grp["b"]
+    # ranks are 1..k and deterministic across a repartitioned rerun
+    ranks = {(r["grp"], r["doc_id"]): r["sample_rank"] for r in out}
+    assert sorted(v for (g, _), v in ranks.items() if g == "a") == [1, 2, 3]
+    again = weighted_sample_per_group(
+        df.repartition(5), k=3, weight_col="w", group_cols=["grp"]
+    ).collect()
+    assert {(r["grp"], r["doc_id"]): r["sample_rank"] for r in again} == ranks
+
+
+def test_weighted_sample_global_and_validation(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(10)], "doc_id long, w double"
+    )
+    out = weighted_sample_per_group(df, k=4, weight_col="w").collect()
+    assert len(out) == 4 and sorted(r["sample_rank"] for r in out) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_per_group(df, k=0, weight_col="w")
+
+
+def test_mixture_temperature_weights_flattens_mixture(spark):
+    """alpha=0.7 temperature: weights sum to 1, and relative to raw token
+    share the biggest source is DOWN-weighted, the smallest UP-weighted."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["mixture_temperature_weights"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["raw_share"] for r in rows) - 1.0) < 1e-4
+    hi = max(rows, key=lambda r: r["raw_share"])
+    lo = min(rows, key=lambda r: r["raw_share"])
+    assert hi["weight"] < hi["raw_share"]
+    assert lo["weight"] > lo["raw_share"]
