@@ -6720,6 +6720,201 @@ def stream_dedup_doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_dedup_doubled(spark, sf_dir)
 
 
+@register(
+    "unigram_logprob_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tc AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM tc
+    ), dt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT dt.doc_id,
+           CAST(SUM(dt.cnt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(CAST(dt.cnt * -ln(tc.c * 1.0 / tot.t)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(dt.cnt), 6) AS avg_nll
+    FROM dt JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY 1
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: per-document average negative log-probability under the
+    corpus's own unigram LM — the cheap perplexity proxy every
+    web-scale curation stack runs before (or instead of) a KenLM pass
+    (CCNet-style: prune the docs whose token stream the corpus model
+    finds surprising; garbage and boilerplate both land in the tails).
+    Shape: one term-keyed aggregate builds the LM, one term-keyed join
+    scores docs — both O(postings); the corpus total rides along as a
+    broadcast 1-row aggregate, and the per-doc sum goes through an
+    exact DECIMAL cast so partitioning cannot reorder float addition."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.agg(F.sum("c").alias("t"))
+    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = dt.join(tc, "term").crossJoin(F.broadcast(tot))
+    contrib = (
+        F.col("cnt") * -F.log(F.col("c") * F.lit(1.0) / F.col("t"))
+    ).cast("decimal(28,12)")
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.round(
+            F.sum(contrib).cast("double") / F.sum("cnt"), 6
+        ).alias("avg_nll"),
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), tc_all AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c_all FROM toks GROUP BY 1
+    ), tc_tgt AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS c_tgt
+      FROM toks WHERE source = 'src0' GROUP BY 1
+    ), stats AS (
+      SELECT (SELECT SUM(c_all) FROM tc_all) AS t_all,
+             (SELECT COALESCE(SUM(c_tgt), 0) FROM tc_tgt) AS t_tgt,
+             (SELECT COUNT(*) FROM tc_all) AS v
+    ), lr AS (
+      SELECT a.term,
+             ln(((COALESCE(g.c_tgt, 0) + 1.0) / (s.t_tgt + s.v))
+                / ((a.c_all + 1.0) / (s.t_all + s.v))) AS llr
+      FROM tc_all a LEFT JOIN tc_tgt g USING (term) CROSS JOIN stats s
+    ), dt AS (
+      SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2, 3
+    )
+    SELECT dt.doc_id, dt.source,
+           ROUND(CAST(SUM(CAST(dt.cnt * lr.llr AS DECIMAL(28,12)))
+                      AS DOUBLE) / SUM(dt.cnt), 6) + 0.0 AS dsir_weight
+    FROM dt JOIN lr USING (term)
+    GROUP BY 1, 2
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: DSIR-style data selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") — score
+    every document by its length-normalized log-likelihood ratio
+    between a target-domain unigram LM (here: source 'src0') and the
+    corpus LM, Laplace-smoothed; resampling by these weights shifts the
+    corpus toward the target distribution.  Positive = looks like the
+    target.  Shape: two term aggregates + one term-keyed scoring join,
+    all O(postings); the three smoothing constants (t_all, t_tgt, V)
+    are one broadcast 1-row aggregate; per-doc sums are exact DECIMAL
+    so the weight is partition-order independent."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokenize("text")).alias("term")
+    )
+    tc_all = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_all"))
+    tc_tgt = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    stats = tc_all.join(tc_tgt, "term", "left").agg(
+        F.sum("c_all").alias("t_all"),
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    lr = (
+        tc_all.join(tc_tgt, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                ((F.coalesce(F.col("c_tgt"), F.lit(0)) + 1.0) / (F.col("t_tgt") + F.col("v")))
+                / ((F.col("c_all") + 1.0) / (F.col("t_all") + F.col("v")))
+            ).alias("llr"),
+        )
+    )
+    dt = toks.groupBy("doc_id", "source", "term").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        dt.join(lr, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            # + 0.0 normalizes IEEE negative zero (a tiny negative LLR sum
+            # rounds to -0.0, which %.6f prints as "-0.000000" and flips
+            # the cross-engine value hash)
+            (
+                F.round(
+                    F.sum(
+                        (F.col("cnt") * F.col("llr")).cast("decimal(28,12)")
+                    ).cast("double")
+                    / F.sum("cnt"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dsir_weight")
+        )
+    )
+
+
+@register(
+    "token_entropy_per_doc",
+    """
+    WITH dt AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT doc_id, term, cnt, SUM(cnt) OVER (PARTITION BY doc_id) AS n
+      FROM dt
+    )
+    SELECT doc_id,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(SUM(CAST(-(cnt * 1.0 / n) * ln(cnt * 1.0 / n)
+                               AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+    FROM sized
+    GROUP BY 1
+    """,
+)
+def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: Shannon entropy of each document's own token distribution
+    — the repetition-quality signal ngram-coverage ratios approximate:
+    keyboard-mash and template spam collapse to low entropy, natural
+    prose sits near ln(n_types).  One (doc, term) aggregate + a
+    doc-partition window for the length (reusing the same doc-keyed
+    exchange); per-term p*ln(p) contributions go through exact DECIMAL
+    so the sum is partition-order independent."""
+    from pyspark.sql import Window
+
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sized = dt.withColumn("n", F.sum("cnt").over(Window.partitionBy("doc_id")))
+    p = F.col("cnt") * F.lit(1.0) / F.col("n")
+    return sized.groupBy("doc_id").agg(
+        F.first("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.sum((-p * F.log(p)).cast("decimal(28,12)")).cast("double"), 6
+        ).alias("entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -88,3 +88,78 @@ def test_stream_dedup_doubled_equals_pristine_table(spark):
     assert out.count() == base.count()
     assert out.exceptAll(base).count() == 0
     assert base.exceptAll(out).count() == 0
+
+
+def test_unigram_logprob_flags_rare_token_docs(spark):
+    """A doc made of corpus-rare tokens must score a higher avg NLL than
+    a doc of corpus-common tokens (the pruning signal)."""
+    rows = [(i, "the and of to in a is", "x") for i in range(50)]
+    rows.append((100, "zzq1 zzq2 zzq3 zzq4 zzq5 zzq6 zzq7", "x"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    docs.createOrReplaceTempView("ul_docs")
+    from pyspark.sql import functions as FF
+
+    toks = docs.select("doc_id", FF.explode(FF.split("text", " ")).alias("term"))
+    tc = toks.groupBy("term").agg(FF.count(FF.lit(1)).alias("c"))
+    tot = tc.agg(FF.sum("c").alias("t"))
+    dt = toks.groupBy("doc_id", "term").agg(FF.count(FF.lit(1)).alias("cnt"))
+    scored = (
+        dt.join(tc, "term")
+        .crossJoin(FF.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                FF.sum(FF.col("cnt") * -FF.log(FF.col("c") / FF.col("t")))
+                / FF.sum("cnt")
+            ).alias("avg_nll")
+        )
+    )
+    by_id = {r["doc_id"]: r["avg_nll"] for r in scored.collect()}
+    assert by_id[100] > by_id[0]
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs from the target source score higher on average than the rest
+    (they ARE the target distribution), and weights are length-normalized
+    finite values."""
+    import math
+
+    rows = QUERIES["dsir_importance_weights"].fn(spark, SF).collect()
+    assert rows and all(math.isfinite(r["dsir_weight"]) for r in rows)
+    tgt = [r["dsir_weight"] for r in rows if r["source"] == "src0"]
+    rest = [r["dsir_weight"] for r in rows if r["source"] != "src0"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_token_entropy_orders_repetition(spark):
+    """Entropy: single-token spam = 0; uniform distinct tokens = ln(n)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "a b c d"), (3, "a a b b")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    dt = (
+        docs.select("doc_id", FF.explode(FF.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(FF.count(FF.lit(1)).alias("cnt"))
+    )
+    sized = dt.withColumn("n", FF.sum("cnt").over(Window.partitionBy("doc_id")))
+    p = FF.col("cnt") / FF.col("n")
+    ent = {
+        r["doc_id"]: r["e"]
+        for r in sized.groupBy("doc_id")
+        .agg(FF.sum(-p * FF.log(p)).alias("e"))
+        .collect()
+    }
+    assert ent[1] == 0.0
+    assert abs(ent[2] - math.log(4)) < 1e-9
+    assert abs(ent[3] - math.log(2)) < 1e-9
+    # and on the fixture: entropy <= ln(n_types) always
+    rows = QUERIES["token_entropy_per_doc"].fn(spark, SF).collect()
+    for r in rows:
+        assert r["entropy"] <= math.log(r["n_types"]) + 1e-6

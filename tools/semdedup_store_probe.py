@@ -59,7 +59,17 @@ def main() -> None:
     rng = np.random.RandomState(42)
     cents = {c: [float(x) for x in rng.uniform(-1, 1, d)] for c in range(k)}
     hist = synth_embeddings(spark, 0, hist_n, d)
-    inc = synth_embeddings(spark, hist_n, inc_n, d)
+    # 1% of the increment are EXACT copies of history rows (cosine 1.0):
+    # both modes must recover exactly these planted pairs, so the
+    # mode-equality check is non-trivial (random-uniform vectors alone
+    # produce zero pairs at threshold 0.9)
+    planted = max(inc_n // 100, 1)
+    plant = synth_embeddings(spark, 0, planted, d).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(hist_n)
+    )
+    inc = plant.unionByName(
+        synth_embeddings(spark, hist_n + planted, inc_n - planted, d)
+    )
     out: dict = {
         "metric": "semdedup_store_probe",
         "unit": "sec",
@@ -103,9 +113,15 @@ def main() -> None:
         out[f"{label}_assign_scans"] = plan.count("array_min")
         return plan
 
+    out["planted"] = planted
     run("inline", hist, None)
     store = spark.table("semprobe_hist_assigned")
     run("store", None, store)
+    # both modes must agree AND recover every planted twin (a planted
+    # increment row shares its twin's cell by construction, so cell
+    # blocking cannot lose it)
+    out["modes_agree"] = out["inline_pairs"] == out["store_pairs"]
+    out["planted_recovered"] = out["store_pairs"] >= planted
     # the history leg must be a bucketed scan feeding the cogroup with
     # no exchange and no assignment projection — i.e. store mode drops
     # exactly the history-side exchange AND the history-side assignment
