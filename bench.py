@@ -97,6 +97,13 @@ EXTENDED = [
     "bm25_search",
     # round-8: watermarked stream-stream LEFT OUTER interval join
     "stream_left_join_purchase_click",
+    # round-8: sampling / retrieval / curation additions
+    "weighted_sample_by_length",
+    "hybrid_search_rrf",
+    "winsorize_event_values",
+    "dsir_importance_weights",
+    "unigram_logprob_score",
+    "token_entropy_per_doc",
 ]
 
 
