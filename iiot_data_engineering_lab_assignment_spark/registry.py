@@ -6915,6 +6915,131 @@ def token_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT unnest(range(len(embedding))) AS dim, embedding
+      FROM embeddings
+    ), v AS (
+      SELECT CAST(dim AS INTEGER) AS dim,
+             CAST(embedding[dim + 1] AS DOUBLE) AS x
+      FROM e
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+                 6) AS mean_x,
+           ROUND(stddev_samp(x), 4) AS std_x,
+           MIN(x) AS min_x,
+           MAX(x) AS max_x
+    FROM v
+    GROUP BY 1
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: per-dimension embedding health check (mean/std/min/max for
+    each of the d coordinates) — the first diagnostic run on any new
+    embedding dump: dead dimensions (std ~ 0), un-centered dimensions,
+    and clipped values all show here before they poison ANN recall.
+    posexplode fans each vector into d rows BEFORE the aggregate, so the
+    shuffle carries only d x n_partial rows after map-side combine —
+    group cardinality is d, independent of corpus size; means go through
+    exact DECIMAL sums, std is rounded to the cross-engine-stable 4dp
+    (the stats_moments precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    return e.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_x"),
+        F.round(F.stddev_samp("x"), 4).alias("std_x"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    f"""
+    WITH comp AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM ({QUERIES["near_dup_clusters"].oracle}) c
+      GROUP BY 1
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM comp
+    GROUP BY 1
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: the duplicate-cluster size distribution — the number the
+    dedup report leads with (how much of the corpus sits in 2-member
+    pairs vs 1000-member boilerplate explosions), and the input to
+    capacity planning for keep-best (cluster size bounds the argmax
+    window).  Composes the registered near_dup_clusters pipeline (its
+    recursive-CTE oracle embeds verbatim) with two tiny aggregates on
+    the component key — the histogram itself is O(#clusters)."""
+    clusters = QUERIES["near_dup_clusters"].fn(spark, sf_dir)
+    return (
+        clusters.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+@register(
+    "heavy_hitters_envelope",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(5 AS BIGINT) AS k_returned,
+           TRUE AS within_envelope
+    FROM events
+    GROUP BY 1
+    """,
+)
+def heavy_hitters_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: approximate heavy hitters per event type
+    (`approx_top_k`, the DataSketches frequent-items aggregate — the
+    top-k-users query you actually run at 100 TB, where an exact
+    (type, user) aggregate is another full shuffle).  The returned item
+    SET is sketch-internal (engine-specific tie handling), so — the
+    approx_distinct_users / hll_distinct_merge pattern — the
+    oracle-checked claim is the accuracy contract itself: every
+    estimate the sketch returns is within 1% of N of that item's exact
+    count (the frequent-items guarantee is ~3.5/mapSize = 0.35% of N;
+    1% is the conservative envelope), asserted per type as a boolean
+    the oracle emits as TRUE, alongside the exact k_returned = 5.  A
+    regression that broke the sketch (or silently returned garbage
+    items that join nowhere, shrinking k_returned) flips the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    tk = ev.groupBy("event_type").agg(F.expr("approx_top_k(user_id, 5)").alias("tk"))
+    items = tk.select("event_type", F.explode("tk").alias("e")).select(
+        "event_type",
+        F.col("e.item").alias("user_id"),
+        F.col("e.count").alias("est"),
+    )
+    j = items.join(exact, ["event_type", "user_id"]).join(
+        F.broadcast(n), "event_type"
+    )
+    return j.groupBy("event_type").agg(
+        F.first("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("k_returned"),
+        F.bool_and(
+            F.abs(F.col("est") - F.col("c")) <= 0.01 * F.col("n_events")
+        ).alias("within_envelope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

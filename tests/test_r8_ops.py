@@ -163,3 +163,54 @@ def test_token_entropy_orders_repetition(spark):
     rows = QUERIES["token_entropy_per_doc"].fn(spark, SF).collect()
     for r in rows:
         assert r["entropy"] <= math.log(r["n_types"]) + 1e-6
+
+
+def test_embedding_dim_stats_shape_and_dead_dim(spark):
+    rows = QUERIES["embedding_dim_stats"].fn(spark, SF).collect()
+    assert len(rows) == 64
+    assert len({r["dim"] for r in rows}) == 64
+    n0 = rows[0]["n"]
+    assert all(r["n"] == n0 for r in rows)
+    # synthetic dead dimension flagged by std ~ 0
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    st = (
+        df.select(FF.posexplode("embedding").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(FF.stddev_samp("x").alias("s"))
+        .collect()
+    )
+    by_dim = {r["dim"]: r["s"] for r in st}
+    # Welford's update leaves ~1e-16 residue on constant streams
+    assert by_dim[1] < 1e-12 and by_dim[0] > 1.0
+
+
+def test_dup_cluster_histogram_accounts_for_every_clustered_doc(spark):
+    clusters = QUERIES["near_dup_clusters"].fn(spark, SF)
+    hist = QUERIES["dup_cluster_size_histogram"].fn(spark, SF).collect()
+    assert hist
+    # every cluster has >= 2 members (singletons never enter the edge set)
+    assert all(r["cluster_size"] >= 2 for r in hist)
+    total = sum(r["cluster_size"] * r["n_clusters"] for r in hist)
+    assert total == clusters.count()
+
+
+def test_heavy_hitters_sketch_finds_planted_hitter(spark):
+    """On a skewed feed the sketch must return the planted heavy hitter
+    with an estimate inside the envelope (here: exactly, the map is far
+    bigger than the distinct count)."""
+    from pyspark.sql import functions as FF
+
+    rows = [(999,)] * 500 + [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "user_id int")
+    (tk,) = df.agg(FF.expr("approx_top_k(user_id, 3)").alias("tk")).collect()
+    top = tk["tk"][0]
+    assert top["item"] == 999 and top["count"] == 500
+    # and the registered envelope query holds on the fixture
+    res = QUERIES["heavy_hitters_envelope"].fn(spark, SF).collect()
+    assert res and all(r["within_envelope"] for r in res)
+    assert all(r["k_returned"] == 5 for r in res)
