@@ -185,9 +185,11 @@ def weighted_sample_per_group(
     groups.  Deterministic under retries/growth like everything in this
     module: a row's key depends only on (salt, id, weight).
 
-    Zero/negative weights never win: their key is -inf (w<=0 guarded to
-    NULL -> filtered), matching the "weight 0 means never sampled"
-    contract.
+    Zero/negative/NaN/NULL weights never win: the guard maps them to
+    NULL key -> filtered (NaN needs the explicit isnan test — Spark
+    sorts NaN ABOVE every double, so an unguarded NaN weight would
+    monopolize the sample), matching the "invalid weight means never
+    sampled" contract.
     """
     from pyspark.sql import Window
 
@@ -195,15 +197,23 @@ def weighted_sample_per_group(
         raise ValueError(f"k must be >= 1, got {k}")
     u = hash_uniform(key_col, salt)
     w = F.col(weight_col).cast("double")
-    es_key = F.when(w > 0, F.log(u) / w)
-    parts = [F.col(c) for c in (group_cols or [])]
-    win = Window.partitionBy(*parts).orderBy(
-        F.col("_es_key").desc(), F.col(key_col)
-    )
+    es_key = F.when((w > 0) & ~F.isnan(w), F.log(u) / w)
+    keyed = df.withColumn("_es_key", es_key).filter(F.col("_es_key").isNotNull())
+    order = [F.col("_es_key").desc(), F.col(key_col)]
+    if not group_cols:
+        # global mode: TakeOrderedAndProject (per-partition heaps, the
+        # driver merges P x k rows) instead of a single-partition window
+        # sort of the whole table; the k survivors are then ranked by a
+        # window over exactly k rows.
+        top = keyed.orderBy(*order).limit(k)
+        win = Window.orderBy(*order)
+        return (
+            top.withColumn("sample_rank", F.row_number().over(win))
+            .drop("_es_key")
+        )
+    win = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
     return (
-        df.withColumn("_es_key", es_key)
-        .filter(F.col("_es_key").isNotNull())
-        .withColumn("sample_rank", F.row_number().over(win))
+        keyed.withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
         .drop("_es_key")
     )

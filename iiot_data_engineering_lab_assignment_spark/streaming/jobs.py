@@ -24,6 +24,7 @@ volumes use the RocksDB state store provider; the logic is unchanged.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 from pathlib import Path
@@ -249,6 +250,49 @@ def streaming_dedup(
     return s.dropDuplicates(keys)
 
 
+def _run_to_memory(
+    df: DataFrame,
+    prefix: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive an unstarted streaming DataFrame to a fresh in-memory table
+    with an availableNow trigger and return the materialized result —
+    the shared runner for every replay-to-batch parity query (review
+    r8: this block was hand-copied in four places, and each copy
+    silently returned a PARTIAL table when awaitTermination timed out;
+    now a timeout stops the query and raises).
+
+    ``shuffle_partitions`` bounds the state-store partition count for
+    the replay (each state partition carries per-batch commit-file
+    overhead; 32 partitions cost 8.4 s vs 1.5 s at 4 for the same sf0.1
+    replay); the session value is restored afterwards."""
+    spark = df.sparkSession
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming replay {name!r} did not finish in {timeout_s}s"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def run_stream_dedup_doubled(
     spark: SparkSession,
     sf_dir: str,
@@ -272,23 +316,7 @@ def run_stream_dedup_doubled(
     dd = streaming_dedup(
         s1.unionByName(s2), ["event_id"], "ts", watermark=watermark
     ).select(*cols)
-    name = f"sdedup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="sdd_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            dd.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _run_to_memory(dd, "sdedup")
 
 
 def run_events_stream_rollup(
@@ -317,24 +345,10 @@ def run_events_stream_rollup(
     agg = streaming_rollup(
         stream, "ts", duration, "5 seconds", group_cols, slide=slide, session_gap=session_gap
     )
-    name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _run_to_memory(
+        agg, "stream_rollup", output_mode=output_mode,
+        shuffle_partitions=state_partitions,
+    )
 
 
 def run_stream_stream_range_join(
@@ -382,23 +396,7 @@ def run_stream_stream_range_join(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
         & (F.col("click_ts") < F.col("purchase_ts")),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _run_to_memory(joined, "ssjoin")
 
 
 def run_stream_stream_left_join(
@@ -444,22 +442,7 @@ def run_stream_stream_left_join(
         .withWatermark("click_ts", watermark)
     )
     joined = stream_stream_left_range_join(p, c, interval=interval)
-    name = f"ssleft_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ssl_ckpt_")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = _run_to_memory(joined, "ssleft")
     from ..sources.readers import load_table
 
     cutoff = (
@@ -467,7 +450,7 @@ def run_stream_stream_left_join(
         .agg((F.max("ts") - F.expr(f"INTERVAL {closed_margin}")).alias("c"))
         .collect()[0]["c"]
     )
-    return spark.table(name).filter(F.col("purchase_ts") < F.lit(cutoff))
+    return result.filter(F.col("purchase_ts") < F.lit(cutoff))
 
 
 def stream_stream_left_range_join(
@@ -660,10 +643,33 @@ def incremental_dedup_stream_writer(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    def _heal_bucketed_store(spark: SparkSession, schema, batch_id: int) -> None:
-        """Bucketed-mode twin of ``_heal_store``: rebuild any prior
-        history partition's table partitions whose stamp is missing."""
-        marker_dir = Path(history_dir) / "_store_complete"
+    def _heal_signature_store(
+        spark: SparkSession,
+        schema,
+        batch_id: int,
+        marker_dir: Path,
+        write_fn,
+        legacy_complete_fn=None,
+    ) -> None:
+        """Shared crash repair for both store layouts (ADVICE r7; unified
+        r8 — the two hand-copied twins had already started to drift): the
+        history partition and the signature-store partitions for one
+        batch are separate non-atomic writes.  Structured Streaming's
+        batch retry heals a crash between them, but DIRECT callers
+        (tools, tests) have no retry — a batch whose history landed but
+        whose store writes did not would silently miss every future
+        duplicate of those docs.  Each completed batch stamps
+        ``<marker_dir>/batch_id=N``; here any prior history partition
+        missing its stamp gets its store partitions rebuilt from that
+        partition's text via ``write_fn``, then stamped.
+
+        ``legacy_complete_fn(bid)`` (review r8): a store maintained by
+        the pre-stamp r7 code has NO markers at all — without this check
+        the first run after upgrading would re-read and re-hash the
+        ENTIRE history inside one batch.  When it returns True (the
+        batch's store partitions all exist with their _SUCCESS commit
+        markers), the partition is stamped as a completed legacy write
+        instead of rebuilt — the `_wap_migrate_markers` precedent."""
         hist_root = Path(history_dir)
         if not hist_root.is_dir():
             return
@@ -672,18 +678,92 @@ def incremental_dedup_stream_writer(
                 continue
             if (marker_dir / p.name).exists():
                 continue
-            hist = (
-                spark.read.schema(schema)
-                .parquet(str(p))
-                .filter(F.col(text_col).isNotNull())
-            )
-            rebuilt = build_history_signature_store(
-                hist, num_hashes, bands, n, text_col, id_col
-            )
             bid = int(p.name.split("=")[1])
-            _write_bucketed_store_batch(spark, rebuilt, bid)
+            if legacy_complete_fn is None or not legacy_complete_fn(bid):
+                hist = (
+                    spark.read.schema(schema)
+                    .parquet(str(p))
+                    .filter(F.col(text_col).isNotNull())
+                )
+                rebuilt = build_history_signature_store(
+                    hist, num_hashes, bands, n, text_col, id_col
+                )
+                write_fn(rebuilt, bid)
             marker_dir.mkdir(parents=True, exist_ok=True)
             (marker_dir / p.name).touch()
+
+    def _hist_batch_names(batch_id: int) -> set[str]:
+        root = Path(history_dir)
+        if not root.is_dir():
+            return set()
+        return {
+            p.name
+            for p in root.iterdir()
+            if p.name.startswith("batch_id=") and p.name != f"batch_id={batch_id}"
+        }
+
+    def _check_bucketed_store_consistency(
+        spark: SparkSession, batch_id: int
+    ) -> bool:
+        """Reconcile the catalog tables with history_dir before trusting
+        them (review r8).  Two silent failure modes guarded here:
+
+        * **Session restart**: the tables live in the in-memory catalog
+          (gone with the old session) while the ``_store_complete``
+          stamps live on disk — a new session would see no store AND
+          skip the heal (stamps say complete), silently disabling all
+          history dedup.  Fix: clear the stale stamps (and any orphaned
+          warehouse dirs that would fail saveAsTable with
+          LOCATION_ALREADY_EXISTS) so the heal rebuilds every prior
+          batch from its history partition.  Returns False (caller must
+          not trust a store this batch — heal rebuilds it first).
+        * **Prefix reuse across streams**: tables exist but contain
+          batch partitions that this ``history_dir`` never wrote — the
+          store belongs to a DIFFERENT run and joining against it would
+          emit matched_doc ids that exist nowhere in this history.
+          Raises, because silently dropping another stream's store is
+          as wrong as silently using it."""
+        fp_table = bucketed_names["fingerprints"][0]
+        marker_dir = Path(history_dir) / "_store_complete"
+        stamps = (
+            {q.name for q in marker_dir.iterdir()} if marker_dir.is_dir() else set()
+        )
+        if not spark.catalog.tableExists(fp_table):
+            if stamps:
+                for name_ in stamps:
+                    (marker_dir / name_).unlink(missing_ok=True)
+                wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+                    "file:"
+                )
+                for _, (table, _key) in bucketed_names.items():
+                    db, _, tbl = table.rpartition(".")
+                    loc = (
+                        Path(wh) / f"{db}.db" / tbl if db else Path(wh) / tbl
+                    )
+                    shutil.rmtree(loc, ignore_errors=True)
+            return False
+        # a store partition is legitimate iff its history partition is on
+        # disk — including the CURRENT batch id, but only when a crashed
+        # prior attempt actually wrote its history partition (store
+        # writes always follow the history write, so a store partition
+        # with no history twin cannot be ours)
+        hist_names = _hist_batch_names(batch_id)
+        if (Path(history_dir) / f"batch_id={batch_id}").is_dir():
+            hist_names = hist_names | {f"batch_id={batch_id}"}
+        store_names = {
+            r[0]
+            for r in spark.sql(f"SHOW PARTITIONS {fp_table}").collect()
+        }
+        orphans = store_names - hist_names
+        if orphans:
+            raise ValueError(
+                f"bucketed signature store {fp_table!r} contains partitions "
+                f"{sorted(orphans)[:5]} absent from history_dir "
+                f"{history_dir!r} — the store prefix is shared with another "
+                "stream; use a distinct bucketed_store_prefix (or drop the "
+                "stale tables) before writing"
+            )
+        return True
 
     def _prior_parts(root_dir: str, batch_id: int) -> list[str]:
         root = Path(root_dir)
@@ -695,39 +775,38 @@ def incremental_dedup_stream_writer(
             if p.name.startswith("batch_id=") and p.name != f"batch_id={batch_id}"
         ]
 
+    def _write_store_batch(rebuilt, bid: int) -> None:
+        for sub in ("fingerprints", "postings", "buckets"):
+            rebuilt[sub].write.mode("overwrite").parquet(
+                f"{store_dir}/{sub}/batch_id={bid}"
+            )
+
+    def _legacy_store_complete(bid: int) -> bool:
+        return all(
+            (Path(store_dir) / sub / f"batch_id={bid}" / "_SUCCESS").exists()
+            for sub in ("fingerprints", "postings", "buckets")
+        )
+
     def _heal_store(spark: SparkSession, schema, batch_id: int) -> None:
-        """Store-mode crash repair (ADVICE r7): the history partition and
-        the three signature-store partitions for one batch are separate
-        non-atomic writes.  Structured Streaming's batch retry heals a
-        crash between them, but DIRECT callers (tools, tests) have no
-        retry — a batch whose history landed but whose store writes did
-        not would silently miss every future duplicate of those docs.
-        Each completed batch stamps ``<store_dir>/_complete/batch_id=N``;
-        here any prior history partition missing its stamp gets its store
-        partitions rebuilt from that partition's text, then stamped."""
-        marker_dir = Path(store_dir) / "_complete"
-        hist_root = Path(history_dir)
-        if not hist_root.is_dir():
-            return
-        for p in sorted(hist_root.iterdir()):
-            if not p.name.startswith("batch_id=") or p.name == f"batch_id={batch_id}":
-                continue
-            if (marker_dir / p.name).exists():
-                continue
-            hist = (
-                spark.read.schema(schema)
-                .parquet(str(p))
-                .filter(F.col(text_col).isNotNull())
-            )
-            rebuilt = build_history_signature_store(
-                hist, num_hashes, bands, n, text_col, id_col
-            )
-            for sub in ("fingerprints", "postings", "buckets"):
-                rebuilt[sub].write.mode("overwrite").parquet(
-                    f"{store_dir}/{sub}/{p.name}"
-                )
-            marker_dir.mkdir(parents=True, exist_ok=True)
-            (marker_dir / p.name).touch()
+        _heal_signature_store(
+            spark,
+            schema,
+            batch_id,
+            Path(store_dir) / "_complete",
+            _write_store_batch,
+            legacy_complete_fn=_legacy_store_complete,
+        )
+
+    def _heal_bucketed_store(spark: SparkSession, schema, batch_id: int) -> None:
+        # no legacy_complete_fn: the bucketed layout shipped together
+        # with the stamps, so an unstamped partition is always a crash
+        _heal_signature_store(
+            spark,
+            schema,
+            batch_id,
+            Path(history_dir) / "_store_complete",
+            lambda rebuilt, bid: _write_bucketed_store_batch(spark, rebuilt, bid),
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -776,7 +855,12 @@ def incremental_dedup_stream_writer(
         elif bucketed_store_prefix is not None:
             # bucketed-store mode: the catalog tables ARE the store; the
             # dedup joins read them pre-clustered on each join key (no
-            # store-side exchange — only the small batch shuffles)
+            # store-side exchange — only the small batch shuffles).
+            # Reconcile catalog vs stamps FIRST (review r8): a session
+            # restart loses the in-memory tables but not the stamps —
+            # unstamping lets the heal below rebuild them; a prefix
+            # shared with another stream's store raises.
+            _check_bucketed_store_consistency(spark, batch_id)
             _heal_bucketed_store(spark, batch_df.schema, batch_id)
             store = None
             if spark.catalog.tableExists(bucketed_names["fingerprints"][0]):

@@ -325,3 +325,22 @@ def test_mixture_temperature_weights_flattens_mixture(spark):
     lo = min(rows, key=lambda r: r["raw_share"])
     assert hi["weight"] < hi["raw_share"]
     assert lo["weight"] > lo["raw_share"]
+
+
+def test_weighted_sample_nan_weights_never_win_and_global_take_ordered(spark):
+    """Review r8: NaN sorts above every double in Spark, so an unguarded
+    NaN weight would monopolize the sample; and global mode must plan
+    TakeOrdered, not a single-partition window sort."""
+    from iiot_data_engineering_lab_assignment_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(20)] + [(100, float("nan")), (101, None)],
+        "doc_id long, w double",
+    )
+    out = weighted_sample_per_group(df, k=5, weight_col="w")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 100 not in ids and 101 not in ids and len(ids) == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -713,3 +713,121 @@ def test_incremental_dedup_bucketed_store_mode(spark, tmp_path):
     ]
     for part in ("fp", "post", "buck"):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_{part}")
+
+
+def test_bucketed_store_survives_session_restart_metadata_loss(spark, tmp_path):
+    """Review r8: the bucketed store lives in the in-memory catalog (dies
+    with the session) while the _store_complete stamps live on disk.  A
+    new session must NOT silently skip history dedup (tableExists=false
+    + stamps-say-complete): the writer clears the stale stamps, removes
+    the orphaned warehouse dirs, and the heal rebuilds the store from
+    the history partitions — the duplicate is still caught."""
+    import shutil
+    import uuid as _uuid
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    prefix = f"rstore_{_uuid.uuid4().hex[:8]}"
+    hist, dups = str(tmp_path / "hist"), str(tmp_path / "dups")
+    write = incremental_dedup_stream_writer(
+        hist, dups, bucketed_store_prefix=prefix, store_buckets=4
+    )
+    write(spark.createDataFrame([(1, base)], schema), 0)
+    # simulate the restart: catalog metadata gone, warehouse dirs AND
+    # stamps survive (DROP TABLE would delete the managed dir, so move
+    # the dirs aside, drop, and move them back)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import os
+
+    for part in ("fp", "post", "buck"):
+        t = f"{prefix}_{part}"
+        if os.path.isdir(os.path.join(wh, t)):
+            shutil.move(os.path.join(wh, t), os.path.join(wh, t + "_aside"))
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.move(os.path.join(wh, t + "_aside"), os.path.join(wh, t))
+    assert not spark.catalog.tableExists(f"{prefix}_fp")
+    assert (tmp_path / "hist" / "_store_complete" / "batch_id=0").exists()
+    # "new session": a fresh writer must rebuild and still catch the dup
+    write2 = incremental_dedup_stream_writer(
+        hist, dups, bucketed_store_prefix=prefix, store_buckets=4
+    )
+    write2(spark.createDataFrame([(10, base)], schema), 1)
+    dup_rows = {
+        (r["doc_id"], r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(dups).collect()
+    }
+    assert dup_rows == {(10, 1, "exact")}
+
+
+def test_bucketed_store_prefix_reuse_across_streams_raises(spark, tmp_path):
+    """Review r8: a writer pointed at a FRESH history_dir but an existing
+    store prefix would silently dedup against another stream's
+    signatures (matched_doc ids absent from its own history).  It must
+    raise instead."""
+    import uuid as _uuid
+
+    import pytest as _pytest
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    prefix = f"shared_{_uuid.uuid4().hex[:8]}"
+    write_a = incremental_dedup_stream_writer(
+        str(tmp_path / "hist_a"), str(tmp_path / "dups_a"),
+        bucketed_store_prefix=prefix, store_buckets=4,
+    )
+    write_a(spark.createDataFrame([(1, base)], schema), 0)
+    write_b = incremental_dedup_stream_writer(
+        str(tmp_path / "hist_b"), str(tmp_path / "dups_b"),
+        bucketed_store_prefix=prefix, store_buckets=4,
+    )
+    with _pytest.raises(ValueError, match="shared with another stream"):
+        write_b(spark.createDataFrame([(99, base)], schema), 0)
+
+
+def test_legacy_prestamp_store_is_stamped_not_rebuilt(spark, tmp_path):
+    """Review r8: a store_dir maintained by the pre-stamp r7 code has no
+    _complete/ markers at all; the first post-upgrade batch must STAMP
+    the existing completed partitions (all three sub-dirs present with
+    _SUCCESS) instead of re-reading and re-hashing the entire history
+    inside one batch."""
+    import os
+    import shutil
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        incremental_dedup_stream_writer,
+    )
+
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    store = tmp_path / "store"
+    hist, dups = str(tmp_path / "hist"), str(tmp_path / "dups")
+    write = incremental_dedup_stream_writer(hist, dups, store_dir=str(store))
+    write(spark.createDataFrame([(1, base)], schema), 0)
+    other = " ".join(f"z{i}" for i in range(40))
+    write(spark.createDataFrame([(2, other)], schema), 1)
+    # simulate the pre-stamp legacy layout: stamps gone, data intact
+    shutil.rmtree(store / "_complete")
+    mtimes = {
+        sub: os.path.getmtime(store / sub / "batch_id=0" / "_SUCCESS")
+        for sub in ("fingerprints", "postings", "buckets")
+    }
+    write(spark.createDataFrame([(10, base)], schema), 2)
+    # stamps migrated for both legacy batches, data NOT rewritten
+    assert sorted(os.listdir(store / "_complete")) == [
+        "batch_id=0", "batch_id=1", "batch_id=2",
+    ]
+    for sub, mt in mtimes.items():
+        assert os.path.getmtime(store / sub / "batch_id=0" / "_SUCCESS") == mt
+    dup_rows = {
+        (r["doc_id"], r["matched_doc"], r["tier"])
+        for r in spark.read.parquet(dups).collect()
+    }
+    assert dup_rows == {(10, 1, "exact")}

@@ -102,9 +102,12 @@ def main() -> None:
         pairs = incremental_semantic_dedup(
             history, inc, cents, threshold=0.9, history_assigned=history_assigned
         )
-        n_pairs = pairs.count()
+        pair_set = {
+            (r["id_new"], r["id_hist"]) for r in pairs.select("id_new", "id_hist").collect()
+        }
         out[f"{label}_sec"] = round(time.time() - t0, 2)
-        out[f"{label}_pairs"] = n_pairs
+        out[f"{label}_pairs"] = len(pair_set)
+        pair_sets[label] = pair_set
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         out[f"{label}_exchanges"] = plan.count("Exchange hashpartitioning")
         out[f"{label}_bucketed_scan"] = "Bucketed: true" in plan
@@ -114,14 +117,17 @@ def main() -> None:
         return plan
 
     out["planted"] = planted
+    pair_sets: dict = {}
     run("inline", hist, None)
     store = spark.table("semprobe_hist_assigned")
     run("store", None, store)
-    # both modes must agree AND recover every planted twin (a planted
-    # increment row shares its twin's cell by construction, so cell
-    # blocking cannot lose it)
-    out["modes_agree"] = out["inline_pairs"] == out["store_pairs"]
-    out["planted_recovered"] = out["store_pairs"] >= planted
+    # both modes must agree on the actual PAIR SET (counts alone could
+    # mask one mode trading a lost twin for a borderline random pair)
+    # AND recover every planted twin (a planted increment row shares its
+    # twin's cell by construction, so cell blocking cannot lose it)
+    out["modes_agree"] = pair_sets["inline"] == pair_sets["store"]
+    expected = {(hist_n + i, i) for i in range(planted)}
+    out["planted_recovered"] = expected <= pair_sets["store"]
     # the history leg must be a bucketed scan feeding the cogroup with
     # no exchange and no assignment projection — i.e. store mode drops
     # exactly the history-side exchange AND the history-side assignment

@@ -59,6 +59,11 @@ def main() -> None:
     modes = (
         sys.argv[3].split(",") if len(sys.argv) > 3 else ["text", "store", "bucketed"]
     )
+    bad = [m for m in modes if m not in ("text", "store", "bucketed")]
+    if bad:
+        # fail fast: a typo'd mode would otherwise fall through to the
+        # text-mode kwargs and record text numbers under the wrong label
+        raise SystemExit(f"unknown mode(s) {bad}; choose from text,store,bucketed")
     spark = get_spark("stream-store-probe")
     out: dict = {
         "metric": "stream_store_probe",
