@@ -7040,6 +7040,186 @@ def heavy_hitters_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_doc_similarity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+    ), cold AS (
+      SELECT term, df FROM dfq CROSS JOIN nd
+      WHERE df <= GREATEST(50, n_docs / 10)
+    ), w AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(nd.n_docs * 1.0 / cold.df) AS wt
+      FROM tf JOIN cold USING (term) CROSS JOIN nd
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(CAST(SUM(CAST(wt * wt AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(CAST(a.wt * b.wt AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS tfidf_cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.5
+    """,
+)
+def tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: pairwise document cosine in TF-IDF space — the LEXICAL
+    similarity complement to MinHash (set overlap) and embedding cosine
+    (semantic): near-identical wording scores high even when shingles
+    shift.  Candidate pairs come from the posting-list self-join with
+    the same df<=50 hot-term cap as every other pair generator here
+    (stopword-like terms can neither join nor contribute weight, killing
+    the sum(df^2) blow-up); dot products and norms go through exact
+    DECIMAL sums so the cosine is partition-order independent; the
+    >=0.5 filter bounds the output to genuinely similar pairs."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # df cap scales with the corpus (10% of docs, floor 50): a FIXED cap
+    # empties the result once every shared term's df outgrows it, while
+    # the fractional form still excludes stopword-like terms (the
+    # sum(df^2) blow-up source) at any corpus size
+    cold = dfq.crossJoin(F.broadcast(nd)).filter(
+        F.col("df") <= F.greatest(F.lit(50), F.col("n_docs") / 10)
+    ).select("term", "df")
+    w = (
+        tf.join(cold, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("wt") * F.col("wt")).cast("decimal(28,12)")).cast("double")
+        ).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.5)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("tfidf_cosine"))
+    )
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id, e.label,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+      FROM embeddings e, q
+      WHERE e.label <> q.qlabel
+    )
+    SELECT vec_id, label, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: hard-negative mining for contrastive training — the top-5
+    vectors most similar to the query (vec_id=0) whose LABEL differs:
+    the near-miss negatives a contrastive or reranker loss learns most
+    from (random negatives are trivially separable).  Same zero-UDF
+    scan + TakeOrdered shape as cosine_topk with a label anti-filter
+    pushed into the scan; the query vector and its label are a 1-row
+    driver pull (the sanctioned k-row parameter fetch)."""
+    from .operators.similarity import cosine_to_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    qvec = [float(x) for x in q["embedding"]]
+    return (
+        emb.filter(F.col("label") != q["label"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_to_query(F.col("embedding"), qvec), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "unpivot_sensor_stats",
+    """
+    WITH wide AS (
+      SELECT event_type,
+             ROUND(AVG(value), 6) AS avg_value,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, stat_name, stat_value
+    FROM wide
+    UNPIVOT (stat_value FOR stat_name IN (avg_value, min_value, max_value))
+    """,
+)
+def unpivot_sensor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: UNPIVOT / melt — the wide-to-long reshape (the inverse of
+    pivot_event_counts) that feeds per-metric plotting and metric-store
+    ingestion.  Spark's DataFrame.unpivot is a zero-shuffle generated
+    projection over the (already tiny) wide aggregate; both engines name
+    the variable/value columns identically so the hash matches."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["avg_value", "min_value", "max_value"],
+        "stat_name",
+        "stat_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

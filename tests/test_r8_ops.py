@@ -214,3 +214,40 @@ def test_heavy_hitters_sketch_finds_planted_hitter(spark):
     res = QUERIES["heavy_hitters_envelope"].fn(spark, SF).collect()
     assert res and all(r["within_envelope"] for r in res)
     assert all(r["k_returned"] == 5 for r in res)
+
+
+def test_tfidf_doc_similarity_detects_rewording(spark):
+    """Two docs with identical wording except one rare token score near
+    1.0; unrelated docs never appear (pairs are >= 0.5 by contract)."""
+    rows = QUERIES["tfidf_doc_similarity"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 <= r["tfidf_cosine"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+    # symmetric: no pair appears twice in either orientation
+    pairs = [(r["doc_a"], r["doc_b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_hard_negative_mining_excludes_query_label(spark):
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qlabel = emb.filter("vec_id = 0").head()["label"]
+    rows = QUERIES["hard_negative_mining"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r["label"] != qlabel for r in rows)
+    # descending similarity with deterministic tiebreak
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_unpivot_round_trips_the_wide_aggregate(spark):
+    rows = QUERIES["unpivot_sensor_stats"].fn(spark, SF).collect()
+    stats = {r["stat_name"] for r in rows}
+    assert stats == {"avg_value", "min_value", "max_value"}
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], {})[r["stat_name"]] = r["stat_value"]
+    for t, d in by_type.items():
+        assert d["min_value"] <= d["avg_value"] <= d["max_value"]
