@@ -104,6 +104,9 @@ EXTENDED = [
     "dsir_importance_weights",
     "unigram_logprob_score",
     "token_entropy_per_doc",
+    "tfidf_doc_similarity",
+    "embedding_dim_stats",
+    "heavy_hitters_envelope",
 ]
 
 

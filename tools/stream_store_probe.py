@@ -8,7 +8,7 @@ time series — text mode grows with accumulated history, store mode's
 hashing cost stays flat (its growth is only the store-read, ~16 bytes a
 shingle vs re-hashing full text).
 
-Usage: python tools/stream_store_probe.py [n_batches] [batch_docs] [modes]
+Usage: python tools/stream_store_probe.py [n_batches] [batch_docs] [modes] [num_hashes]
 ``modes`` is a comma list from {text, store, bucketed} (default all
 three); ``bucketed`` maintains the store as batch_id-partitioned
 bucketed catalog tables (r8) — the layout that removes the unbucketed
@@ -64,12 +64,14 @@ def main() -> None:
         # fail fast: a typo'd mode would otherwise fall through to the
         # text-mode kwargs and record text numbers under the wrong label
         raise SystemExit(f"unknown mode(s) {bad}; choose from text,store,bucketed")
+    num_hashes = int(sys.argv[4]) if len(sys.argv) > 4 else 16
     spark = get_spark("stream-store-probe")
     out: dict = {
         "metric": "stream_store_probe",
         "unit": "sec",
         "n_batches": n_batches,
         "batch_docs": batch_docs,
+        "num_hashes": num_hashes,
     }
     for mode in modes:
         root = f"/tmp/stream_store_probe_{mode}"
@@ -89,7 +91,9 @@ def main() -> None:
             kw = {"bucketed_store_prefix": "probe_bstore", "store_buckets": 16}
         else:
             kw = {}
-        write = incremental_dedup_stream_writer(f"{root}/hist", f"{root}/dups", **kw)
+        write = incremental_dedup_stream_writer(
+            f"{root}/hist", f"{root}/dups", num_hashes=num_hashes, **kw
+        )
         times = []
         for b in range(n_batches):
             df = batch_docs_df(spark, b * batch_docs, batch_docs)
