@@ -22,6 +22,8 @@ __all__ = [
     "lsh_topk",
     "int8_quantize",
     "int8_topk",
+    "signbit_pack",
+    "signbit_topk",
     "knn_join",
     "centroids",
     "assign_cells",
@@ -241,6 +243,85 @@ def int8_topk(
         ),
     )
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def signbit_pack(emb: Column, offset: int, width: int) -> Column:
+    """Pack the sign bits of ``emb[offset : offset+width]`` into one
+    BIGINT, MSB-first (bit set when the component is >= 0).  ``width``
+    must be <= 32 so the packed value never reaches the long's sign
+    bit — the fold is plain ``acc*2 + bit`` with no overflow hazard
+    even under ANSI arithmetic.  Pure JVM ``aggregate`` over a
+    ``slice`` — stays inside whole-stage codegen."""
+    if not 0 < width <= 32:
+        raise ValueError(f"width must be in (0, 32], got {width}")
+    return F.aggregate(
+        F.slice(emb, offset + 1, width),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * 2 + F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def signbit_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized retrieval: Hamming shortlist over sign-bit
+    signatures, then exact-cosine re-rank of the survivors — the
+    32x-compression tier between SQ8 (:func:`int8_topk`, 4x) and the
+    bucketed ANN tiers (:func:`lsh_topk` / :func:`ivf_topk`).
+
+    Scale shape: a d-dim float32 vector collapses to ceil(d/32) longs
+    (64-dim -> 16 bytes vs 256), so at 10^9+ vectors the Hamming scan
+    reads ~2 columns of longs and stays entirely inside whole-stage
+    codegen (``bit_count(xor)`` per word); in production the packed
+    words are materialized once at ingest so the scan never touches the
+    float column — only the ``shortlist`` survivors (a driver-bounded
+    constant) fetch their full vectors for the exact re-rank.  Both
+    stages break ties deterministically ((hamming, id) then
+    (cosine desc, id)), so unlike LSH/IVF this approximate tier is
+    exactly SQL-reproducible and value-hash-checkable end to end.
+    Sign convention: 0.0 counts as positive in both engines."""
+    dim_row = embeddings.select(F.size(emb_col).alias("d")).head()
+    if dim_row is None:
+        raise ValueError("embeddings table is empty")
+    dim = dim_row["d"]
+    layout = [(off, min(32, dim - off)) for off in range(0, dim, 32)]
+    sig = embeddings.select(F.col(id_col), F.col(emb_col))
+    for i, (off, width) in enumerate(layout):
+        sig = sig.withColumn(f"_w{i}", signbit_pack(F.col(emb_col), off, width))
+    qrow = sig.filter(F.col(id_col) == query_id).select(
+        F.col(emb_col).alias("_q_emb"),
+        *[F.col(f"_w{i}").alias(f"_qw{i}") for i in range(len(layout))],
+    )
+    hamming = None
+    for i in range(len(layout)):
+        term = F.bit_count(F.col(f"_w{i}").bitwiseXOR(F.col(f"_qw{i}")))
+        hamming = term if hamming is None else hamming + term
+    short = (
+        sig.crossJoin(F.broadcast(qrow))
+        .filter(F.col(id_col) != query_id)
+        .withColumn("hamming", hamming.cast("long"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    e = _as_double(F.col(emb_col))
+    q = _as_double(F.col("_q_emb"))
+    cos = dot(e, q) / (l2_norm(e) * l2_norm(q))
+    return (
+        short.select(
+            F.col(id_col),
+            F.col("hamming"),
+            (F.round(cos * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def knn_join(

