@@ -7425,6 +7425,137 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "counter_rate_resets",
+    """
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(value) OVER w AS pv,
+             lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS pus
+      FROM events WHERE event_type = 'view'
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(ROUND((CASE WHEN value - pv < 0 THEN value
+                            ELSE value - pv END) * 1000000.0, 0) AS BIGINT)
+             / 1000000.0 AS increase,
+           CAST(ROUND((CASE WHEN value - pv < 0 THEN value
+                            ELSE value - pv END)
+                      / ((us - pus) / 1000000.0) * 10000.0, 0) AS BIGINT)
+             / 10000.0 AS rate_per_s
+    FROM s WHERE pv IS NOT NULL AND us > pus
+    """,
+)
+def counter_rate_resets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: counter rate with reset detection — the PromQL
+    ``rate()`` / TimescaleDB ``counter_agg`` semantics: per-key
+    consecutive delta, and a NEGATIVE delta means the counter reset
+    (device reboot), so the increase restarts from the raw value
+    instead of going negative.  The semantics users hand-roll wrong
+    (a plain lag-delta silently books a huge negative rate at every
+    reboot).  One lag window per key (local per-partition sort, exact
+    integer-microsecond time base); zero-dt ties excluded rather than
+    dividing by zero; integer-round output form (raw ROUND's decimal
+    grid boundaries are not representable doubles)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        us.alias("us"),
+        F.lag("value").over(w).alias("pv"),
+        F.lag(us).over(w).alias("pus"),
+    )
+    delta = F.col("value") - F.col("pv")
+    increase = F.when(delta < 0, F.col("value")).otherwise(delta)
+    rate = increase / ((F.col("us") - F.col("pus")) / F.lit(1000000.0))
+    return s.filter(F.col("pv").isNotNull() & (F.col("us") > F.col("pus"))).select(
+        "event_id",
+        "user_id",
+        (F.round(increase * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+            "increase"
+        ),
+        (F.round(rate * F.lit(10000.0), 0).cast("bigint") / F.lit(10000.0)).alias(
+            "rate_per_s"
+        ),
+    )
+
+
+@register(
+    "seasonal_residual_anomalies",
+    """
+    WITH stats AS (
+      SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38, 12))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(38, 12))
+                      * CAST(value AS DECIMAL(38, 12))) AS DOUBLE) AS ss
+      FROM events GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(EXTRACT(hour FROM CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS hod,
+           CAST(ROUND((st.s / st.n) * 1000000.0, 0) AS BIGINT)
+             / 1000000.0 AS expected,
+           CAST(ROUND(((e.value - st.s / st.n)
+                       / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1)))
+                      * 10000.0, 0) AS BIGINT) / 10000.0 AS zscore
+    FROM events e
+    JOIN stats st ON st.event_type = e.event_type
+                 AND st.hod = EXTRACT(hour FROM CAST(e.ts AS TIMESTAMP))
+    WHERE st.n > 1
+      AND abs((e.value - st.s / st.n)
+              / sqrt((st.ss - st.s * st.s / st.n) / (st.n - 1))) > 2.5
+    """,
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: seasonality-aware anomaly detection — readings scored
+    against their sensor's HOUR-OF-DAY profile instead of a global
+    mean: a value normal at peak hours is anomalous at 3am, and a
+    global z-score (``zscore_anomalies``) averages the diurnal cycle
+    into its baseline, hiding exactly those cases.  The
+    time_bucket-seasonal-baseline shape of the TimescaleDB analog
+    surface.  The (event_type, hod) profile is <=24*|types| rows —
+    broadcast back onto the fact scan; exact DECIMAL sums for the
+    moments; integer-round output form."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,12)")
+    hod = F.hour("ts")
+    stats = (
+        ev.select("event_type", hod.alias("hod"), "value")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("s"),
+            F.sum(dec * dec).cast("double").alias("ss"),
+        )
+    )
+    joined = ev.select("event_id", "event_type", hod.alias("hod"), "value").join(
+        F.broadcast(stats.filter(F.col("n") > 1)), ["event_type", "hod"]
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = (F.col("value") - mean) / std
+    return joined.filter(F.abs(z) > 2.5).select(
+        "event_id",
+        "event_type",
+        F.col("hod").cast("long").alias("hod"),
+        (F.round(mean * F.lit(1000000.0), 0).cast("bigint") / F.lit(1000000.0)).alias(
+            "expected"
+        ),
+        (F.round(z * F.lit(10000.0), 0).cast("bigint") / F.lit(10000.0)).alias(
+            "zscore"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -352,3 +352,65 @@ def test_lexical_diversity_ratios_are_consistent(spark):
         assert 0 < r["distinct_tokens"] <= r["total_tokens"]
         assert 0 <= r["distinct_bigrams"] <= max(r["total_bigrams"], 1)
         assert abs(r["ttr"] - round(r["distinct_tokens"] / r["total_tokens"], 6)) < 1e-9
+
+
+def test_counter_rate_reset_semantics(spark):
+    """Per-user recompute: negative deltas (resets) restart the increase
+    from the raw value; rates are increase over exact elapsed seconds."""
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events").filter("event_type = 'view'")
+    raw = sorted(
+        [(r["user_id"], r["ts"], r["event_id"], r["value"]) for r in ev.collect()]
+    )
+    series = {}
+    for uid, ts, eid, v in raw:
+        series.setdefault(uid, []).append((ts, eid, v))
+    want = {}
+    for uid, rows_u in series.items():
+        rows_u.sort()
+        for (pts, _, pv), (ts, eid, v) in zip(rows_u, rows_u[1:]):
+            dt = (ts - pts).total_seconds()
+            if dt <= 0:
+                continue
+            inc = v if v - pv < 0 else v - pv
+            want[eid] = (inc, inc / dt)
+    got = {
+        r["event_id"]: (r["increase"], r["rate_per_s"])
+        for r in QUERIES["counter_rate_resets"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for eid, (inc, rate) in want.items():
+        assert abs(got[eid][0] - inc) < 1e-6
+        assert abs(got[eid][1] - rate) < 1e-4
+    # the fixture's random walk guarantees some resets exist; none may
+    # produce a negative increase
+    assert all(inc >= 0 for inc, _ in got.values())
+
+
+def test_seasonal_anomalies_deviate_from_their_hour_profile(spark):
+    """Every flagged row is >2.5 sample stds from the mean of its OWN
+    (event_type, hour-of-day) cell, recomputed directly."""
+    import math
+    from collections import defaultdict
+
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events")
+    cells = defaultdict(list)
+    vals = {}
+    for r in ev.collect():
+        cells[(r["event_type"], r["ts"].hour)].append(r["value"])
+        vals[r["event_id"]] = (r["event_type"], r["ts"].hour, r["value"])
+    rows = QUERIES["seasonal_residual_anomalies"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        et, hod, v = vals[r["event_id"]]
+        assert hod == r["hod"]
+        xs = cells[(et, hod)]
+        m = sum(xs) / len(xs)
+        sd = math.sqrt(sum((x - m) ** 2 for x in xs) / (len(xs) - 1))
+        z = (v - m) / sd
+        assert abs(z) > 2.5
+        assert abs(r["zscore"] - z) < 1e-3
+        assert abs(r["expected"] - m) < 1e-5
