@@ -2791,6 +2791,47 @@ def stream_left_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_full_outer_join_purchase_click",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id AS c_user_id,
+                      ts AS click_ts
+               FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id,
+           COALESCE(p.user_id, c.c_user_id) AS user_id,
+           p.purchase_ts, c.click_ts
+    FROM p FULL JOIN c
+      ON p.user_id = c.c_user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL '6 hours'
+     AND c.click_ts < p.purchase_ts
+    WHERE COALESCE(p.purchase_ts, c.click_ts)
+          < (SELECT least(max(ts) FILTER (WHERE event_type = 'purchase'),
+                          max(ts) FILTER (WHERE event_type = 'click'))
+                    - INTERVAL '7 hours'
+             FROM events)
+    """,
+)
+def stream_full_outer_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: watermarked stream-stream FULL OUTER interval join —
+    completes the stream-join family (inner range, left outer, full
+    outer): BOTH null legs survive — purchases with no qualifying click
+    AND clicks that converted to no purchase within the horizon (the
+    abandoned-funnel rows the left form drops).  Each null leg is
+    withheld until the OPPOSITE side's watermark proves absence, and
+    Spark's global watermark is the MIN over both streams — so the
+    closure cutoff anchors on ``least(max purchase_ts, max click_ts)``
+    (the fixture's click stream ends 4 h before its purchase stream;
+    a one-sided ``max(ts)`` anchor over-includes click-nulls the slower
+    stream never proved).  Margin 7h > span 6h + watermark makes
+    append-mode output exact batch-full-join parity.  Null-emission timing on both legs is
+    pinned by tests/test_stream_stream_join.py."""
+    from .streaming.jobs import run_stream_stream_full_outer_join
+
+    return run_stream_stream_full_outer_join(spark, sf_dir, interval="6 hours")
+
+
+@register(
     "stats_moments",
     """
     SELECT l_returnflag,

@@ -485,6 +485,103 @@ def stream_stream_left_range_join(
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
 
 
+def stream_stream_full_outer_range_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    interval: str = "30 minutes",
+):
+    """FULL OUTER stream-stream interval join — both unmatched legs
+    survive: a purchase with no qualifying click (NULL click columns)
+    AND a click that led to no purchase within the horizon (NULL
+    purchase columns).  Each null leg is withheld until the OPPOSITE
+    side's watermark proves absence, then emitted exactly once and its
+    state evicted — the same (rate x horizon) state bound as the
+    inner/left forms, with delayed nulls on both sides.
+
+    Inputs must carry watermarked ``purchase_ts`` / ``click_ts`` event
+    times; returns the unstarted joined stream.  ``user_id`` is
+    coalesced across sides so null legs still identify their key."""
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {interval}"))
+        & (F.col("click_ts") < F.col("purchase_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user_id")).alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+
+
+def run_stream_stream_full_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    interval: str = "6 hours",
+    watermark: str = "5 seconds",
+    closed_margin: str = "7 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join over the events fixture,
+    restricted to CLOSED rows on BOTH sides so append-mode output is
+    exactly batch-full-join parity (the oracle-checkable form of
+    :func:`stream_stream_full_outer_range_join`).
+
+    The closure boundary applies to ``coalesce(purchase_ts, click_ts)``
+    against ``least(max(purchase_ts), max(click_ts)) - closed_margin``:
+    Spark's GLOBAL watermark is the MIN over both sides' event-time
+    maxima (multipleWatermarkPolicy=min), so a click-null row only
+    closes once that min passes click_ts + span (every purchase that
+    could still claim it — purchase_ts in (click_ts, click_ts + span] —
+    is provably absent), and a purchase-null once it passes purchase_ts.
+    ``closed_margin`` > span + watermark delay covers BOTH legs under
+    the single least()-anchored cutoff; using the one-sided
+    ``max(ts)`` anchor (as the LEFT join validly does) over-includes
+    click-nulls whose closure the slower stream has not proven — the
+    fixture's click stream ends 4 h before its purchase stream, which
+    is exactly the row the first draft lost."""
+    stream = events_file_stream(spark, sf_dir)
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = stream_stream_full_outer_range_join(p, c, interval=interval)
+    result = _run_to_memory(joined, "ssfull")
+    from ..sources.readers import load_table
+
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr(f"INTERVAL {closed_margin}")
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    return result.filter(
+        F.coalesce(F.col("purchase_ts"), F.col("click_ts")) < F.lit(cutoff)
+    )
+
+
 def idempotent_batch_writer(base_path: str):
     """T4 exactly-once sink for foreachBatch: each micro-batch writes to a
     directory keyed by its batch_id with OVERWRITE mode, so a retried

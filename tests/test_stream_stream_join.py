@@ -155,3 +155,81 @@ def test_stream_stream_left_join_emits_nulls_after_watermark(spark):
         assert sum(1 for r in spark.table(name).collect() if r["purchase_id"] == 1) == 1
     finally:
         q.stop()
+
+
+def test_stream_stream_full_outer_join_emits_both_null_legs(spark):
+    """FULL OUTER stream-stream interval join: an unmatched purchase
+    emits with NULL click columns AND an unmatched click emits with NULL
+    purchase columns — each only after the OPPOSITE side's watermark
+    proves absence, each exactly once."""
+    from datetime import datetime, timedelta
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        stream_stream_full_outer_range_join,
+    )
+
+    base = datetime(2024, 6, 1, 12, 0, 0)
+    psrc = tempfile.mkdtemp(prefix="ssf_p_")
+    csrc = tempfile.mkdtemp(prefix="ssf_c_")
+    pschema = "purchase_id long, user_id string, purchase_ts timestamp"
+    cschema = "click_id long, c_user_id string, click_ts timestamp"
+    p = (
+        spark.readStream.schema(pschema)
+        .parquet(psrc)
+        .withWatermark("purchase_ts", "5 seconds")
+    )
+    c = (
+        spark.readStream.schema(cschema)
+        .parquet(csrc)
+        .withWatermark("click_ts", "5 seconds")
+    )
+    joined = stream_stream_full_outer_range_join(p, c, interval="10 minutes")
+    name = f"ssfull_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ssf_ckpt_"))
+        .start()
+    )
+    try:
+        # batch 1: u1 purchase WITH matching click; u2 purchase with no
+        # click; u3 click with no purchase (click precedes nothing)
+        spark.createDataFrame(
+            [(1, "u1", base), (2, "u2", base)], pschema
+        ).coalesce(1).write.mode("append").parquet(psrc)
+        spark.createDataFrame(
+            [(10, "u1", base - timedelta(minutes=1)),
+             (11, "u3", base - timedelta(minutes=1))],
+            cschema,
+        ).coalesce(1).write.mode("append").parquet(csrc)
+        q.processAllAvailable()
+        got = spark.table(name).collect()
+        matched = [r for r in got if r["purchase_id"] == 1]
+        assert matched and matched[0]["click_id"] == 10
+        assert not any(r["purchase_id"] == 2 for r in got)  # withheld
+        assert not any(r["click_id"] == 11 for r in got)  # withheld
+
+        # batch 2+3: far-future rows on BOTH sides advance the global
+        # (min) watermark past both closure horizons, then one more
+        # advance flushes the outer nulls
+        far = base + timedelta(hours=2)
+        for d in range(2):
+            off = timedelta(minutes=d)
+            spark.createDataFrame(
+                [(99 + d, "zz", far + off)], pschema
+            ).coalesce(1).write.mode("append").parquet(psrc)
+            spark.createDataFrame(
+                [(89 + d, "zz", far + off)], cschema
+            ).coalesce(1).write.mode("append").parquet(csrc)
+            q.processAllAvailable()
+        got = spark.table(name).collect()
+        pnull = [r for r in got if r["purchase_id"] == 2]
+        cnull = [r for r in got if r["click_id"] == 11]
+        assert len(pnull) == 1 and pnull[0]["click_id"] is None
+        assert pnull[0]["user_id"] == "u2"
+        assert len(cnull) == 1 and cnull[0]["purchase_id"] is None
+        assert cnull[0]["user_id"] == "u3"  # coalesced key survives
+        assert sum(1 for r in got if r["purchase_id"] == 1) == 1
+    finally:
+        q.stop()
