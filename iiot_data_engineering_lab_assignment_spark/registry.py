@@ -7597,6 +7597,156 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_distinct_users",
+    """
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (
+             PARTITION BY event_type
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS distinct_users_24h
+    FROM events
+    """,
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: rolling 24-hour DISTINCT-user count per sensor type — the
+    sliding-uniques surface (DAU-over-trailing-window, device-diversity
+    monitoring) that plain windowed COUNT cannot give and Spark has no
+    native form for: ``count(DISTINCT)`` is rejected over windows, so
+    the frame is collected with ``collect_set`` (frames allowed) and
+    sized — per-row memory is O(distinct users in frame), the exact
+    state a streaming uniques operator would hold.  RANGE frame on the
+    exact integer-microsecond time base: both engines include ALL peer
+    rows at equal order values, so timestamp ties cannot flip the
+    count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
+            "distinct_users_24h"
+        ),
+    )
+
+
+_PAGERANK_SQL = """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1
+    ), pr0 AS (
+      SELECT node, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n
+    ){iters}
+    SELECT node,
+           CAST(ROUND(pr * 100000000.0, 0) AS BIGINT) / 100000000.0 AS pagerank
+    FROM pr3
+    ORDER BY pagerank DESC, node
+    LIMIT 20
+"""
+
+_PAGERANK_ITER = """, pr{next} AS (
+      SELECT nodes.node,
+             0.15 / n.n_nodes + 0.85 * COALESCE(c.contrib, 0.0) AS pr
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(p.pr / d.outdeg AS DECIMAL(38, 18))) AS DOUBLE)
+                 AS contrib
+        FROM edges e
+        JOIN pr{cur} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY 1
+      ) c ON c.node = nodes.node
+    )"""
+
+
+@register(
+    "pagerank_supplier_customer",
+    _PAGERANK_SQL.format(
+        iters="".join(
+            _PAGERANK_ITER.format(cur=i, next=i + 1) for i in range(3)
+        )
+    ),
+)
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    supplier -> customer fulfilment graph — the link-analysis family
+    (influence/authority propagation; at corpus scale the same plan
+    scores domains for spam/quality the way harmonic-centrality runs
+    score crawl graphs).  Dangling-node mass is dropped (the simplified
+    propagation form) — deterministic and oracle-expressible as 3
+    unrolled CTE iterations, unlike the run-to-convergence form (which
+    is why the k-means-style adaptive variants are rows-only while this
+    is value-hash-checked).  Per-iteration contributions go through
+    exact DECIMAL sums (partition-order independence through 3 rounds of
+    amplification).
+
+    Scale shape: each iteration is one shuffle of the edge list keyed by
+    dst after a src-keyed rank join — at 10^9+ edges both joins reuse a
+    single src-hash partitioning of edges (edges are loop-invariant, so
+    a production run persists them partitioned once), and ranks are
+    node-sized, never edge-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    n_nodes = float(nodes.count())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("pr") / F.col("outdeg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15) / F.lit(n_nodes)
+                + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return (
+        pr.select(
+            "node",
+            (
+                F.round(F.col("pr") * F.lit(100000000.0), 0).cast("bigint")
+                / F.lit(100000000.0)
+            ).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

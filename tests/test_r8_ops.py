@@ -414,3 +414,62 @@ def test_seasonal_anomalies_deviate_from_their_hour_profile(spark):
         assert abs(z) > 2.5
         assert abs(r["zscore"] - z) < 1e-3
         assert abs(r["expected"] - m) < 1e-5
+
+
+def test_rolling_distinct_users_matches_recompute(spark):
+    """24h rolling distinct-user count recomputed directly for every row
+    of one event_type (range frame: all rows within 24h at-or-before,
+    including timestamp-tie peers)."""
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF, "events").filter("event_type = 'signup'")
+    raw = sorted(
+        ((r["ts"], r["event_id"], r["user_id"]) for r in ev.collect())
+    )
+    got = {
+        r["event_id"]: r["distinct_users_24h"]
+        for r in QUERIES["rolling_distinct_users"].fn(spark, SF).collect()
+        if r["event_type"] == "signup"
+    }
+    for ts, eid, _ in raw:
+        want = len(
+            {u for t, _, u in raw if ts.timestamp() - 86400 <= t.timestamp() <= ts.timestamp()}
+        )
+        assert got[eid] == want
+
+
+def test_pagerank_matches_pure_python_recompute(spark):
+    """3-iteration damped PageRank recomputed in pure python over the
+    same supplier->customer edge set; top-20 must agree in order and
+    value."""
+    from collections import defaultdict
+
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    edges = {
+        (f"s{r['l_suppkey']}", f"c{r['o_custkey']}")
+        for r in li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    }
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    n = float(len(nodes))
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib = defaultdict(float)
+        for s, d in edges:
+            contrib[d] += pr[s] / outdeg[s]
+        pr = {v: 0.15 / n + 0.85 * contrib.get(v, 0.0) for v in nodes}
+    want = sorted(
+        ((round(p * 1e8) / 1e8, v) for v, p in pr.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = QUERIES["pagerank_supplier_customer"].fn(spark, SF).collect()
+    assert [(r["node"], r["pagerank"]) for r in got] == [
+        (v, p) for p, v in want
+    ]
+    # customers (pure sinks here) accumulate mass; every rank positive
+    assert all(r["pagerank"] > 0 for r in got)
