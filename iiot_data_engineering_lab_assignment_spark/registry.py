@@ -7747,6 +7747,258 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "linear_trend_per_type",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS x,
+             CAST(value AS DECIMAL(14,4)) AS y
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DOUBLE) AS sxy,
+             COUNT(*) AS n_obs
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n_obs,
+           ROUND((86400.0 * ((n * sxy) - (sx * sy))) / ((n * sxx) - (sx * sx)), 6)
+             AS slope_per_day,
+           ROUND((sy - ((((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx)) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def linear_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key least-squares trend (sensor drift rate): slope of value vs
+    time per event_type, in value-units/day.  Numerics: x is integer
+    seconds since 2024-01-01 and y a DECIMAL(14,4), so every sufficient
+    statistic (n, Sx, Sy, Sxx, Sxy) is EXACT and order-independent; the
+    closed-form slope/intercept is then identical IEEE double arithmetic
+    on identical inputs in both engines — no one-pass-update drift to
+    round away.  One partial-aggregable shuffle of 5 sufficient-statistic
+    rows; the same decomposition is what a 100 TB trend fit needs (the
+    map side reduces each split to 5 numbers)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.expr("unix_micros(ts) DIV 1000000") - F.lit(1_704_067_200)
+    xd = x.cast("decimal(19,0)")
+    y = F.col("value").cast("decimal(14,4)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * y).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    return s.select(
+        "event_type",
+        "n_obs",
+        F.round((F.lit(86400.0) * num) / den, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - ((num / den) * F.col("sx"))) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "autocorr_lag1_per_type",
+    """
+    WITH lagged AS (
+      SELECT event_type, value,
+             LAG(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(prev) AS n_pairs,
+           ROUND(corr(value, prev), 6) AS autocorr_lag1
+    FROM lagged GROUP BY event_type
+    """,
+)
+def autocorr_lag1_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per sensor type — the is-this-signal-noise
+    probe (white noise ~0, a drifting/oscillating sensor shows structure).
+    LAG over the (ts, event_id)-deterministic per-key timeline, then
+    Pearson corr of (x_t, x_{t-1}); corr is scale-free and both engines
+    use numerically-stable one-pass updates, so 6dp rounding hashes
+    stably (same precedent as stats_moments).  One sort-shuffle by key,
+    then a 5-row aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev").alias("n_pairs"),
+        F.round(F.corr("value", "prev"), 6).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "cusum_drift_per_user",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(value AS DECIMAL(14,4)) AS v,
+             ROW_NUMBER() OVER w_ord AS k,
+             COUNT(*) OVER w_all AS n,
+             SUM(CAST(value AS DECIMAL(14,4))) OVER w_all AS sn,
+             SUM(CAST(value AS DECIMAL(14,4))) OVER w_run AS cum
+      FROM events
+      WINDOW w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w_all AS (PARTITION BY user_id),
+             w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), r AS (
+      SELECT user_id, event_id, n, k,
+             (n * cum) - (k * sn) AS rk
+      FROM base
+    ), c AS (
+      SELECT user_id, event_id, n,
+             rk - MIN(rk) OVER (PARTITION BY user_id ORDER BY k
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cusum_n
+      FROM r
+    )
+    SELECT user_id,
+           MAX(n) AS n_events,
+           ROUND(CAST(MAX(cusum_n) AS DOUBLE) / MAX(n), 6) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum_n > n * 400 THEN 1 ELSE 0 END) AS BIGINT)
+             AS drift_points,
+           MIN(CASE WHEN cusum_n > n * 400 THEN event_id END)
+             AS first_drift_event
+    FROM c GROUP BY user_id
+    """,
+)
+def cusum_drift_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per user: the running sum of
+    deviations from the per-user mean, minus its running minimum —
+    a level shift shows up as a sustained climb.  The recursion is
+    prefix-sum decomposable: with S_k the running sum and S_n/n the mean,
+    n*(S_k - k*mean) = n*S_k - k*S_n is EXACT in DECIMAL (no per-row
+    division), so the drift threshold compares integers-scaled decimals
+    bit-identically in both engines; only the final reported magnitude
+    divides by n in double.  Plan: one sort-shuffle per user timeline,
+    windows all share that ordering (single Exchange), then a per-user
+    aggregate.  Threshold 400 is in cumulative value-units."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v = F.col("value").cast("decimal(14,4)")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_ord).alias("k"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(v).over(w_all).alias("sn"),
+        F.sum(v).over(w_run).alias("cum"),
+    )
+    r = base.select(
+        "user_id",
+        "event_id",
+        "n",
+        ((F.col("n") * F.col("cum")) - (F.col("k") * F.col("sn"))).alias("rk"),
+        "k",
+    )
+    w_min = Window.partitionBy("user_id").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = r.select(
+        "user_id",
+        "event_id",
+        "n",
+        (F.col("rk") - F.min("rk").over(w_min)).alias("cusum_n"),
+    )
+    flag = F.col("cusum_n") > (F.col("n") * F.lit(400))
+    return c.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.round(F.max("cusum_n").cast("double") / F.max("n"), 6).alias("max_cusum"),
+        F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("drift_points"),
+        F.min(F.when(flag, F.col("event_id"))).alias("first_drift_event"),
+    )
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH tl AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS last_click_id,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS) OVER w AS last_click_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - last_click_us
+                     <= 21600000000
+                THEN last_click_id END AS click_id,
+           CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - last_click_us
+                     <= 21600000000
+                THEN (epoch_us(CAST(ts AS TIMESTAMP)) - last_click_us) // 1000000
+                END AS secs_since_click
+    FROM tl WHERE event_type = 'purchase'
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click no older than 6 hours, in ONE pass over the
+    timeline — ``last(..., ignorenulls)`` carries the latest click id/ts
+    forward over the (ts, event_id)-ordered per-user window, so there is
+    no self-join at all (contrast range_join_purchase_click, which
+    enumerates ALL clicks in the window).  Purchases with no
+    fresh-enough click keep NULL attribution rather than being dropped.
+    The 6 h bound compares exact integer microseconds.  One sort-shuffle
+    by user; at 100 TB this is the sessionization pattern — the carry
+    columns are O(1) state per row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    is_click = F.col("event_type") == "click"
+    tl = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_id"),
+        F.last(F.when(is_click, F.unix_micros(F.col("ts"))), ignorenulls=True)
+        .over(w)
+        .alias("last_click_us"),
+    )
+    age = F.unix_micros(F.col("ts")) - F.col("last_click_us")
+    fresh = age <= F.lit(21_600_000_000)
+    return tl.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(fresh, F.col("last_click_id")).alias("click_id"),
+        F.when(fresh, (age / F.lit(1_000_000)).cast("long")).alias(
+            "secs_since_click"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -473,3 +473,122 @@ def test_pagerank_matches_pure_python_recompute(spark):
     ]
     # customers (pure sinks here) accumulate mass; every rank positive
     assert all(r["pagerank"] > 0 for r in got)
+
+
+def test_linear_trend_recovers_planted_slope(spark):
+    """A clean 2.0-units/day ramp (plus an exactly-cancelling residual
+    pattern) comes back as slope 2.0 and the right intercept."""
+    rows = [
+        ("ramp", i, f"2024-01-{1 + i:02d} 00:00:00", 10.0 + 2.0 * i)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts_s string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    df.createOrReplaceTempView("_trend_ev")
+    x = F.expr("unix_micros(ts) DIV 1000000") - F.lit(1_704_067_200)
+    xd = x.cast("decimal(19,0)")
+    y = F.col("value").cast("decimal(14,4)")
+    s = df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(xd * y).cast("double").alias("sxy"),
+    )
+    r = s.collect()[0]
+    num = r["n"] * r["sxy"] - r["sx"] * r["sy"]
+    den = r["n"] * r["sxx"] - r["sx"] * r["sx"]
+    slope_day = 86400.0 * num / den
+    intercept = (r["sy"] - (num / den) * r["sx"]) / r["n"]
+    assert abs(slope_day - 2.0) < 1e-9
+    assert abs(intercept - 10.0) < 1e-6
+
+
+def test_linear_trend_query_shape(spark):
+    rows = QUERIES["linear_trend_per_type"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # fixture values are time-stationary noise: slope ~ 0 per day
+        assert r["n_obs"] > 0 and abs(r["slope_per_day"]) < 50.0
+        assert r["intercept"] is not None
+
+
+def test_autocorr_lag1_separates_smooth_from_alternating(spark):
+    data = [("smooth", i, float(i)) for i in range(50)] + [
+        ("alt", i, float(1 if i % 2 else -1)) for i in range(50)
+    ]
+    df = spark.createDataFrame(data, "k string, i long, v double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy("i")
+    got = {
+        r["k"]: r["ac"]
+        for r in df.select("k", "v", F.lag("v").over(w).alias("p"))
+        .groupBy("k")
+        .agg(F.corr("v", "p").alias("ac"))
+        .collect()
+    }
+    assert got["smooth"] > 0.99  # linear ramp: perfectly correlated
+    assert got["alt"] < -0.99  # alternating: perfectly anti-correlated
+
+
+def test_cusum_flags_planted_level_shift_only(spark):
+    """User 'shift' jumps +50 at midpoint; user 'flat' is constant.
+    CUSUM must flag the shifted user and never the flat one."""
+    rows = []
+    for i in range(40):
+        rows.append(("2024-01-01 00:%02d:00" % i, 1, i, 10.0 + (50.0 if i >= 20 else 0.0)))
+        rows.append(("2024-01-01 00:%02d:00" % i, 2, 100 + i, 10.0))
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_id long, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="cusum_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["cusum_drift_per_user"].fn(spark, sf).collect()
+    }
+    # flat user: every deviation is 0 -> max_cusum 0, no drift points
+    assert out[2]["max_cusum"] == 0.0 and out[2]["drift_points"] == 0
+    assert out[2]["first_drift_event"] is None
+    # shifted user: mean is 35, so the first half walks -25/step down
+    # (running min tracks it: cusum stays 0), then +25/step up -> the
+    # cusum climbs to ~ 20*25 = 500*n scaled; must cross the 400 bar
+    assert out[1]["max_cusum"] > 400.0
+    assert out[1]["drift_points"] > 0
+    assert out[1]["first_drift_event"] >= 20  # flagged only after the shift
+
+
+def test_last_touch_picks_latest_click_within_6h(spark):
+    rows = [
+        # user 1: click@09:00, click@10:00, purchase@11:00 -> latest click 10:00
+        ("2024-01-01 09:00:00", 1, 10, "click"),
+        ("2024-01-01 10:00:00", 1, 11, "click"),
+        ("2024-01-01 11:00:00", 1, 12, "purchase"),
+        # user 2: click 7h before purchase -> too stale, NULL attribution
+        ("2024-01-01 01:00:00", 2, 20, "click"),
+        ("2024-01-01 08:00:00", 2, 21, "purchase"),
+        # user 3: purchase with no click at all
+        ("2024-01-01 05:00:00", 3, 30, "view"),
+        ("2024-01-01 06:00:00", 3, 31, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).withColumn(
+        "value", F.lit(1.0)
+    )
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="attr_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {
+        r["purchase_id"]: r
+        for r in QUERIES["last_touch_attribution"].fn(spark, sf).collect()
+    }
+    assert len(out) == 3
+    assert out[12]["click_id"] == 11 and out[12]["secs_since_click"] == 3600
+    assert out[21]["click_id"] is None and out[21]["secs_since_click"] is None
+    assert out[31]["click_id"] is None
