@@ -7999,6 +7999,252 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "basket_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders (the frequent-itemset k=2 pass).  The self-join is keyed on
+    l_orderkey, so the quadratic blow-up is bounded by the per-order
+    item count (<= ~15 in this schema -> <= ~105 pairs/order, a
+    constant): the join shuffles items once by orderkey and the pair
+    stream is O(orders), not O(parts^2).  At 100 TB the same bound
+    holds because order size is a domain constant; a pathological
+    mega-order would need the df-cap treatment the shingle joins use.
+    DISTINCT first so multi-lineitem part repeats within an order do
+    not inflate support counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("part_b")
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("bo"))
+        & (F.col("a.l_partkey") < F.col("part_b")),
+    ).select(F.col("a.l_partkey").alias("part_a"), "part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+@register(
+    "gini_revenue_by_nation",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nationkey, r,
+             ROW_NUMBER() OVER (PARTITION BY nationkey
+                                ORDER BY r, o_custkey) AS i
+      FROM rev
+    ), s AS (
+      SELECT nationkey,
+             COUNT(*) AS n,
+             CAST(SUM(r) AS DOUBLE) AS sr,
+             CAST(SUM(i * r) AS DOUBLE) AS sir
+      FROM ranked GROUP BY nationkey
+    )
+    SELECT nationkey, n AS n_customers,
+           ROUND(((2.0 * sir) - ((n + 1) * sr)) / (n * sr), 6) AS gini
+    FROM s WHERE n >= 10
+    """,
+)
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per nation (how unequal is
+    customer spend) via the rank formulation
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ascending-rank
+    revenues.  sum(x) and sum(i*x) are EXACT decimal sums with a
+    deterministic (revenue, custkey) rank, so both engines feed
+    identical doubles to one final expression.  Plan: agg by customer,
+    one per-nation sort for ranks, then a per-nation 3-number
+    aggregate — the sort is the only O(n log n) stage and is
+    per-nation-partitioned."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nationkey"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    w = Window.partitionBy("nationkey").orderBy("r", "o_custkey")
+    ranked = rev.select(
+        "nationkey", "r", F.row_number().over(w).alias("i")
+    )
+    s = ranked.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("double").alias("sr"),
+        F.sum(F.col("i") * F.col("r")).cast("double").alias("sir"),
+    )
+    return s.filter(F.col("n") >= 10).select(
+        "nationkey",
+        F.col("n").alias("n_customers"),
+        F.round(
+            ((F.lit(2.0) * F.col("sir")) - ((F.col("n") + F.lit(1)) * F.col("sr")))
+            / (F.col("n") * F.col("sr")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), cnt AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
+             AS p
+    FROM cnt
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    timeline: count and row-normalized probability of (prev -> next)
+    event-type steps — the behavioral-sequence profile (funnel leak
+    detection, bot-pattern screening).  LAG over the per-user
+    (ts, event_id) ordering, one count aggregate, then a 25-row window
+    normalization: integer counts divide in double identically in both
+    engines.  The per-user sort shuffle is the whole cost; the matrix
+    side is O(|types|^2)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+@register(
+    "gap_sessionization",
+    """
+    WITH tl AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM tl
+    ), sess AS (
+      SELECT user_id, event_id, event_type, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_secs,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    per-user inactivity (the islands pattern — contrast
+    session_rollup_5m's fixed session_window).  LAG marks session
+    starts, a running SUM of the marks numbers the islands, then one
+    per-(user, session) aggregate emits length/duration/conversions.
+    All timestamps compare as exact integer microseconds.  Both window
+    passes share the per-user sort, so the plan carries ONE Exchange +
+    sort; this is the batch twin of the streaming session operator and
+    scales as a plain keyed sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tl = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    flagged = tl.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > F.lit(1_800_000_000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.sum("new_s").over(w_run).alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) DIV 1000000").alias("duration_secs"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchases"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -592,3 +592,92 @@ def test_last_touch_picks_latest_click_within_6h(spark):
     assert out[12]["click_id"] == 11 and out[12]["secs_since_click"] == 3600
     assert out[21]["click_id"] is None and out[21]["secs_since_click"] is None
     assert out[31]["click_id"] is None
+
+
+def test_basket_pairs_counts_orders_not_lineitems(spark):
+    """A pair repeated twice INSIDE one order counts once; support is
+    the number of distinct orders containing both parts."""
+    rows = [
+        (1, 100), (1, 200), (1, 200),   # intra-order repeat of 200
+        (2, 100), (2, 200),
+        (3, 100), (3, 300),
+        (4, 300),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    items = df.distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        items.join(
+            b,
+            (items.l_orderkey == F.col("bo"))
+            & (items.l_partkey < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    got = {(r["part_a"], r["part_b"]): r["n_orders"] for r in pairs.collect()}
+    assert got[(100, 200)] == 2  # orders 1 and 2, repeat not double-counted
+    assert got[(100, 300)] == 1
+
+
+def test_gini_extremes(spark):
+    """Equal spend -> gini 0; winner-take-all -> (n-1)/n."""
+    from pyspark.sql import Window
+
+    def gini(revs):
+        df = spark.createDataFrame(
+            [(0, i, float(r)) for i, r in enumerate(revs)],
+            "nationkey int, o_custkey long, rd double",
+        ).select("nationkey", "o_custkey", F.col("rd").cast("decimal(18,2)").alias("r"))
+        w = Window.partitionBy("nationkey").orderBy("r", "o_custkey")
+        ranked = df.select("nationkey", "r", F.row_number().over(w).alias("i"))
+        s = ranked.groupBy("nationkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r").cast("double").alias("sr"),
+            F.sum(F.col("i") * F.col("r")).cast("double").alias("sir"),
+        ).collect()[0]
+        return (2.0 * s["sir"] - (s["n"] + 1) * s["sr"]) / (s["n"] * s["sr"])
+
+    assert abs(gini([100.0] * 10)) < 1e-12
+    n = 10
+    assert abs(gini([0.0] * (n - 1) + [1000.0]) - (n - 1) / n) < 1e-12
+
+
+def test_transition_probabilities_sum_to_one(spark):
+    rows = QUERIES["event_type_transitions"].fn(spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_prev = defaultdict(float)
+    for r in rows:
+        assert 0.0 < r["p"] <= 1.0
+        by_prev[r["prev_type"]] += r["p"]
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 1e-4, (prev, tot)
+
+
+def test_gap_sessionization_splits_on_gap_only(spark):
+    import tempfile
+
+    rows = [
+        ("2024-01-01 00:00:00", "view"),
+        ("2024-01-01 00:29:00", "click"),      # 29 min: same session
+        ("2024-01-01 01:00:01", "purchase"),   # 31 min 1 s: NEW session
+        ("2024-01-01 01:10:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        [(ts, 1, i, et, 1.0) for i, (ts, et) in enumerate(rows)],
+        "ts_s string, user_id long, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    sf = tempfile.mkdtemp(prefix="sess_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = sorted(
+        QUERIES["gap_sessionization"].fn(spark, sf).collect(),
+        key=lambda r: r["session_seq"],
+    )
+    assert len(out) == 2
+    assert out[0]["n_events"] == 2 and out[0]["duration_secs"] == 29 * 60
+    assert out[0]["n_purchases"] == 0
+    assert out[1]["n_events"] == 2 and out[1]["n_purchases"] == 1
