@@ -8245,6 +8245,174 @@ def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "zipf_term_slope",
+    """
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+      SELECT lang, term, COUNT(*) AS f FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, f,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY f DESC, term) AS rnk
+      FROM freq
+    ), pts AS (
+      SELECT lang,
+             CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+      FROM ranked
+    ), s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             COUNT(*) AS n_terms
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n_terms,
+           ROUND(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 6)
+             AS zipf_slope
+    FROM s WHERE n >= 3
+    """,
+)
+def zipf_term_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per language: the log-log slope of term frequency vs
+    frequency rank — natural text sits near -1; synthetic/spammy corpora
+    deviate (a corpus-quality screen).  Logs are rounded to 9dp and cast
+    to DECIMAL before summing, so the regression's sufficient statistics
+    are exact and order-independent (libm last-ulp differences vanish at
+    9dp); the closed form then runs in identical IEEE double.  Plan:
+    token explode -> (lang, term) count -> per-lang rank sort -> 5-number
+    aggregate; vocabulary, not corpus, sizes the sort."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "term")
+    ranked = freq.select("lang", "f", F.row_number().over(w).alias("rnk"))
+    pts = ranked.select(
+        "lang",
+        F.round(F.log(F.col("rnk").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    return s.filter(F.col("n") >= 3).select(
+        "lang", "n_terms", F.round(num / den, 6).alias("zipf_slope")
+    )
+
+
+@register(
+    "pareto_abc_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT SUM(r) AS t FROM rev
+    ), cum AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c
+      FROM rev
+    ), cls AS (
+      SELECT CASE WHEN c * 10 <= t * 7 THEN 'A'
+                  WHEN c * 10 <= t * 9 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             r
+      FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS revenue
+    FROM cls GROUP BY abc_class
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue;
+    the prefix covering <=70% of total revenue is class A, <=90% B, the
+    tail C.  The cumulative share test is EXACT — ``c*10 <= t*7`` on
+    DECIMAL sums instead of a float-share compare, so boundary parts
+    cannot flip class between engines.  The global cumulative window is
+    a single-partition sort of the PER-PART aggregate (|parts| rows,
+    already reduced), not of lineitem — at 100 TB the heavy input is
+    pre-shrunk by the groupBy before anything serializes to one task;
+    the 1-row total broadcasts."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select("l_partkey", "r", F.sum("r").over(w).alias("c"))
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("c") * 10 <= F.col("t") * 7, "A")
+        .when(F.col("c") * 10 <= F.col("t") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("r").cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "lateral_top3_customers_per_nation",
+    """
+    SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+    """,
+)
+def lateral_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL top-k — the per-row-subquery SQL surface
+    (Spark >= 3.4 supports correlated lateral subqueries with
+    ORDER BY/LIMIT).  Registered as literal Spark SQL to pin the
+    feature; Catalyst rewrites it to the same ranked-window plan as
+    rank_orders_per_customer, so the lateral form costs nothing extra —
+    the point is API parity for users porting DuckDB/Postgres LATERAL
+    queries."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 3) t
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -681,3 +681,57 @@ def test_gap_sessionization_splits_on_gap_only(spark):
     assert out[0]["n_events"] == 2 and out[0]["duration_secs"] == 29 * 60
     assert out[0]["n_purchases"] == 0
     assert out[1]["n_events"] == 2 and out[1]["n_purchases"] == 1
+
+
+def test_zipf_slope_on_planted_powerlaw(spark):
+    """A corpus whose term frequencies are exactly f = 1000 / rank must
+    regress to slope -1 in log-log space."""
+    import tempfile
+
+    words = []
+    for rnk in range(1, 21):
+        words += [f"w{rnk:02d}"] * (1000 // rnk)
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text, "xx", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = tempfile.mkdtemp(prefix="zipf_")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = QUERIES["zipf_term_slope"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    # 1000//rank introduces floor error; slope still lands near -1
+    assert -1.05 < rows[0]["zipf_slope"] < -0.95
+
+
+def test_pareto_abc_partition_and_ordering(spark):
+    rows = {r["abc_class"]: r for r in QUERIES["pareto_abc_parts"].fn(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_rev = sum(r["revenue"] for r in rows.values())
+    # A covers <=70% of revenue but (Pareto) uses fewer parts per
+    # revenue-dollar than C
+    assert rows["A"]["revenue"] <= 0.7 * total_rev + 1e-6
+    a_eff = rows["A"]["revenue"] / rows["A"]["n_parts"]
+    c_eff = rows["C"]["revenue"] / rows["C"]["n_parts"]
+    assert a_eff > c_eff
+    # classes A+B together cover <=90%, so C holds the remaining >=10%
+    assert rows["C"]["revenue"] >= 0.1 * total_rev - 1e-6
+
+
+def test_lateral_topk_matches_window_rank(spark):
+    got = QUERIES["lateral_top3_customers_per_nation"].fn(spark, SF)
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), "c_name"
+    )
+    want = (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "c_name", "c_acctbal")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
