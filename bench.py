@@ -107,6 +107,16 @@ EXTENDED = [
     "tfidf_doc_similarity",
     "embedding_dim_stats",
     "heavy_hitters_envelope",
+    # round-8 analytics wave: trend fit, CUSUM drift, sessionization,
+    # attribution, basket pairs, Gini, Zipf, Pareto ABC
+    "linear_trend_per_type",
+    "cusum_drift_per_user",
+    "gap_sessionization",
+    "last_touch_attribution",
+    "basket_part_pairs",
+    "gini_revenue_by_nation",
+    "zipf_term_slope",
+    "pareto_abc_parts",
 ]
 
 
