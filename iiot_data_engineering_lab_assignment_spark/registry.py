@@ -8354,22 +8354,53 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prefix covering <=70% of total revenue is class A, <=90% B, the
     tail C.  The cumulative share test is EXACT — ``c*10 <= t*7`` on
     DECIMAL sums instead of a float-share compare, so boundary parts
-    cannot flip class between engines.  The global cumulative window is
-    a single-partition sort of the PER-PART aggregate (|parts| rows,
-    already reduced), not of lineitem — at 100 TB the heavy input is
-    pre-shrunk by the groupBy before anything serializes to one task;
-    the 1-row total broadcasts."""
+    cannot flip class between engines.
+
+    The global cumulative sum is the distributed two-pass prefix-sum
+    form (token_budget_shards pattern), NOT a single-partition window:
+    parts bucket by a coarse deterministic quantization of revenue
+    itself (bucket = floor(r/span), a monotone function of the sort
+    key, so bucket-desc order IS revenue-desc order); per-bucket totals
+    (~sqrt(|parts|) tiny rows) prefix-sum on one task and broadcast
+    back as offsets; each bucket then runs its interior cumulative
+    window independently.  At 100M parts the single-task stage sees
+    ~10k summary rows instead of 100M.  The classification itself is
+    invariant to the span choice."""
+    import math as _math
+
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
-    tot = rev.agg(F.sum("r").alias("t"))
-    w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+    mx, n = rev.agg(F.max(F.col("r").cast("double")), F.count(F.lit(1))).first()
+    span = max(0.01, float(mx or 1.0) / max(1, _math.isqrt(int(n or 1))))
+    b = rev.withColumn(
+        "bucket", F.floor(F.col("r").cast("double") / F.lit(span)).cast("long")
+    )
+    per_bucket = b.groupBy("bucket").agg(F.sum("r").alias("bucket_r"))
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_r").over(wb), F.lit(0).cast("decimal(28,2)")).alias(
+            "offset"
+        ),
+    )
+    wi = Window.partitionBy("bucket").orderBy(F.desc("r"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = rev.select("l_partkey", "r", F.sum("r").over(w).alias("c"))
+    tot = rev.agg(F.sum("r").alias("t"))
+    cum = (
+        b.join(F.broadcast(offsets), "bucket")
+        .select(
+            "l_partkey",
+            "r",
+            (F.col("offset") + F.sum("r").over(wi)).alias("c"),
+        )
+    )
     cls = cum.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("c") * 10 <= F.col("t") * 7, "A")
         .when(F.col("c") * 10 <= F.col("t") * 9, "B")
@@ -8410,6 +8441,184 @@ def lateral_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
                  WHERE c.c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_name LIMIT 3) t
         """
+    )
+
+
+@register(
+    "kl_divergence_by_source",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT source, term, COUNT(*) AS c FROM toks WHERE term <> ''
+      GROUP BY 1, 2
+    ), vocab AS (
+      SELECT term, SUM(c) AS corpus_c FROM tf GROUP BY term
+    ), corpus AS (
+      SELECT SUM(c) AS n_corpus, COUNT(DISTINCT term) AS v
+      FROM tf
+    ), src AS (
+      SELECT source, SUM(c) AS n_src FROM tf GROUP BY source
+    ), grid AS (
+      SELECT s.source, s.n_src, vb.term, vb.corpus_c,
+             COALESCE(tf.c, 0) AS c
+      FROM src s CROSS JOIN vocab vb
+      LEFT JOIN tf ON tf.source = s.source AND tf.term = vb.term
+    ), contrib AS (
+      SELECT source,
+             CAST(ROUND(
+               ((c + 1.0) / (n_src + corpus.v))
+               * ln(((c + 1.0) / (n_src + corpus.v))
+                    / ((corpus_c + 1.0) / (corpus.n_corpus + corpus.v))),
+               9) AS DECIMAL(18,9)) AS kl_term
+      FROM grid CROSS JOIN corpus
+    )
+    SELECT source, ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS kl_bits_nat
+    FROM contrib GROUP BY source
+    """,
+)
+def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the term distribution from the whole
+    corpus (Laplace-smoothed over the corpus vocabulary) — the
+    distribution-shift monitor that flags a source drifting away from
+    the mixture (crawl rot, template floods).  Each term's contribution
+    is rounded to 9dp and summed in DECIMAL, so libm last-ulp noise and
+    summation order cannot move the hash (same discipline as
+    zipf_term_slope).  The grid is |sources| x |vocab| — bounded by
+    vocabulary, not corpus; the corpus totals broadcast as one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = tf.groupBy("term").agg(F.sum("c").alias("corpus_c"))
+    corpus = tf.agg(
+        F.sum("c").alias("n_corpus"), F.countDistinct("term").alias("v")
+    )
+    src = tf.groupBy("source").agg(F.sum("c").alias("n_src"))
+    grid = (
+        src.crossJoin(F.broadcast(vocab))
+        .join(tf, ["source", "term"], "left")
+        .select("source", "n_src", "term", "corpus_c", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    p = (F.col("c") + F.lit(1.0)) / (F.col("n_src") + F.col("v"))
+    q = (F.col("corpus_c") + F.lit(1.0)) / (F.col("n_corpus") + F.col("v"))
+    contrib = grid.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        F.round(p * F.log(p / q), 9).cast("decimal(18,9)").alias("kl_term"),
+    )
+    return contrib.groupBy("source").agg(
+        F.round(F.sum("kl_term").cast("double"), 6).alias("kl_bits_nat")
+    )
+
+
+@register(
+    "benford_leading_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), cnt AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), tot AS (
+      SELECT SUM(n) AS t FROM cnt
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / t, 6) AS obs_p,
+           ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p
+    FROM cnt CROSS JOIN tot
+    """,
+)
+def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed leading-digit
+    frequencies next to the log10(1+1/d) expectation — the
+    fabricated-data screen auditors run on financial columns.  The
+    digit is extracted from the floor()'d integer part's string (exact:
+    no float formatting, and floor() on both engines — a bare
+    double->BIGINT cast TRUNCATES in Spark but ROUNDS in DuckDB, which
+    flips 8999.9 between digits 8 and 9); counts are exact and the two probabilities
+    are single double divisions.  One 9-row aggregate + a 1-row total
+    broadcast: scan-bound at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("obs_p"),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_p"),
+    )
+
+
+@register(
+    "time_to_first_purchase_quantiles",
+    """
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), first_purchase AS (
+      SELECT user_id, MIN(ts) AS purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), delays AS (
+      SELECT CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+             (epoch_us(CAST(p.purchase_ts AS TIMESTAMP))
+              - epoch_us(CAST(s.signup_ts AS TIMESTAMP))) / 3600000000.0
+               AS hours
+      FROM signup s JOIN first_purchase p ON s.user_id = p.user_id
+      WHERE p.purchase_ts >= s.signup_ts
+    )
+    SELECT cohort_week,
+           COUNT(*) AS n_converted,
+           ROUND(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 4) AS p90_hours
+    FROM delays GROUP BY cohort_week
+    """,
+)
+def time_to_first_purchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per signup cohort: median and p90
+    hours from first signup to first purchase — the activation metric
+    behind every growth dashboard.  Delays are exact integer
+    microseconds divided once into hours; Spark's `percentile` and
+    DuckDB's `quantile_cont` share the continuous interpolation rule on
+    identical inputs (percentile_order_value precedent).  Two per-user
+    MIN aggregates join on user_id, then a per-cohort percentile — the
+    user-keyed shuffle dominates and is the natural partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    delays = (
+        signup.join(purchase, "user_id")
+        .filter(F.col("purchase_ts") >= F.col("signup_ts"))
+        .select(
+            F.date_trunc("week", "signup_ts").cast("date").alias("cohort_week"),
+            (
+                (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts"))
+                / F.lit(3_600_000_000.0)
+            ).alias("hours"),
+        )
+    )
+    return delays.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("p50_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
     )
 
 

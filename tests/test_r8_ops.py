@@ -735,3 +735,64 @@ def test_lateral_topk_matches_window_rank(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_kl_divergence_zero_for_identical_sources(spark):
+    """Two sources with identical term distributions both sit at the
+    same (minimal) KL; a skewed third source scores strictly higher."""
+    import tempfile
+
+    base = "alpha beta gamma delta " * 5
+    skew = "alpha alpha alpha alpha " * 5
+    rows = [
+        (1, base, "en", "s1", len(base)),
+        (2, base, "en", "s2", len(base)),
+        (3, skew, "en", "s3", len(skew)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tempfile.mkdtemp(prefix="kl_")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r["kl_bits_nat"] for r in QUERIES["kl_divergence_by_source"].fn(spark, sf).collect()}
+    assert abs(out["s1"] - out["s2"]) < 1e-9
+    assert out["s3"] > out["s1"] + 0.1
+
+
+def test_benford_probabilities_and_coverage(spark):
+    rows = QUERIES["benford_leading_digit"].fn(spark, SF).collect()
+    digits = {r["digit"] for r in rows}
+    assert digits <= set(range(1, 10))
+    tot_obs = sum(r["obs_p"] for r in rows)
+    assert abs(tot_obs - 1.0) < 1e-3
+    ps = {r["digit"]: r["benford_p"] for r in rows}
+    if 1 in ps:
+        assert abs(ps[1] - 0.30103) < 1e-4
+    if 9 in ps:
+        assert abs(ps[9] - 0.045757) < 1e-4
+
+
+def test_time_to_first_purchase_window_semantics(spark):
+    import tempfile
+
+    rows = [
+        # user 1: signup 00:00, first purchase 10:00 -> 10h
+        ("2024-01-01 00:00:00", 1, 1, "signup"),
+        ("2024-01-01 10:00:00", 1, 2, "purchase"),
+        ("2024-01-02 00:00:00", 1, 3, "purchase"),  # later purchase ignored
+        # user 2: purchase BEFORE signup -> excluded
+        ("2024-01-01 05:00:00", 2, 4, "purchase"),
+        ("2024-01-01 06:00:00", 2, 5, "signup"),
+        # user 3: signup, never purchases -> excluded
+        ("2024-01-01 00:00:00", 3, 6, "signup"),
+    ]
+    df = spark.createDataFrame(
+        [(ts, u, e, t, 1.0) for ts, u, e, t in rows],
+        "ts_s string, user_id long, event_id long, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    sf = tempfile.mkdtemp(prefix="ttfp_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = QUERIES["time_to_first_purchase_quantiles"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["n_converted"] == 1
+    assert abs(out[0]["p50_hours"] - 10.0) < 1e-6

@@ -220,6 +220,11 @@ def probe_basket(spark, n_orders: int, mega_items: int) -> dict:
 
 
 def probe_pareto(spark, n_rows: int, n_parts: int) -> dict:
+    """Mirrors the registry's two-pass prefix-sum form (the naive global
+    window measured 55.9 s at this shape; two-pass: 20.2 s, identical
+    classes, single-task stage ~sqrt(|parts|) rows)."""
+    import math
+
     li = spark.range(n_rows).select(
         F.pmod(F.xxhash64("id"), n_parts).alias("l_partkey"),
         (F.pmod(F.xxhash64("id", F.lit(3)), 100_000) / 100.0).alias("l_extendedprice"),
@@ -227,12 +232,26 @@ def probe_pareto(spark, n_rows: int, n_parts: int) -> dict:
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
-    tot = rev.agg(F.sum("r").alias("t"))
-    w = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+    mx, n = rev.agg(F.max(F.col("r").cast("double")), F.count(F.lit(1))).first()
+    span = max(0.01, float(mx or 1.0) / max(1, math.isqrt(int(n or 1))))
+    b = rev.withColumn(
+        "bucket", F.floor(F.col("r").cast("double") / F.lit(span)).cast("long")
+    )
+    per_bucket = b.groupBy("bucket").agg(F.sum("r").alias("bucket_r"))
+    wb = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_r").over(wb), F.lit(0).cast("decimal(28,2)")).alias(
+            "offset"
+        ),
+    )
+    wi = Window.partitionBy("bucket").orderBy(F.desc("r"), "l_partkey").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    tot = rev.agg(F.sum("r").alias("t"))
     cls = (
-        rev.select("l_partkey", "r", F.sum("r").over(w).alias("c"))
+        b.join(F.broadcast(offsets), "bucket")
+        .select("l_partkey", "r", (F.col("offset") + F.sum("r").over(wi)).alias("c"))
         .crossJoin(F.broadcast(tot))
         .select(
             F.when(F.col("c") * 10 <= F.col("t") * 7, "A")
