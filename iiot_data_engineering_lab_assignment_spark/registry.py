@@ -8485,12 +8485,23 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     is rounded to 9dp and summed in DECIMAL, so libm last-ulp noise and
     summation order cannot move the hash (same discipline as
     zipf_term_slope).  The grid is |sources| x |vocab| — bounded by
-    vocabulary, not corpus; the corpus totals broadcast as one row."""
+    vocabulary, not corpus; the corpus totals broadcast as one row.
+
+    The (source, term) count table feeds FOUR downstream legs (vocab,
+    corpus totals, per-source totals, the grid probe); left lazy, Spark
+    re-runs the corpus explode+aggregate per leg (4 full corpus scans —
+    plan-audited).  It is localCheckpoint'ed instead: one corpus pass
+    materializes the vocabulary-sized table (the dedup CC precedent for
+    multi-consumer intermediate reuse)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab = tf.groupBy("term").agg(F.sum("c").alias("corpus_c"))
     corpus = tf.agg(
         F.sum("c").alias("n_corpus"), F.countDistinct("term").alias("v")
