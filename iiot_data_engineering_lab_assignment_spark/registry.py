@@ -8633,6 +8633,130 @@ def time_to_first_purchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register(
+    "association_rules_parts",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM items
+    ), supp1 AS (
+      SELECT l_partkey, COUNT(*) AS s FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS s_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.ante, p.cons, p.s_ab,
+           ROUND(CAST(p.s_ab AS DOUBLE) / sa.s, 6) AS confidence,
+           ROUND((CAST(p.s_ab AS DOUBLE) * n_orders.n) / (sa.s * sc.s), 6)
+             AS lift
+    FROM pairs p
+    JOIN supp1 sa ON sa.l_partkey = p.ante
+    JOIN supp1 sc ON sc.l_partkey = p.cons
+    CROSS JOIN n_orders
+    ORDER BY lift DESC, p.ante, p.cons
+    LIMIT 50
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchased parts: confidence
+    P(cons|ante) and lift P(ante,cons)/(P(ante)P(cons)) for every
+    directed pair supported by >=2 orders — the rule-mining layer on
+    top of basket_part_pairs' frequent-pair pass.  All three supports
+    are exact integers; the two ratios are single double expressions.
+    The pair join is orderkey-bounded exactly as in basket_part_pairs;
+    the single-item support join keys on partkey (both sides already
+    aggregated)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    supp1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    b = items.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("cons")
+    )
+    pairs = (
+        items.join(
+            b,
+            (items.l_orderkey == F.col("bo"))
+            & (items.l_partkey != F.col("cons")),
+        )
+        .groupBy(F.col("l_partkey").alias("ante"), "cons")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    sa = supp1.select(F.col("l_partkey").alias("ante"), F.col("s").alias("s_a"))
+    sc = supp1.select(F.col("l_partkey").alias("cons"), F.col("s").alias("s_c"))
+    return (
+        pairs.join(sa, "ante")
+        .join(sc, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "s_ab",
+            F.round(F.col("s_ab").cast("double") / F.col("s_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("s_ab").cast("double") * F.col("n"))
+                / (F.col("s_a") * F.col("s_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "ante", "cons")
+        .limit(50)
+    )
+
+
+@register(
+    "top_suppliers_with_ties",
+    """
+    WITH ranked AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue,
+             RANK() OVER (ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          DESC) AS rnk
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES: suppliers ranked by exact decimal revenue with
+    RANK() (not ROW_NUMBER), so revenue ties at the cut share the rank
+    and ALL tied rows are kept — the FETCH FIRST ... WITH TIES
+    semantics, which arbitrary-tiebreak top-k silently breaks.  Ties on
+    an exact DECIMAL aggregate are engine-stable by construction.  The
+    rank window is global but runs on the per-supplier aggregate, and
+    only rnk<=10 rows survive the filter pushed past the window
+    boundary."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"))
+    return (
+        rev.select(
+            "l_suppkey",
+            "revenue",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "l_suppkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -796,3 +796,44 @@ def test_time_to_first_purchase_window_semantics(spark):
     assert len(out) == 1
     assert out[0]["n_converted"] == 1
     assert abs(out[0]["p50_hours"] - 10.0) < 1e-6
+
+
+def test_association_rules_directionality(spark):
+    """Confidence is directional: if 300 appears in 4 orders and (100,300)
+    in 2, conf(300->100)=0.5 but conf(100->300)=2/3 when 100 has 3 orders."""
+    rows = [
+        (1, 100), (1, 300),
+        (2, 100), (2, 300),
+        (3, 100),
+        (4, 300), (5, 300),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    items = df.distinct()
+    n = items.select("l_orderkey").distinct().count()
+    supp1 = {r["l_partkey"]: r["s"] for r in items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s")).collect()}
+    b = items.select(F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("cons"))
+    pairs = (
+        items.join(b, (items.l_orderkey == F.col("bo")) & (items.l_partkey != F.col("cons")))
+        .groupBy(F.col("l_partkey").alias("ante"), "cons")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    got = {(r["ante"], r["cons"]): r["s_ab"] for r in pairs.collect()}
+    assert got[(100, 300)] == 2 and got[(300, 100)] == 2
+    assert got[(100, 300)] / supp1[100] == 2 / 3
+    assert got[(300, 100)] / supp1[300] == 0.5
+    # lift is symmetric: s_ab * n / (s_a * s_c)
+    assert abs(got[(100, 300)] * n / (supp1[100] * supp1[300]) - 10 / 12) < 1e-12
+
+
+def test_top_with_ties_keeps_all_tied_rows(spark):
+    """RANK-based top-k must include every row tied at the boundary."""
+    from pyspark.sql import Window
+
+    rows = [(i, 100.0) for i in range(12)] + [(99, 500.0)]
+    df = spark.createDataFrame(rows, "k long, revenue double").select(
+        "k", F.col("revenue").cast("decimal(18,2)").alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"))
+    out = df.select("k", F.rank().over(w).alias("rnk")).filter(F.col("rnk") <= 10)
+    # 1 leader + 12 tied at rank 2 -> all 13 kept (row_number would keep 10)
+    assert out.count() == 13
