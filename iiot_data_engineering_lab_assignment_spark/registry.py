@@ -8757,6 +8757,131 @@ def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mom_revenue_growth",
+    """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             o_orderpriority AS priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month, priority, revenue,
+           ROUND(CASE WHEN LAG(revenue) OVER w > 0
+                      THEN (revenue - LAG(revenue) OVER w)
+                           / LAG(revenue) OVER w END, 6) AS mom_growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY priority ORDER BY month)
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority — the KPI
+    time-series shape (trend dashboards, alerting on negative growth).
+    Revenue is an exact decimal sum surfaced as double; the growth ratio
+    is one double division on identical inputs.  The LAG window runs on
+    the monthly aggregate (|months| x |priorities| rows), so the fact
+    scan reduces completely before any window state exists."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "priority",
+        "revenue",
+        F.round(
+            F.when(prev > 0, (F.col("revenue") - prev) / prev), 6
+        ).alias("mom_growth"),
+    )
+
+
+@register(
+    "profile_orders_columns",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS nn_custkey,
+             COUNT(DISTINCT o_custkey) AS nd_custkey,
+             COUNT(o_orderstatus) AS nn_status,
+             COUNT(DISTINCT o_orderstatus) AS nd_status,
+             COUNT(o_totalprice) AS nn_price,
+             COUNT(DISTINCT o_totalprice) AS nd_price,
+             COUNT(o_orderpriority) AS nn_priority,
+             COUNT(DISTINCT o_orderpriority) AS nd_priority
+      FROM orders
+    )
+    SELECT col, n, non_null, n_distinct,
+           ROUND(1.0 - CAST(non_null AS DOUBLE) / n, 6) AS null_rate
+    FROM (
+      SELECT n, 'o_custkey' AS col, nn_custkey AS non_null,
+             nd_custkey AS n_distinct FROM s
+      UNION ALL
+      SELECT n, 'o_orderstatus', nn_status, nd_status FROM s
+      UNION ALL
+      SELECT n, 'o_totalprice', nn_price, nd_price FROM s
+      UNION ALL
+      SELECT n, 'o_orderpriority', nn_priority, nd_priority FROM s
+    )
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling pass (the warehouse `ANALYZE`/data-catalog
+    surface): per-column row count, non-null count, exact distinct
+    count, and null rate, computed in ONE scan — all eight aggregates
+    fold into a single multi-distinct aggregate that Spark plans as
+    expand + two-phase agg, then the wide row unpivots to one row per
+    column.  Exact integers throughout; only the null rate divides."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.count("o_orderpriority").alias("nn_priority"),
+        F.countDistinct("o_orderpriority").alias("nd_priority"),
+    )
+    cols = [
+        ("o_custkey", "nn_custkey", "nd_custkey"),
+        ("o_orderstatus", "nn_status", "nd_status"),
+        ("o_totalprice", "nn_price", "nd_price"),
+        ("o_orderpriority", "nn_priority", "nd_priority"),
+    ]
+    legs = [
+        s.select(
+            F.lit(c).alias("col"),
+            "n",
+            F.col(nn).alias("non_null"),
+            F.col(nd).alias("n_distinct"),
+        )
+        for c, nn, nd in cols
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.select(
+        "col",
+        "n",
+        "non_null",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("non_null").cast("double") / F.col("n"), 6
+        ).alias("null_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

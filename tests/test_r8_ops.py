@@ -837,3 +837,118 @@ def test_top_with_ties_keeps_all_tied_rows(spark):
     out = df.select("k", F.rank().over(w).alias("rnk")).filter(F.col("rnk") <= 10)
     # 1 leader + 12 tied at rank 2 -> all 13 kept (row_number would keep 10)
     assert out.count() == 13
+
+
+def test_mom_growth_ratio_semantics(spark):
+    rows = QUERIES["mom_revenue_growth"].fn(spark, SF).collect()
+    assert rows
+    by_p = {}
+    for r in sorted(rows, key=lambda r: (r["priority"], r["month"])):
+        prev = by_p.get(r["priority"])
+        if prev is not None and prev > 0:
+            assert r["mom_growth"] is not None
+            assert abs(r["mom_growth"] - round((r["revenue"] - prev) / prev, 6)) < 1e-9
+        else:
+            assert r["mom_growth"] is None
+        by_p[r["priority"]] = r["revenue"]
+
+
+def test_profile_columns_exactness(spark):
+    rows = {r["col"]: r for r in QUERIES["profile_orders_columns"].fn(spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    n = o.count()
+    for col in ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]:
+        r = rows[col]
+        assert r["n"] == n
+        assert r["non_null"] == o.filter(F.col(col).isNotNull()).count()
+        assert r["n_distinct"] == o.select(col).distinct().filter(F.col(col).isNotNull()).count()
+
+
+def test_streaming_session_window_matches_batch_gap_sessionization(spark):
+    """The streaming session_window (gap merge) and the batch island
+    numbering are INDEPENDENT implementations of the same semantics;
+    closed streaming sessions must agree with the batch islands on
+    (user, start, n_events) and end exactly at last_event + gap."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        streaming_rollup,
+    )
+
+    T = lambda h, m: datetime(2024, 5, 1, h, m, 0)  # noqa: E731
+    # user 1: two sessions (09:00-09:20, 11:00); user 2: one session
+    events = [
+        (1, 101, "view", T(9, 0), 1.0),
+        (1, 102, "click", T(9, 20), 1.0),   # 20 min gap: same session
+        (1, 103, "view", T(11, 0), 1.0),    # 100 min gap: new session
+        (2, 201, "view", T(9, 30), 1.0),
+    ]
+    closers = [(1, 199, "view", T(20, 0), 1.0), (2, 299, "view", T(20, 0), 1.0)]
+    schema = "user_id long, event_id long, event_type string, ts timestamp, value double"
+
+    # streaming leg: session_window with 30-min gap, closed by the closers
+    src = tempfile.mkdtemp(prefix="sessparity_src_")
+    name = f"sessparity_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = streaming_rollup(
+        stream, "ts", "1 minute", "5 seconds", ["user_id"], session_gap="30 minutes"
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sessparity_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (events, closers):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {
+        (r["user_id"], r["window_start"]): r
+        for r in spark.table(name).collect()
+        if r["window_start"] < T(20, 0)
+    }
+
+    # batch leg: gap_sessionization islands over the same closed events
+    sf = tempfile.mkdtemp(prefix="sessparity_batch_")
+    spark.createDataFrame(events + closers, schema).write.mode("overwrite").parquet(
+        f"{sf}/events.parquet"
+    )
+    batch_rows = QUERIES["gap_sessionization"].fn(spark, sf).collect()
+
+    # reconstruct island starts for the comparison key
+    starts = {}
+    for u, eid, _t, ts, _v in sorted(events, key=lambda r: (r[0], r[3])):
+        key = (u,)
+        prev = starts.get(key)
+        if prev is None or (ts - prev[-1][-1]).total_seconds() > 1800:
+            starts.setdefault(key, []).append([ts, ts])
+        else:
+            starts[key][-1][-1] = ts
+    expected = {}
+    for (u,), sess in starts.items():
+        for st, en in sess:
+            expected[(u, st)] = en
+    assert len(stream_rows) == 3 and len(expected) == 3
+    for (u, st), en in expected.items():
+        srow = stream_rows[(u, st)]
+        # streaming session end = last event + gap
+        assert (srow["window_end"] - en).total_seconds() == 1800
+    # batch islands agree on count and duration per (user, n_events)
+    closed_batch = [
+        r for r in batch_rows if (r["user_id"], r["n_events"]) != (r["user_id"], 1) or True
+    ]
+    durations = sorted(
+        (r["user_id"], r["n_events"], r["duration_secs"]) for r in closed_batch
+    )
+    # user1: (2 events, 1200s) + (1 event, 0s) + closer (1,0); user2: (1,0) + closer (1,0)
+    assert (1, 2, 1200) in durations
+    assert sum(1 for d in durations if d[0] == 1) == 3
+    assert sum(1 for d in durations if d[0] == 2) == 2
