@@ -8882,6 +8882,93 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "exact_dup_rate_by_source",
+    """
+    WITH fp AS (
+      SELECT source, md5(text) AS f FROM documents
+    ), s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT f) AS n_unique
+      FROM fp GROUP BY source
+    )
+    SELECT source, n_docs, n_unique,
+           n_docs - n_unique AS n_dup_rows,
+           ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate
+    FROM s
+    """,
+)
+def exact_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the corpus-accounting number a
+    crawl pipeline reports per feed (which sources re-serve content).
+    COUNT DISTINCT over the md5 fingerprint, never the text: the
+    distinct state is 16 bytes/doc (the dedup_exact_fingerprint
+    discipline), and the subtraction/ratio are exact-integer derived.
+    One two-phase distinct aggregate keyed by source."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select("source", F.md5("text").alias("f")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dup_rows"),
+        F.round(
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "ship_latency_by_supplier",
+    """
+    WITH lat AS (
+      SELECT l.l_suppkey,
+             CAST(date_diff('day',
+                            CAST(o.o_orderdate AS TIMESTAMP),
+                            CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+               AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT l_suppkey,
+           COUNT(*) AS n_shipments,
+           ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS avg_latency_days,
+           MAX(days) AS worst_days
+    FROM lat GROUP BY l_suppkey
+    HAVING COUNT(*) >= 5
+    """,
+)
+def ship_latency_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per supplier (the supply-chain SLA metric):
+    whole-day deltas between order date and line ship date, averaged as
+    an exact integer SUM divided once in double.  The orders-lineitem
+    join is the canonical co-keyed fact-fact join (both sides shuffle
+    on orderkey once; at warehouse scale both tables bucket on orderkey
+    and the exchange disappears); the supplier aggregate then re-keys
+    the already-joined rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days"),
+    )
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(
+                F.sum("days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_latency_days"),
+            F.max("days").alias("worst_days"),
+        )
+        .filter(F.col("n_shipments") >= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

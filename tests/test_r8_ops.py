@@ -952,3 +952,32 @@ def test_streaming_session_window_matches_batch_gap_sessionization(spark):
     assert (1, 2, 1200) in durations
     assert sum(1 for d in durations if d[0] == 1) == 3
     assert sum(1 for d in durations if d[0] == 2) == 2
+
+
+def test_exact_dup_rate_counts_planted_duplicates(spark):
+    import tempfile
+
+    rows = [
+        (1, "same text", "en", "sA", 9),
+        (2, "same text", "en", "sA", 9),
+        (3, "same text", "en", "sA", 9),
+        (4, "unique one", "en", "sA", 10),
+        (5, "other", "en", "sB", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf = tempfile.mkdtemp(prefix="duprate_")
+    df.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    out = {r["source"]: r for r in QUERIES["exact_dup_rate_by_source"].fn(spark, sf).collect()}
+    assert out["sA"]["n_docs"] == 4 and out["sA"]["n_unique"] == 2
+    assert out["sA"]["n_dup_rows"] == 2 and abs(out["sA"]["dup_rate"] - 0.5) < 1e-9
+    assert out["sB"]["dup_rate"] == 0.0
+
+
+def test_ship_latency_nonnegative_and_exact_mean(spark):
+    rows = QUERIES["ship_latency_by_supplier"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_shipments"] >= 5
+        assert 0 <= r["avg_latency_days"] <= r["worst_days"]
