@@ -8669,9 +8669,16 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact integers; the two ratios are single double expressions.
     The pair join is orderkey-bounded exactly as in basket_part_pairs;
     the single-item support join keys on partkey (both sides already
-    aggregated)."""
+    aggregated).  The distinct item set feeds FOUR legs (order count,
+    single supports, both pair-join sides); left lazy Spark re-scans
+    lineitem per leg (plan-audited: 5 scans) — localCheckpoint
+    materializes it once."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
     supp1 = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
     b = items.select(
@@ -8840,7 +8847,9 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and null rate, computed in ONE scan — all eight aggregates
     fold into a single multi-distinct aggregate that Spark plans as
     expand + two-phase agg, then the wide row unpivots to one row per
-    column.  Exact integers throughout; only the null rate divides."""
+    column.  Exact integers throughout; only the null rate divides.
+    The 1-row aggregate is localCheckpoint'ed — each of the four
+    unpivot legs otherwise re-runs the whole scan (plan-audited)."""
     o = load_table(spark, sf_dir, "orders")
     s = o.agg(
         F.count(F.lit(1)).alias("n"),
@@ -8852,7 +8861,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_totalprice").alias("nd_price"),
         F.count("o_orderpriority").alias("nn_priority"),
         F.countDistinct("o_orderpriority").alias("nd_priority"),
-    )
+    ).localCheckpoint(eager=False)
     cols = [
         ("o_custkey", "nn_custkey", "nd_custkey"),
         ("o_orderstatus", "nn_status", "nd_status"),
