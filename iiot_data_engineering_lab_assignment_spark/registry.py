@@ -9005,6 +9005,18 @@ DRIVER_WINDOW: list[str] = [
     # After this window every oracle-backed query in the registry has
     # had at least one driver-green row.
     #
+    # Round-9 rotation queue (registered late-r8, never driver-checked;
+    # all local-gate green at sf0.01 AND sf0.1): linear_trend_per_type,
+    # autocorr_lag1_per_type, cusum_drift_per_user,
+    # last_touch_attribution, basket_part_pairs, gini_revenue_by_nation,
+    # event_type_transitions, gap_sessionization, zipf_term_slope,
+    # pareto_abc_parts, lateral_top3_customers_per_nation,
+    # kl_divergence_by_source, benford_leading_digit,
+    # time_to_first_purchase_quantiles, association_rules_parts,
+    # top_suppliers_with_ties, mom_revenue_growth,
+    # profile_orders_columns, exact_dup_rate_by_source,
+    # ship_latency_by_supplier (+ any r9 additions).
+    #
     # Out (every one driver-green r7 or earlier, family kept anchored):
     # the r7 first-timers (TPC-H q4/q15/q18/q20, warehouse/DQ block,
     # dedup cascade rows, kmeans_assignments_fixed, stream_static_enrich,

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA"]
+__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA"]
 
 ANOMALY_SCHEMA = StructType(
     [
@@ -287,4 +287,117 @@ def sessionize(
         stateStructType="start_us long, last_us long, n long, s double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming last-touch attribution: per-user carry-forward state
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_SCHEMA = StructType(
+    [
+        StructField("purchase_id", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("purchase_ts", TimestampType(), True),
+        StructField("click_id", LongType(), True),
+        StructField("secs_since_click", LongType(), True),
+    ]
+)
+
+#: (last_click_id, last_click_us) — the carry-forward attribution state.
+ATTRIBUTION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_click_id", LongType(), True),
+        StructField("last_click_us", LongType(), True),
+    ]
+)
+
+
+def streaming_last_touch(
+    events: DataFrame,
+    attribution_window_us: int = 21_600_000_000,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch ``last_touch_attribution`` query:
+    per-user O(1) state (latest click id + time) carried across
+    micro-batches; every purchase row emits immediately with its
+    attribution (NULL if the freshest click is older than the window).
+
+    Within a micro-batch rows process in (ts, event_id) order, so a
+    click and a purchase landing in the same batch attribute exactly as
+    the batch query's window ordering.  ACROSS batches the state only
+    moves forward: a click arriving in a LATER batch than a purchase it
+    precedes in event time cannot retro-attribute — the same
+    arrival-order caveat every carry-forward stateful operator has; the
+    batch query is the backfill-correct form (run it over closed days).
+
+    Input columns: event_id, user_id, ts, event_type.  State is two
+    longs per user — bounded by user cardinality; ``idle_timeout_ms``
+    evicts dormant users on continuous jobs (leave None for
+    availableNow replays, as in anomaly_detector)."""
+    win = int(attribution_window_us)
+    timeout_ms = idle_timeout_ms
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_click_id, last_click_us = state.get
+        else:
+            last_click_id, last_click_us = None, None
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            us = int(row.ts.value) // 1000  # pandas ns -> µs
+            if row.event_type == "click":
+                last_click_id, last_click_us = int(row.event_id), us
+            elif row.event_type == "purchase":
+                fresh = (
+                    last_click_us is not None and us - last_click_us <= win
+                )
+                out.append(
+                    (
+                        int(row.event_id),
+                        int(user_id),
+                        row.ts,
+                        int(last_click_id) if fresh else None,
+                        (us - last_click_us) // 1_000_000 if fresh else None,
+                    )
+                )
+        if last_click_us is not None:
+            state.update((last_click_id, last_click_us))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "purchase_id",
+                    "user_id",
+                    "purchase_ts",
+                    "click_id",
+                    "secs_since_click",
+                ],
+            )
+
+    grouped = events.select("event_id", "user_id", "ts", "event_type").groupBy(
+        "user_id"
+    )
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=ATTRIBUTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

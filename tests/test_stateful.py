@@ -177,3 +177,107 @@ def test_gap_sessionizer_closed_sessions(spark, api):
         ("m1", t(10, 0), t(10, 0), 1, 4.0),  # closed by the 10:30 event
         ("m2", t(0, 0), t(0, 0), 1, 9.0),    # closed in-batch by 10:20
     ]
+
+
+def test_streaming_last_touch_carries_state_across_batches(spark):
+    """A click in batch 1 attributes a purchase in batch 2 (state carry);
+    a same-batch click->purchase attributes like the batch query; a
+    >6h-stale click yields NULL attribution."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import (
+        streaming_last_touch,
+    )
+
+    T = lambda h, m: datetime(2024, 3, 1, h, m, 0)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    b1 = [
+        (10, 1, T(9, 0), "click"),
+        (11, 1, T(9, 30), "click"),
+        (20, 2, T(1, 0), "click"),
+        (30, 3, T(9, 5), "click"),
+        (31, 3, T(9, 10), "purchase"),  # same-batch attribution
+    ]
+    b2 = [
+        (12, 1, T(10, 0), "purchase"),  # cross-batch: latest click 9:30
+        (21, 2, T(8, 0), "purchase"),   # 7h stale -> NULL
+    ]
+    src = tempfile.mkdtemp(prefix="slt_src_")
+    name = f"slt_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_last_touch(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="slt_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["purchase_id"]: r for r in spark.table(name).collect()}
+    assert set(rows) == {31, 12, 21}
+    assert rows[31]["click_id"] == 30 and rows[31]["secs_since_click"] == 300
+    assert rows[12]["click_id"] == 11 and rows[12]["secs_since_click"] == 1800
+    assert rows[21]["click_id"] is None and rows[21]["secs_since_click"] is None
+
+
+def test_streaming_last_touch_matches_batch_query_on_ordered_replay(spark):
+    """Event-time-ordered replay (each micro-batch strictly later than
+    the last) must reproduce the batch last_touch_attribution rows
+    exactly — the carry-forward caveat only bites on disorder."""
+    import tempfile
+    import uuid
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import (
+        streaming_last_touch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+    )
+    rows = ev.collect()
+    cut = rows[len(rows) // 2][2]  # median ts: two time-ordered batches
+    b1 = [r for r in rows if (r[2], r[0]) <= (cut, rows[len(rows) // 2][0])]
+    b2 = [r for r in rows if (r[2], r[0]) > (cut, rows[len(rows) // 2][0])]
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    src = tempfile.mkdtemp(prefix="sltp_src_")
+    name = f"sltp_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_last_touch(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sltp_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["purchase_id"]: (r["click_id"], r["secs_since_click"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["purchase_id"]: (r["click_id"], r["secs_since_click"])
+        for r in QUERIES["last_touch_attribution"].fn(spark, sf).collect()
+    }
+    assert got == want
