@@ -8978,6 +8978,176 @@ def ship_latency_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "triangle_parts_topk",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ), member AS (
+      SELECT x AS part FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT part, COUNT(*) AS n_triangles
+    FROM member GROUP BY part
+    ORDER BY n_triangles DESC, part
+    LIMIT 20
+    """,
+)
+def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the co-purchase graph: parts most often
+    bought in mutually-co-occurring triples — the clustering-coefficient
+    numerator (community cores, bundle candidates).  The classic
+    oriented-edge-join: edges carry only the a<b direction, so each
+    triangle matches exactly once as (x<y<z) and the join fan-out is
+    sum-of-squares of FORWARD degree, the standard compact-forward
+    bound; at production scale the orientation upgrades to
+    order-by-degree (low->high), which provably minimizes that bound on
+    skewed graphs.  The edge list is localCheckpoint'ed once
+    (three-way self-join would otherwise re-derive it from lineitem
+    three times)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    b = items.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        items.join(
+            b,
+            (items.l_orderkey == F.col("bo")) & (items.l_partkey < F.col("pb")),
+        )
+        .select(F.col("l_partkey").alias("pa"), "pb")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
+    e3 = edges.select(F.col("pa").alias("x3"), F.col("pb").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    member = (
+        tri.select(F.col("x").alias("part"))
+        .unionAll(tri.select(F.col("y").alias("part")))
+        .unionAll(tri.select(F.col("z").alias("part")))
+    )
+    return (
+        member.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(20)
+    )
+
+
+@register(
+    "session_conversion_by_depth",
+    """
+    WITH tl AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP))
+                          - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_seq
+      FROM tl
+    ), per_session AS (
+      SELECT user_id, session_seq,
+             COUNT(*) AS n_events,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sess GROUP BY 1, 2
+    ), bucketed AS (
+      SELECT CASE WHEN n_events >= 10 THEN 10 ELSE n_events END AS depth,
+             converted
+      FROM per_session
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM bucketed GROUP BY depth
+    """,
+)
+def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session depth (does engagement convert?):
+    gap-sessionize (30-min islands, the gap_sessionization pass), mark
+    sessions containing a purchase, bucket by event count (10+ capped)
+    and emit the conversion rate per depth — the funnel-health view
+    product teams read weekly.  Same single per-user exchange as
+    gap_sessionization; the depth table is <=10 rows.  Note the session
+    ordering ties session_seq to (us) here: ts ties collapse into the
+    same running sum either way because new_s is 0 for zero-gap
+    neighbors."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tl = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > F.lit(1_800_000_000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = tl.select(
+        "user_id",
+        "event_type",
+        F.sum("new_s").over(w_run).alias("session_seq"),
+    )
+    per_session = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bucketed = per_session.select(
+        F.when(F.col("n_events") >= 10, 10)
+        .otherwise(F.col("n_events"))
+        .cast("long")
+        .alias("depth"),
+        "converted",
+    )
+    return bucketed.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -981,3 +981,35 @@ def test_ship_latency_nonnegative_and_exact_mean(spark):
     for r in rows:
         assert r["n_shipments"] >= 5
         assert 0 <= r["avg_latency_days"] <= r["worst_days"]
+
+
+def test_triangle_count_on_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; participation counts
+    follow (the two hub nodes sit in both)."""
+    import tempfile
+
+    # orders = cliques: order 1 = {1,2,3}, order 2 = {1,2,4} -> edges
+    # 12,13,23,14,24 (no 34): triangles 123 and 124
+    rows = [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 4)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    sf = tempfile.mkdtemp(prefix="tri_")
+    df.selectExpr(
+        "l_orderkey", "l_partkey", "l_orderkey AS l_suppkey",
+        "1 AS l_linenumber", "1.0 AS l_quantity", "1.0 AS l_extendedprice",
+        "0.0 AS l_discount", "0.0 AS l_tax", "'N' AS l_returnflag",
+        "'O' AS l_linestatus", "TIMESTAMP '2024-01-01' AS l_shipdate",
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    out = {r["part"]: r["n_triangles"] for r in QUERIES["triangle_parts_topk"].fn(spark, sf).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_session_conversion_rates_bounded_and_consistent(spark):
+    rows = QUERIES["session_conversion_by_depth"].fn(spark, SF).collect()
+    assert rows
+    total_sessions = sum(r["n_sessions"] for r in rows)
+    batch = QUERIES["gap_sessionization"].fn(spark, SF).count()
+    assert total_sessions == batch  # same islands, same session count
+    for r in rows:
+        assert 0.0 <= r["conversion_rate"] <= 1.0
+        assert r["n_converted"] <= r["n_sessions"]
+        assert 1 <= r["depth"] <= 10
