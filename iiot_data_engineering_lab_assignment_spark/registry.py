@@ -7865,14 +7865,15 @@ def autocorr_lag1_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     ), c AS (
       SELECT user_id, event_id, n,
-             rk - MIN(rk) OVER (PARTITION BY user_id ORDER BY k
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cusum_n
+             rk - LEAST(MIN(rk) OVER (PARTITION BY user_id ORDER BY k
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 0) AS cusum_n
       FROM r
     )
     SELECT user_id,
            MAX(n) AS n_events,
-           ROUND(CAST(MAX(cusum_n) AS DOUBLE) / MAX(n), 6) AS max_cusum,
+           CAST((CAST(MAX(cusum_n) * 10000 AS BIGINT) * 100) // MAX(n)
+                AS DOUBLE) / 1000000.0 AS max_cusum,
            CAST(SUM(CASE WHEN cusum_n > n * 400 THEN 1 ELSE 0 END) AS BIGINT)
              AS drift_points,
            MIN(CASE WHEN cusum_n > n * 400 THEN event_id END)
@@ -7883,12 +7884,18 @@ def autocorr_lag1_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cusum_drift_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM drift detector per user: the running sum of
     deviations from the per-user mean, minus its running minimum —
-    a level shift shows up as a sustained climb.  The recursion is
+    a level shift shows up as a sustained climb.  The running minimum
+    includes the virtual S_0 = 0 (the C_0 = 0 convention of the
+    recursive form — a hypothesis property test against the direct
+    recursion caught its omission).  The recursion is
     prefix-sum decomposable: with S_k the running sum and S_n/n the mean,
     n*(S_k - k*mean) = n*S_k - k*S_n is EXACT in DECIMAL (no per-row
     division), so the drift threshold compares integers-scaled decimals
-    bit-identically in both engines; only the final reported magnitude
-    divides by n in double.  Plan: one sort-shuffle per user timeline,
+    bit-identically in both engines; the reported magnitude floors at
+    6dp through PURE INTEGER arithmetic (scale-shift, bigint divide,
+    exact-double emit) — a ROUND(double/n, 6) here sat exactly on a
+    .xxxxxx5 boundary at sf0.1 and flipped between the engines'
+    half-up vs half-even rules.  Plan: one sort-shuffle per user timeline,
     windows all share that ordering (single Exchange), then a per-user
     aggregate.  Threshold 400 is in cumulative value-units."""
     from pyspark.sql import Window
@@ -7920,12 +7927,20 @@ def cusum_drift_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "n",
-        (F.col("rk") - F.min("rk").over(w_min)).alias("cusum_n"),
+        (
+            F.col("rk") - F.least(F.min("rk").over(w_min), F.lit(0))
+        ).alias("cusum_n"),
     )
     flag = F.col("cusum_n") > (F.col("n") * F.lit(400))
     return c.groupBy("user_id").agg(
         F.max("n").alias("n_events"),
-        F.round(F.max("cusum_n").cast("double") / F.max("n"), 6).alias("max_cusum"),
+        (
+            F.expr(
+                "CAST((CAST(max(cusum_n) * 10000 AS BIGINT) * 100)"
+                " DIV max(n) AS DOUBLE)"
+            )
+            / F.lit(1_000_000.0)
+        ).alias("max_cusum"),
         F.sum(F.when(flag, 1).otherwise(0)).cast("long").alias("drift_points"),
         F.min(F.when(flag, F.col("event_id"))).alias("first_drift_event"),
     )

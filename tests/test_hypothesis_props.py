@@ -256,3 +256,84 @@ def test_length_bucket_packing_property(spark, lens, batch_size):
         bmax[(b, r["batch_idx"])] = max(bmax[(b, r["batch_idx"])], n)
     for r in out:
         assert r["pad_to"] == bmax[(r["bucket"], r["batch_idx"])]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    gaps=st.lists(
+        st.integers(min_value=1, max_value=7200), min_size=1, max_size=40
+    ),
+    n_users=st.integers(min_value=1, max_value=3),
+)
+def test_gap_sessionization_invariants(spark, gaps, n_users):
+    """Islands partition the timeline exactly: session count per user ==
+    1 + #(gaps > 30 min), and event counts sum to the input size."""
+    from datetime import datetime, timedelta
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+    import tempfile
+
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        t = datetime(2024, 4, 1, 0, 0, 0)
+        rows.append((t, u, eid, "view", 1.0))
+        eid += 1
+        for g in gaps:
+            t = t + timedelta(seconds=g)
+            rows.append((t, u, eid, "view", 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string, value double"
+    )
+    sf = tempfile.mkdtemp(prefix="hyp_sess_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = QUERIES["gap_sessionization"].fn(spark, sf).collect()
+    expected_sessions_per_user = 1 + sum(1 for g in gaps if g > 1800)
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user) == n_users
+    for u, sess in by_user.items():
+        assert len(sess) == expected_sessions_per_user
+        assert sum(s["n_events"] for s in sess) == len(gaps) + 1
+        for s in sess:
+            assert s["duration_secs"] >= 0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False, width=32),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_cusum_matches_python_recompute(spark, vals):
+    """The windowed n*S_k - k*S_n decomposition equals the direct
+    running-sum-of-deviations recursion computed in Python."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    vals = [round(v, 4) for v in vals]
+    t0 = datetime(2024, 4, 1)
+    rows = [
+        (t0 + timedelta(minutes=i), 7, i, "view", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string, value double"
+    )
+    sf = tempfile.mkdtemp(prefix="hyp_cusum_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = QUERIES["cusum_drift_per_user"].fn(spark, sf).collect()[0]
+    mean = sum(vals) / len(vals)
+    run, mn, mx = 0.0, 0.0, 0.0
+    for v in vals:
+        run += v - mean
+        mn = min(mn, run)
+        mx = max(mx, run - mn)
+    assert out["n_events"] == len(vals)
+    assert math.isclose(out["max_cusum"], round(mx, 6), rel_tol=1e-6, abs_tol=2e-4)
+    assert out["max_cusum"] >= 0.0
