@@ -8140,9 +8140,9 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT prev_type, next_type, n,
-           ROUND(CAST(n AS DOUBLE)
-                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6)
-             AS p
+           CAST((2000000 * n + SUM(n) OVER (PARTITION BY prev_type))
+                // (2 * SUM(n) OVER (PARTITION BY prev_type)) AS DOUBLE)
+             / 1000000.0 AS p
     FROM cnt
     """,
 )
@@ -8168,12 +8168,15 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count(F.lit(1)).alias("n"))
     w_tot = Window.partitionBy("prev_type")
-    return cnt.select(
+    with_tot = cnt.select(
+        "prev_type", "next_type", "n", F.sum("n").over(w_tot).alias("tot")
+    )
+    return with_tot.select(
         "prev_type",
         "next_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double"), 6
+        F.expr(
+            "CAST((2000000 * n + tot) DIV (2 * tot) AS DOUBLE) / 1000000.0"
         ).alias("p"),
     )
 
@@ -8488,7 +8491,9 @@ def lateral_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
                9) AS DECIMAL(18,9)) AS kl_term
       FROM grid CROSS JOIN corpus
     )
-    SELECT source, ROUND(CAST(SUM(kl_term) AS DOUBLE), 6) AS kl_bits_nat
+    SELECT source,
+           CAST((CAST(SUM(kl_term) * 1000000000 AS BIGINT) + 500) // 1000
+                AS DOUBLE) / 1000000.0 AS kl_bits_nat
     FROM contrib GROUP BY source
     """,
 )
@@ -8534,7 +8539,10 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p * F.log(p / q), 9).cast("decimal(18,9)").alias("kl_term"),
     )
     return contrib.groupBy("source").agg(
-        F.round(F.sum("kl_term").cast("double"), 6).alias("kl_bits_nat")
+        F.expr(
+            "CAST((CAST(sum(kl_term) * 1000000000 AS BIGINT) + 500)"
+            " DIV 1000 AS DOUBLE) / 1000000.0"
+        ).alias("kl_bits_nat")
     )
 
 
@@ -8551,7 +8559,7 @@ def kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT SUM(n) AS t FROM cnt
     )
     SELECT digit, n,
-           ROUND(CAST(n AS DOUBLE) / t, 6) AS obs_p,
+           CAST((2000000 * n + t) // (2 * t) AS DOUBLE) / 1000000.0 AS obs_p,
            ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_p
     FROM cnt CROSS JOIN tot
     """,
@@ -8579,7 +8587,9 @@ def benford_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.crossJoin(F.broadcast(tot)).select(
         "digit",
         "n",
-        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("obs_p"),
+        F.expr(
+            "CAST((2000000 * n + t) DIV (2 * t) AS DOUBLE) / 1000000.0"
+        ).alias("obs_p"),
         F.round(
             F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
         ).alias("benford_p"),
@@ -8665,9 +8675,10 @@ def time_to_first_purchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFr
       HAVING COUNT(*) >= 2
     )
     SELECT p.ante, p.cons, p.s_ab,
-           ROUND(CAST(p.s_ab AS DOUBLE) / sa.s, 6) AS confidence,
-           ROUND((CAST(p.s_ab AS DOUBLE) * n_orders.n) / (sa.s * sc.s), 6)
-             AS lift
+           CAST((2000000 * p.s_ab + sa.s) // (2 * sa.s) AS DOUBLE)
+             / 1000000.0 AS confidence,
+           CAST((2000000 * p.s_ab * n_orders.n + sa.s * sc.s)
+                // (2 * sa.s * sc.s) AS DOUBLE) / 1000000.0 AS lift
     FROM pairs p
     JOIN supp1 sa ON sa.l_partkey = p.ante
     JOIN supp1 sc ON sc.l_partkey = p.cons
@@ -8719,13 +8730,13 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ante",
             "cons",
             "s_ab",
-            F.round(F.col("s_ab").cast("double") / F.col("s_a"), 6).alias(
-                "confidence"
-            ),
-            F.round(
-                (F.col("s_ab").cast("double") * F.col("n"))
-                / (F.col("s_a") * F.col("s_c")),
-                6,
+            F.expr(
+                "CAST((2000000 * s_ab + s_a) DIV (2 * s_a) AS DOUBLE)"
+                " / 1000000.0"
+            ).alias("confidence"),
+            F.expr(
+                "CAST((2000000 * s_ab * n + s_a * s_c)"
+                " DIV (2 * s_a * s_c) AS DOUBLE) / 1000000.0"
             ).alias("lift"),
         )
         .orderBy(F.desc("lift"), "ante", "cons")
@@ -8843,7 +8854,8 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT col, n, non_null, n_distinct,
-           ROUND(1.0 - CAST(non_null AS DOUBLE) / n, 6) AS null_rate
+           CAST((2000000 * (n - non_null) + n) // (2 * n) AS DOUBLE)
+             / 1000000.0 AS null_rate
     FROM (
       SELECT n, 'o_custkey' AS col, nn_custkey AS non_null,
              nd_custkey AS n_distinct FROM s
@@ -8900,8 +8912,9 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "non_null",
         "n_distinct",
-        F.round(
-            F.lit(1.0) - F.col("non_null").cast("double") / F.col("n"), 6
+        F.expr(
+            "CAST((2000000 * (n - non_null) + n) DIV (2 * n) AS DOUBLE)"
+            " / 1000000.0"
         ).alias("null_rate"),
     )
 
@@ -8918,7 +8931,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n_docs, n_unique,
            n_docs - n_unique AS n_dup_rows,
-           ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_rate
+           CAST((2000000 * (n_docs - n_unique) + n_docs) // (2 * n_docs)
+                AS DOUBLE) / 1000000.0 AS dup_rate
     FROM s
     """,
 )
@@ -8939,8 +8953,9 @@ def exact_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_unique",
         (F.col("n_docs") - F.col("n_unique")).alias("n_dup_rows"),
-        F.round(
-            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 6
+        F.expr(
+            "CAST((2000000 * (n_docs - n_unique) + n_docs) DIV (2 * n_docs)"
+            " AS DOUBLE) / 1000000.0"
         ).alias("dup_rate"),
     )
 
@@ -9101,8 +9116,8 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(depth AS BIGINT) AS depth,
            COUNT(*) AS n_sessions,
            CAST(SUM(converted) AS BIGINT) AS n_converted,
-           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
-             AS conversion_rate
+           CAST((2000000 * SUM(converted) + COUNT(*)) // (2 * COUNT(*))
+                AS DOUBLE) / 1000000.0 AS conversion_rate
     FROM bucketed GROUP BY depth
     """,
 )
@@ -9157,8 +9172,9 @@ def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("converted").cast("long").alias("n_converted"),
-        F.round(
-            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        F.expr(
+            "CAST((2000000 * sum(converted) + count(1)) DIV (2 * count(1))"
+            " AS DOUBLE) / 1000000.0"
         ).alias("conversion_rate"),
     )
 
