@@ -99,7 +99,9 @@ def probe_timeline_family(spark, n_rows: int, n_users: int) -> dict:
         rk.select(
             "user_id",
             "n",
-            (F.col("rk") - F.min("rk").over(w_min)).alias("cusum_n"),
+            (
+                F.col("rk") - F.least(F.min("rk").over(w_min), F.lit(0))
+            ).alias("cusum_n"),
         )
         .groupBy("user_id")
         .agg(F.max(F.col("cusum_n").cast("double") / F.col("n")).alias("mx"))
