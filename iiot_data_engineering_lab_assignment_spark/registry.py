@@ -9179,6 +9179,116 @@ def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at-risk-loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (NTILE with deterministic custkey tiebreaks) rolled into the
+    classic segment labels — the marketing-analytics staple.  The three
+    NTILE windows are global but run over the per-customer aggregate
+    (|customers| rows, already reduced from orders); all three share
+    one single-partition exchange of that reduced set.  At 100M+
+    customers the quintile boundaries would come from
+    approx_percentile instead — NTILE's exact global rank is the
+    fixture-exact form the oracle can mirror."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4),
+            "champion",
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at-risk-loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+            F.col("m_score").cast("long").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select("r_score", "f_score", "m_score", "n_customers", seg.alias("segment"))
+    )
+
+
+@register(
+    "filtered_aggregates",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+             AS finished_revenue,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+             AS big_spenders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 FILTER clause on aggregates (conditional aggregation
+    without CASE scaffolding) — Spark and DuckDB both support it, and
+    porting users expect it to just work.  Registered as literal Spark
+    SQL; Catalyst compiles each FILTER into the same conditional
+    aggregate as the CASE WHEN form (conditional_aggregates), so the
+    surface costs nothing.  One grouped pass with a distinct leg."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                 AS finished_revenue,
+               COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+                 AS big_spenders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

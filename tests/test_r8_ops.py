@@ -1013,3 +1013,26 @@ def test_session_conversion_rates_bounded_and_consistent(spark):
         assert 0.0 <= r["conversion_rate"] <= 1.0
         assert r["n_converted"] <= r["n_sessions"]
         assert 1 <= r["depth"] <= 10
+
+
+def test_rfm_quintiles_partition_customers(spark):
+    rows = QUERIES["rfm_segmentation"].fn(spark, SF).collect()
+    n_customers = sum(r["n_customers"] for r in rows)
+    assert n_customers == spark.read.parquet(f"{SF}/orders.parquet").select("o_custkey").distinct().count()
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+        if r["r_score"] >= 4 and r["f_score"] >= 4 and r["m_score"] >= 4:
+            assert r["segment"] == "champion"
+
+
+def test_filtered_aggregates_match_case_when(spark):
+    got = {r["o_orderpriority"]: r for r in QUERIES["filtered_aggregates"].fn(spark, SF).collect()}
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    want = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("nf"),
+    ).collect()
+    for r in want:
+        g = got[r["o_orderpriority"]]
+        assert g["n_orders"] == r["n"] and g["n_finished"] == r["nf"]
+        assert g["big_spenders"] <= g["n_orders"]
