@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA"]
+__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "cusum_alarm", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA"]
 
 ANOMALY_SCHEMA = StructType(
     [
@@ -394,6 +394,96 @@ def streaming_last_touch(
         update,
         outputStructType=ATTRIBUTION_SCHEMA,
         stateStructType=ATTRIBUTION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM drift alarm (Page's test against a calibrated target)
+# ---------------------------------------------------------------------------
+
+CUSUM_ALARM_SCHEMA = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("event_time", TimestampType(), True),
+        StructField("cusum", DoubleType(), True),
+        StructField("n_since_reset", LongType(), True),
+    ]
+)
+
+#: (cusum_pos, n_since_reset) — Page's one-sided accumulator.
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("c", DoubleType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def cusum_alarm(
+    readings: DataFrame,
+    target: float,
+    threshold: float,
+    slack: float = 0.0,
+    key_col: str = "key",
+    time_col: str = "event_time",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming one-sided CUSUM (Page's test): per key, accumulate
+    C_k = max(0, C_{k-1} + (x_k - target - slack)); when C crosses
+    ``threshold``, emit an alarm row and RESET — the calibrated-target
+    twin of the batch ``cusum_drift_per_user`` query (which measures
+    drift against the realized mean over a closed window; this one
+    detects it live against a known baseline, the form SPC charts and
+    sensor-drift monitors actually deploy).
+
+    State is two numbers per key.  Within a micro-batch rows process in
+    (time, value) order; the alarm fires on the first crossing row, so
+    detection latency is exact to the input row, not the batch.
+    ``slack`` absorbs acceptable wander (the classic k parameter)."""
+    tgt, h, k = float(target), float(threshold), float(slack)
+    timeout_ms = idle_timeout_ms
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_val,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        c, n = state.get if state.exists else (0.0, 0)
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["event_time", "value"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            c = max(0.0, c + (float(row.value) - tgt - k))
+            n += 1
+            if c > h:
+                out.append((key_val, row.event_time, c, n))
+                c, n = 0.0, 0
+        state.update((c, n))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["key", "event_time", "cusum", "n_since_reset"]
+            )
+
+    grouped = readings.selectExpr(
+        f"{key_col} AS key", f"{time_col} AS event_time", f"{value_col} AS value"
+    ).groupBy("key")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=CUSUM_ALARM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -281,3 +281,58 @@ def test_streaming_last_touch_matches_batch_query_on_ordered_replay(spark):
         for r in QUERIES["last_touch_attribution"].fn(spark, sf).collect()
     }
     assert got == want
+
+
+def test_cusum_alarm_fires_once_on_shift_and_resets(spark):
+    """A +5 level shift against target 10 (slack 1, threshold 12)
+    accumulates +4/step -> alarm on the 4th shifted reading, then the
+    accumulator resets and re-arms; noise inside the slack band never
+    fires; detection crosses micro-batch boundaries."""
+    import tempfile
+    import uuid
+    from datetime import datetime, timedelta
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import (
+        cusum_alarm,
+    )
+
+    t0 = datetime(2024, 6, 1, 12, 0, 0)
+    schema = "key string, event_time timestamp, value double"
+    # batch 1: 5 in-band readings, then the shift starts with 2 readings
+    b1 = [("s1", t0 + timedelta(minutes=i), 10.0 + (0.5 if i % 2 else -0.5)) for i in range(5)]
+    b1 += [("s1", t0 + timedelta(minutes=5 + j), 15.0) for j in range(2)]
+    # batch 2: two more shifted readings -> crossing happens HERE (state carry)
+    b2 = [("s1", t0 + timedelta(minutes=7 + j), 15.0) for j in range(4)]
+    # quiet key never alarms
+    b1 += [("s2", t0 + timedelta(minutes=i), 10.0) for i in range(7)]
+    b2 += [("s2", t0 + timedelta(minutes=7 + i), 10.0) for i in range(4)]
+
+    src = tempfile.mkdtemp(prefix="cusum_alarm_src_")
+    name = f"cusum_alarm_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        cusum_alarm(stream, target=10.0, threshold=12.0, slack=1.0)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cusum_alarm_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(spark.table(name).collect(), key=lambda r: r["event_time"])
+    assert all(r["key"] == "s1" for r in rows)
+    # +4 per shifted reading: crossing at the 4th shifted reading
+    # (minute 8, second row of batch 2 -> state carried across batches);
+    # after reset the remaining 2 shifted readings reach only 8 < 12
+    assert len(rows) == 1
+    assert rows[0]["event_time"] == t0 + timedelta(minutes=8)
+    assert abs(rows[0]["cusum"] - 16.0) < 1e-9
+    # 5 in-band + 2 shifted (b1) + 2 shifted (b2) rows precede the alarm
+    assert rows[0]["n_since_reset"] == 9
