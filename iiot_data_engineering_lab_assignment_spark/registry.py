@@ -9289,6 +9289,70 @@ def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "open_order_backlog_daily",
+    """
+    WITH bounds AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS placed,
+             CAST(MAX(l.l_shipdate) AS DATE) AS fully_shipped
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ), deltas AS (
+      SELECT placed AS day, 1 AS d FROM bounds
+      UNION ALL
+      SELECT fully_shipped AS day, -1 AS d FROM bounds
+      WHERE fully_shipped >= placed
+    ), daily AS (
+      SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(delta) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def open_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders are placed but not yet
+    fully shipped on each day — the interval-counting pattern done by
+    EVENT-IFICATION, not a calendar join: each order contributes a +1
+    at placement and a -1 at its last ship date, the deltas aggregate
+    per day, and one running sum over the (tiny) day domain rebuilds
+    the level.  The naive form (orders x days range join) is O(n*days)
+    and a scale-killer; this is O(n) events + a |days|-row window.
+    Orders whose last ship date precedes placement (none in TPC-H
+    semantics) are guarded out of the close stream."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("shipped"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("placed"),
+            F.col("shipped").cast("date").alias("fully_shipped"),
+        )
+    )
+    opens = bounds.select(F.col("placed").alias("day"), F.lit(1).alias("d"))
+    closes = bounds.filter(
+        F.col("fully_shipped") >= F.col("placed")
+    ).select(F.col("fully_shipped").alias("day"), F.lit(-1).alias("d"))
+    daily = (
+        opens.unionAll(closes)
+        .groupBy("day")
+        .agg(F.sum("d").cast("long").alias("delta"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", F.sum("delta").over(w).cast("long").alias("open_orders")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -1036,3 +1036,43 @@ def test_filtered_aggregates_match_case_when(spark):
         g = got[r["o_orderpriority"]]
         assert g["n_orders"] == r["n"] and g["n_finished"] == r["nf"]
         assert g["big_spenders"] <= g["n_orders"]
+
+
+def test_backlog_matches_brute_force_interval_count(spark):
+    """Event-ified backlog equals the brute-force per-day interval count
+    on a hand-built schedule."""
+    import tempfile
+    from datetime import date
+
+    # order 1: placed d1 shipped d3; order 2: placed d2 shipped d2;
+    # order 3: placed d2 shipped d5
+    orders = [
+        (1, 1, "F", 10.0, "2024-01-01 00:00:00", "1-URGENT"),
+        (2, 1, "F", 10.0, "2024-01-02 00:00:00", "1-URGENT"),
+        (3, 1, "F", 10.0, "2024-01-02 00:00:00", "1-URGENT"),
+    ]
+    lines = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-03 00:00:00"),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-02 00:00:00"),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-04 00:00:00"),
+        (3, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-05 00:00:00"),
+    ]
+    sf = tempfile.mkdtemp(prefix="backlog_")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, od string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.to_timestamp("od")).drop("od").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, sd string",
+    ).withColumn("l_shipdate", F.to_timestamp("sd")).drop("sd").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/lineitem.parquet")
+    out = {r["day"]: r["open_orders"] for r in QUERIES["open_order_backlog_daily"].fn(spark, sf).collect()}
+    # running level: d1 +1=1; d2 +2-1=2; d3 -1=1; d5 -1=0
+    assert out[date(2024, 1, 1)] == 1
+    assert out[date(2024, 1, 2)] == 2
+    assert out[date(2024, 1, 3)] == 1
+    assert out[date(2024, 1, 5)] == 0
