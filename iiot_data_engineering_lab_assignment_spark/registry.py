@@ -9353,6 +9353,163 @@ def open_order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "longest_error_streaks",
+    """
+    WITH tl AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                CASE WHEN event_type = 'error'
+                                     THEN 1 ELSE 0 END
+                                ORDER BY ts, event_id) AS k_in_class
+      FROM events
+    ), runs AS (
+      SELECT user_id, COUNT(*) AS run_len, MIN(ts) AS run_start
+      FROM tl WHERE is_err = 1
+      GROUP BY user_id, k - k_in_class
+    )
+    SELECT user_id,
+           MAX(run_len) AS longest_streak,
+           COUNT(*) AS n_streaks,
+           MIN(run_start) AS first_streak_start
+    FROM runs GROUP BY user_id
+    HAVING MAX(run_len) >= 3
+    """,
+)
+def longest_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-failure streak detection per user (run-length
+    encoding by the rank-difference trick): within each user's
+    (ts, event_id) timeline, error rows in an unbroken run share the
+    constant k - k_in_class, so one GROUP BY collapses each run —
+    no iterative pass, no self-join.  Users whose worst streak reaches
+    3 surface with streak count and first onset (the alerting shape for
+    flapping sensors / failing agents).  Both ROW_NUMBERs share the one
+    per-user sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cls = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    tl = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        is_err.alias("is_err"),
+        F.row_number().over(w_all).alias("k"),
+    ).withColumn("k_in_class", F.row_number().over(w_cls))
+    runs = (
+        tl.filter(F.col("is_err") == 1)
+        .groupBy("user_id", (F.col("k") - F.col("k_in_class")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.min("run_start").alias("first_streak_start"),
+        )
+        .filter(F.col("longest_streak") >= 3)
+    )
+
+
+@register(
+    "wasserstein_value_drift",
+    """
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS in_a
+      FROM events
+    ), per_value AS (
+      SELECT event_type, value,
+             CAST(SUM(in_a) AS BIGINT) AS ca,
+             CAST(SUM(1 - in_a) AS BIGINT) AS cb
+      FROM tagged GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type, value,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+             SUM(ca) OVER w_all AS n_a, SUM(cb) OVER w_all AS n_b,
+             LEAD(value) OVER (PARTITION BY event_type ORDER BY value)
+               AS next_value
+      FROM per_value
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_all AS (PARTITION BY event_type)
+    ), contrib AS (
+      SELECT event_type,
+             CAST(ROUND(
+               abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b)
+               * (next_value - value), 9) AS DECIMAL(18,9)) AS c
+      FROM cum WHERE next_value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST((CAST(SUM(c) * 1000000000 AS BIGINT) + 500) // 1000
+                AS DOUBLE) / 1000000.0 AS w1_distance
+    FROM contrib GROUP BY event_type
+    """,
+)
+def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between each sensor type's
+    value distribution in the first half of the month vs the second —
+    the numeric-drift twin of kl_divergence_by_source (W1 sees HOW FAR
+    mass moved, not just that it moved; the metric data-drift monitors
+    prefer for continuous features).  W1 = integral |F_a - F_b| dx over
+    the merged support: per distinct value, exact integer cumulative
+    counts; each segment's |ECDF gap| x width is rounded to 9dp and
+    summed in DECIMAL (the zipf/KL discipline), then emitted through
+    exact integer half-up rounding.  One sort per type over DISTINCT
+    values — support-sized, not row-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1).otherwise(0)
+    per_value = (
+        ev.select("event_type", "value", in_a.alias("in_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("in_a").cast("long").alias("ca"),
+            F.sum(F.lit(1) - F.col("in_a")).cast("long").alias("cb"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("event_type")
+    w_lead = Window.partitionBy("event_type").orderBy("value")
+    cum = per_value.select(
+        "event_type",
+        "value",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("n_a"),
+        F.sum("cb").over(w_all).alias("n_b"),
+        F.lead("value").over(w_lead).alias("next_value"),
+    )
+    contrib = cum.filter(F.col("next_value").isNotNull()).select(
+        "event_type",
+        F.round(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a")
+                - F.col("cum_b").cast("double") / F.col("n_b")
+            )
+            * (F.col("next_value") - F.col("value")),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("c"),
+    )
+    return contrib.groupBy("event_type").agg(
+        F.expr(
+            "CAST((CAST(sum(c) * 1000000000 AS BIGINT) + 500)"
+            " DIV 1000 AS DOUBLE) / 1000000.0"
+        ).alias("w1_distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -1076,3 +1076,45 @@ def test_backlog_matches_brute_force_interval_count(spark):
     assert out[date(2024, 1, 2)] == 2
     assert out[date(2024, 1, 3)] == 1
     assert out[date(2024, 1, 5)] == 0
+
+
+def test_error_streak_rle_on_planted_runs(spark):
+    """Timeline E E E V E E V E -> runs of 3, 2, 1: longest 3, 3 streaks."""
+    import tempfile
+
+    seq = ["error", "error", "error", "view", "error", "error", "view", "error"]
+    rows = [
+        ("2024-01-01 00:%02d:00" % i, 1, i, t, 1.0) for i, t in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    sf = tempfile.mkdtemp(prefix="streak_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = QUERIES["longest_error_streaks"].fn(spark, sf).collect()
+    assert len(out) == 1
+    assert out[0]["longest_streak"] == 3 and out[0]["n_streaks"] == 3
+
+
+def test_wasserstein_known_distributions(spark):
+    """Point masses at 0 vs 1 -> W1 = 1; identical distributions -> 0."""
+    import tempfile
+
+    rows = []
+    eid = 0
+    # type 'shift': first half all 0.0, second half all 1.0 -> W1 = 1
+    for i in range(50):
+        rows.append(("2024-01-05 00:00:%02d" % (i % 60), 1, eid, "shift", 0.0)); eid += 1
+        rows.append(("2024-01-25 00:00:%02d" % (i % 60), 1, eid, "shift", 1.0)); eid += 1
+    # type 'same': identical halves -> W1 = 0
+    for i in range(50):
+        rows.append(("2024-01-05 01:00:%02d" % (i % 60), 1, eid, "same", float(i % 5))); eid += 1
+        rows.append(("2024-01-25 01:00:%02d" % (i % 60), 1, eid, "same", float(i % 5))); eid += 1
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    sf = tempfile.mkdtemp(prefix="w1_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {r["event_type"]: r["w1_distance"] for r in QUERIES["wasserstein_value_drift"].fn(spark, sf).collect()}
+    assert abs(out["shift"] - 1.0) < 1e-6
+    assert out["same"] == 0.0
