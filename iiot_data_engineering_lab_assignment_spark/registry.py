@@ -9522,6 +9522,91 @@ def wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_histogram_by_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(LEAST(FLOOR(value / 25.0), 19) AS BIGINT) AS bucket
+      FROM events WHERE value >= 0
+    )
+    SELECT event_type, bucket,
+           CAST(bucket * 25.0 AS DOUBLE) AS bucket_lo,
+           CAST((bucket + 1) * 25.0 AS DOUBLE) AS bucket_hi,
+           COUNT(*) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of sensor values per type (the profiling /
+    dashboard surface): 20 buckets of width 25 with an overflow clamp.
+    Spark has width_bucket but DuckDB does not, so both sides compute
+    the same explicit FLOOR(v/25) — identical IEEE doubles floor
+    identically, so bucket boundaries cannot disagree.  One grouped
+    aggregate; the histogram is |types| x 20 rows regardless of input
+    size (the map side collapses everything)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(19)).cast(
+        "long"
+    )
+    return (
+        ev.filter(F.col("value") >= 0)
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * F.lit(25.0)).alias("bucket_lo"),
+            ((F.col("bucket") + F.lit(1)) * F.lit(25.0)).alias("bucket_hi"),
+            "n",
+        )
+    )
+
+
+@register(
+    "modal_event_type_per_user",
+    """
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ), ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM cnt
+    )
+    SELECT user_id, event_type AS modal_type, n AS n_events
+    FROM ranked WHERE rk = 1
+    """,
+)
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode with a DETERMINISTIC tiebreak: each user's most
+    frequent event type, ties broken alphabetically — built as
+    count + ROW_NUMBER rather than the engines' mode() aggregates,
+    whose tie behavior is unspecified and engine-dependent (Spark picks
+    an arbitrary tied value).  Count aggregate and the rank window
+    share the user-keyed exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        cnt.select(
+            "user_id", "event_type", "n", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("n").alias("n_events"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

@@ -1118,3 +1118,30 @@ def test_wasserstein_known_distributions(spark):
     out = {r["event_type"]: r["w1_distance"] for r in QUERIES["wasserstein_value_drift"].fn(spark, sf).collect()}
     assert abs(out["shift"] - 1.0) < 1e-6
     assert out["same"] == 0.0
+
+
+def test_histogram_buckets_cover_all_rows_with_clamp(spark):
+    rows = QUERIES["value_histogram_by_type"].fn(spark, SF).collect()
+    total = sum(r["n"] for r in rows)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    assert total == ev.filter(F.col("value") >= 0).count()
+    for r in rows:
+        assert 0 <= r["bucket"] <= 19
+        assert r["bucket_hi"] - r["bucket_lo"] == 25.0
+    # overflow clamp: any value > 500 lands in bucket 19
+    if ev.filter(F.col("value") > 500).count() > 0:
+        assert any(r["bucket"] == 19 for r in rows)
+
+
+def test_modal_type_deterministic_tiebreak(spark):
+    import tempfile
+
+    rows = [(1, i, t, "2024-01-01 00:00:00", 1.0) for i, t in enumerate(["b", "b", "a", "a"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_s string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    sf = tempfile.mkdtemp(prefix="modal_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = QUERIES["modal_event_type_per_user"].fn(spark, sf).collect()
+    # 2-2 tie between 'a' and 'b' -> alphabetical winner 'a'
+    assert len(out) == 1 and out[0]["modal_type"] == "a" and out[0]["n_events"] == 2
