@@ -9607,6 +9607,101 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sensor_type_correlation_matrix",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*)
+               AS avg_v
+      FROM events GROUP BY 1, 2
+    ), wide AS (
+      SELECT hour,
+             MAX(CASE WHEN event_type = 'click' THEN avg_v END) AS click,
+             MAX(CASE WHEN event_type = 'error' THEN avg_v END) AS error,
+             MAX(CASE WHEN event_type = 'purchase' THEN avg_v END) AS purchase,
+             MAX(CASE WHEN event_type = 'signup' THEN avg_v END) AS signup,
+             MAX(CASE WHEN event_type = 'view' THEN avg_v END) AS view
+      FROM hourly GROUP BY hour
+    ), cors AS (
+      SELECT ROUND(corr(click, error), 6) AS c_click_error,
+             ROUND(corr(click, purchase), 6) AS c_click_purchase,
+             ROUND(corr(click, signup), 6) AS c_click_signup,
+             ROUND(corr(click, view), 6) AS c_click_view,
+             ROUND(corr(error, purchase), 6) AS c_error_purchase,
+             ROUND(corr(error, signup), 6) AS c_error_signup,
+             ROUND(corr(error, view), 6) AS c_error_view,
+             ROUND(corr(purchase, signup), 6) AS c_purchase_signup,
+             ROUND(corr(purchase, view), 6) AS c_purchase_view,
+             ROUND(corr(signup, view), 6) AS c_signup_view
+      FROM wide
+    )
+    SELECT t.pair, CASE t.pair
+             WHEN 'click|error' THEN c_click_error
+             WHEN 'click|purchase' THEN c_click_purchase
+             WHEN 'click|signup' THEN c_click_signup
+             WHEN 'click|view' THEN c_click_view
+             WHEN 'error|purchase' THEN c_error_purchase
+             WHEN 'error|signup' THEN c_error_signup
+             WHEN 'error|view' THEN c_error_view
+             WHEN 'purchase|signup' THEN c_purchase_signup
+             WHEN 'purchase|view' THEN c_purchase_view
+             WHEN 'signup|view' THEN c_signup_view END AS pearson_r
+    FROM cors CROSS JOIN (
+      SELECT unnest(['click|error', 'click|purchase', 'click|signup',
+                     'click|view', 'error|purchase', 'error|signup',
+                     'error|view', 'purchase|signup', 'purchase|view',
+                     'signup|view']) AS pair
+    ) t
+    """,
+)
+def sensor_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal correlation matrix: Pearson r between every pair of
+    sensor types' hourly-average series (do errors co-move with views?)
+    — the multivariate-monitoring surface.  Hourly means use the exact
+    decimal-sum/count form; the pivot to one column per type aligns the
+    series on the hour key so corr sees matched pairs and skips
+    NULL-hour rows; all 10 correlations come from ONE aggregate over
+    the |hours|-row wide table, then unpivot to tidy (pair, r) rows.
+    Corr one-pass stability + 6dp rounding is the stats_moments
+    precedent."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_v")
+    )
+    wide = hourly.groupBy("hour").agg(
+        *[
+            F.max(F.when(F.col("event_type") == t, F.col("avg_v"))).alias(t)
+            for t in types
+        ]
+    )
+    pairs = [
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    ]
+    # 1-row aggregate feeds 10 unpivot legs: localCheckpoint so the
+    # hourly pipeline runs once, not per leg (profiler-fix precedent)
+    cors = wide.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"c_{a}_{b}")
+            for a, b in pairs
+        ]
+    ).localCheckpoint(eager=False)
+    legs = None
+    for a, b in pairs:
+        leg = cors.select(
+            F.lit(f"{a}|{b}").alias("pair"),
+            F.col(f"c_{a}_{b}").alias("pearson_r"),
+        )
+        legs = leg if legs is None else legs.unionAll(leg)
+    return legs
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

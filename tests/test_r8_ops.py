@@ -1145,3 +1145,28 @@ def test_modal_type_deterministic_tiebreak(spark):
     out = QUERIES["modal_event_type_per_user"].fn(spark, sf).collect()
     # 2-2 tie between 'a' and 'b' -> alphabetical winner 'a'
     assert len(out) == 1 and out[0]["modal_type"] == "a" and out[0]["n_events"] == 2
+
+
+def test_correlation_matrix_self_consistency(spark):
+    """Perfectly co-moving planted series -> r = 1; anti-moving -> -1."""
+    import tempfile
+
+    rows = []
+    eid = 0
+    for h in range(24):
+        base = float(h)
+        for _ in range(2):  # two readings per hour per type
+            rows.append(("2024-01-01 %02d:00:00" % h, 1, eid, "click", base)); eid += 1
+            rows.append(("2024-01-01 %02d:10:00" % h, 1, eid, "view", 2.0 * base)); eid += 1
+            rows.append(("2024-01-01 %02d:20:00" % h, 1, eid, "error", 23.0 - base)); eid += 1
+    df = spark.createDataFrame(
+        rows, "ts_s string, user_id long, event_id long, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    sf = tempfile.mkdtemp(prefix="corrm_")
+    df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    out = {r["pair"]: r["pearson_r"] for r in QUERIES["sensor_type_correlation_matrix"].fn(spark, sf).collect()}
+    assert out["click|view"] == 1.0
+    assert out["click|error"] == -1.0
+    assert out["error|view"] == -1.0
+    # pairs with a type absent from the fixture correlate over no rows -> NULL
+    assert out["click|purchase"] is None
