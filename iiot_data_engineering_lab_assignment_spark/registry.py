@@ -9702,6 +9702,85 @@ def sensor_type_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFram
     return legs
 
 
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey))
+             AS n_childless
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_nationkey = n.n_nationkey))
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the three FK chains: orphan
+    children (FK points nowhere) and childless parents per
+    relationship — the warehouse health check that runs after every
+    load (dq_rule_violations covers row-level rules; this covers the
+    RELATIONAL invariants).  Each count is a LEFT ANTI join — Spark's
+    null-safe existence form that broadcasts the smaller key set; six
+    anti-joins over key columns only (column pruning keeps the scans
+    narrow)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def count_anti(left, right, lk, rk):
+        return left.join(
+            right, F.col(lk) == F.col(rk), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    rows = [
+        (
+            "lineitem->orders",
+            count_anti(li, o, "l_orderkey", "o_orderkey"),
+            count_anti(o, li, "o_orderkey", "l_orderkey"),
+        ),
+        (
+            "orders->customer",
+            count_anti(o, c, "o_custkey", "c_custkey"),
+            count_anti(c, o, "c_custkey", "o_custkey"),
+        ),
+        (
+            "customer->nation",
+            count_anti(c, n, "c_nationkey", "n_nationkey"),
+            count_anti(n, c, "n_nationkey", "c_nationkey"),
+        ),
+    ]
+    legs = None
+    for fk, orphans, childless in rows:
+        leg = orphans.crossJoin(
+            childless.select(F.col("n").alias("n2"))
+        ).select(
+            F.lit(fk).alias("fk"),
+            F.col("n").alias("n_orphans"),
+            F.col("n2").alias("n_childless"),
+        )
+        legs = leg if legs is None else legs.unionAll(leg)
+    return legs
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

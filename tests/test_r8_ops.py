@@ -1170,3 +1170,42 @@ def test_correlation_matrix_self_consistency(spark):
     assert out["error|view"] == -1.0
     # pairs with a type absent from the fixture correlate over no rows -> NULL
     assert out["click|purchase"] is None
+
+
+def test_ri_audit_detects_planted_orphans(spark):
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="ri_")
+    spark.createDataFrame(
+        [(1, 1), (2, 1), (99, 1)], "l_orderkey long, l_partkey long"
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "1 AS l_suppkey", "1 AS l_linenumber",
+        "1.0 AS l_quantity", "1.0 AS l_extendedprice", "0.0 AS l_discount",
+        "0.0 AS l_tax", "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "TIMESTAMP '2024-01-01' AS l_shipdate",
+    ).write.mode("overwrite").parquet(f"{sf}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 77)], "o_orderkey long, o_custkey long"
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "'F' AS o_orderstatus",
+        "1.0 AS o_totalprice", "TIMESTAMP '2024-01-01' AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 0)], "c_custkey long, c_nationkey long"
+    ).selectExpr(
+        "c_custkey", "'x' AS c_name", "'a' AS c_address", "c_nationkey",
+        "'p' AS c_phone", "1.0 AS c_acctbal", "'m' AS c_mktsegment",
+    ).write.mode("overwrite").parquet(f"{sf}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "N0", 0)], "n_nationkey long, n_name string, n_regionkey long"
+    ).write.mode("overwrite").parquet(f"{sf}/nation.parquet")
+    out = {r["fk"]: r for r in QUERIES["referential_integrity_audit"].fn(spark, sf).collect()}
+    # lineitem 99 is an orphan; order 3 is childless AND points at
+    # missing customer 77; customer 10 and nation 0 are consistent
+    assert out["lineitem->orders"]["n_orphans"] == 1
+    assert out["lineitem->orders"]["n_childless"] == 1
+    assert out["orders->customer"]["n_orphans"] == 1
+    assert out["orders->customer"]["n_childless"] == 0
+    assert out["customer->nation"]["n_orphans"] == 0
+    assert out["customer->nation"]["n_childless"] == 0
