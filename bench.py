@@ -117,6 +117,12 @@ EXTENDED = [
     "gini_revenue_by_nation",
     "zipf_term_slope",
     "pareto_abc_parts",
+    # round-8 closing wave: distribution drift, segmentation, rules,
+    # interval backlog
+    "wasserstein_value_drift",
+    "rfm_segmentation",
+    "association_rules_parts",
+    "open_order_backlog_daily",
 ]
 
 
