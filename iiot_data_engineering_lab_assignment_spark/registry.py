@@ -8043,7 +8043,11 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT first so multi-lineitem part repeats within an order do
     not inflate support counts."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # self-join otherwise scans twice
+    )
     a = items.alias("a")
     b = items.select(
         F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("part_b")
@@ -8389,8 +8393,12 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    # rev feeds four legs (span calibration, buckets, cum join, total);
+    # localCheckpoint so lineitem aggregates once (review catch)
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r"))
+        .localCheckpoint(eager=False)
     )
     mx, n = rev.agg(F.max(F.col("r").cast("double")), F.count(F.lit(1))).first()
     span = max(0.01, float(mx or 1.0) / max(1, _math.isqrt(int(n or 1))))
@@ -8796,16 +8804,24 @@ def top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
              o_orderpriority AS priority,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS revenue
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       FROM orders GROUP BY 1, 2
+    ), lagged AS (
+      SELECT month, priority, rev, LAG(rev) OVER w AS prev
+      FROM monthly
+      WINDOW w AS (PARTITION BY priority ORDER BY month)
     )
-    SELECT month, priority, revenue,
-           ROUND(CASE WHEN LAG(revenue) OVER w > 0
-                      THEN (revenue - LAG(revenue) OVER w)
-                           / LAG(revenue) OVER w END, 6) AS mom_growth
-    FROM monthly
-    WINDOW w AS (PARTITION BY priority ORDER BY month)
+    SELECT month, priority, CAST(rev AS DOUBLE) AS revenue,
+           CASE WHEN prev > 0 THEN
+             CAST(CASE WHEN rev >= prev
+               THEN (2000000 * CAST((rev - prev) * 100 AS BIGINT)
+                     + CAST(prev * 100 AS BIGINT))
+                    // (2 * CAST(prev * 100 AS BIGINT))
+               ELSE -((2000000 * CAST((prev - rev) * 100 AS BIGINT)
+                       + CAST(prev * 100 AS BIGINT))
+                      // (2 * CAST(prev * 100 AS BIGINT)))
+             END AS DOUBLE) / 1000000.0 END AS mom_growth
+    FROM lagged
     """,
 )
 def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8822,19 +8838,31 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
         F.col("o_orderpriority").alias("priority"),
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("revenue")
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
     )
     w = Window.partitionBy("priority").orderBy("month")
-    prev = F.lag("revenue").over(w)
-    return monthly.select(
+    lagged = monthly.select(
+        "month", "priority", "rev", F.lag("rev").over(w).alias("prev")
+    )
+    # sign-safe exact half-up at 6dp on the cent-integer ratio (the
+    # boundary-proofing policy; envelope: |monthly revenue| < ~$46B
+    # keeps 2e6 * cents inside BIGINT)
+    growth = F.expr(
+        "CASE WHEN prev > 0 THEN"
+        " CAST(CASE WHEN rev >= prev"
+        "  THEN (2000000 * CAST((rev - prev) * 100 AS BIGINT)"
+        "        + CAST(prev * 100 AS BIGINT))"
+        "       DIV (2 * CAST(prev * 100 AS BIGINT))"
+        "  ELSE -((2000000 * CAST((prev - rev) * 100 AS BIGINT)"
+        "          + CAST(prev * 100 AS BIGINT))"
+        "         DIV (2 * CAST(prev * 100 AS BIGINT)))"
+        " END AS DOUBLE) / 1000000.0 END"
+    )
+    return lagged.select(
         "month",
         "priority",
-        "revenue",
-        F.round(
-            F.when(prev > 0, (F.col("revenue") - prev) / prev), 6
-        ).alias("mom_growth"),
+        F.col("rev").cast("double").alias("revenue"),
+        growth.alias("mom_growth"),
     )
 
 
@@ -8973,7 +9001,8 @@ def exact_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey,
            COUNT(*) AS n_shipments,
-           ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS avg_latency_days,
+           CAST((2000000 * SUM(days) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+             / 1000000.0 AS avg_latency_days,
            MAX(days) AS worst_days
     FROM lat GROUP BY l_suppkey
     HAVING COUNT(*) >= 5
@@ -8999,8 +9028,9 @@ def ship_latency_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat.groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_shipments"),
-            F.round(
-                F.sum("days").cast("double") / F.count(F.lit(1)), 6
+            F.expr(
+                "CAST((2000000 * sum(days) + count(1)) DIV (2 * count(1))"
+                " AS DOUBLE) / 1000000.0"
             ).alias("avg_latency_days"),
             F.max("days").alias("worst_days"),
         )
@@ -9085,7 +9115,7 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_conversion_by_depth",
     """
     WITH tl AS (
-      SELECT user_id, event_type,
+      SELECT user_id, event_type, event_id,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
              CASE WHEN LAG(epoch_us(CAST(ts AS TIMESTAMP)))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -9098,7 +9128,7 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sess AS (
       SELECT user_id, event_type,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS session_seq
       FROM tl
@@ -9127,10 +9157,10 @@ def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions containing a purchase, bucket by event count (10+ capped)
     and emit the conversion rate per depth — the funnel-health view
     product teams read weekly.  Same single per-user exchange as
-    gap_sessionization; the depth table is <=10 rows.  Note the session
-    ordering ties session_seq to (us) here: ts ties collapse into the
-    same running sum either way because new_s is 0 for zero-gap
-    neighbors."""
+    gap_sessionization; the depth table is <=10 rows; the running sum
+    carries the (us, event_id) tiebreak so timestamp ties cannot
+    reorder session assignment (review catch — the first form ordered
+    by us alone)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -9139,6 +9169,7 @@ def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tl = ev.select(
         "user_id",
         "event_type",
+        "event_id",
         us.alias("us"),
         F.when(
             F.lag(us).over(w).isNull()
@@ -9148,7 +9179,7 @@ def session_conversion_by_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
-    w_run = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+    w_run = Window.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = tl.select(

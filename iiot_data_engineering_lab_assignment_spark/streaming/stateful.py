@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "cusum_alarm", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA"]
+__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "cusum_alarm", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA", "CUSUM_ALARM_SCHEMA", "CUSUM_STATE_SCHEMA"]
 
 ANOMALY_SCHEMA = StructType(
     [
@@ -477,8 +477,13 @@ def cusum_alarm(
                 out, columns=["key", "event_time", "cusum", "n_since_reset"]
             )
 
+    # key casts to STRING to honor the generic key_col contract — the
+    # output schema declares StringType, and a long key would otherwise
+    # fail Arrow conversion on the first non-empty batch (review catch)
     grouped = readings.selectExpr(
-        f"{key_col} AS key", f"{time_col} AS event_time", f"{value_col} AS value"
+        f"CAST({key_col} AS STRING) AS key",
+        f"{time_col} AS event_time",
+        f"{value_col} AS value",
     ).groupBy("key")
     return grouped.applyInPandasWithState(
         update,

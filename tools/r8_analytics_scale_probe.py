@@ -54,7 +54,7 @@ def synth_events(spark, n_rows: int, n_users: int):
     hash-mixed ids, timestamps striding 1s with per-user jitter."""
     df = spark.range(n_rows).select(
         F.col("id").alias("event_id"),
-        (F.xxhash64("id") % n_users).alias("user_id"),
+        F.pmod(F.xxhash64("id"), n_users).alias("user_id"),
         F.timestamp_seconds(
             F.lit(1_704_067_200) + (F.col("id") % 2_592_000)
         ).alias("ts"),
