@@ -9077,7 +9077,11 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (three-way self-join would otherwise re-derive it from lineitem
     three times)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # edge-build self-join scans twice
+    )
     b = items.select(
         F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("pb")
     )
