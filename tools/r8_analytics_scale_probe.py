@@ -75,21 +75,24 @@ def probe_timeline_family(spark, n_rows: int, n_users: int) -> dict:
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy("user_id")
 
-    # CUSUM (exact decimal decomposition)
-    v = F.col("value").cast("decimal(14,4)")
+    # CUSUM (shipped hybrid: bigint window sums, decimal wide multiply)
+    v4 = F.expr("CAST(ROUND(value * 10000) AS BIGINT)")
     base = ev.select(
         "user_id",
         "event_id",
         F.row_number().over(w_ord).alias("k"),
         F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum(v).over(w_all).alias("sn"),
-        F.sum(v).over(w_run).alias("cum"),
+        F.sum(v4).over(w_all).alias("sn"),
+        F.sum(v4).over(w_run).alias("cum"),
     )
     rk = base.select(
         "user_id",
         "event_id",
         "n",
-        ((F.col("n") * F.col("cum")) - (F.col("k") * F.col("sn"))).alias("rk"),
+        (
+            (F.col("n") * F.col("cum").cast("decimal(28,0)"))
+            - (F.col("k") * F.col("sn").cast("decimal(28,0)"))
+        ).alias("rk"),
         "k",
     )
     w_min = Window.partitionBy("user_id").orderBy("k").rowsBetween(
