@@ -123,6 +123,13 @@ EXTENDED = [
     "rfm_segmentation",
     "association_rules_parts",
     "open_order_backlog_daily",
+    # round-9: the scale-safe rewrites (interval-sweep rolling uniques,
+    # segmented-LAG autocorr, src-pinned PageRank) and the repaired
+    # canonicalizer-safe multimodal feature unpivot
+    "rolling_distinct_users",
+    "autocorr_lag1_per_type",
+    "pagerank_supplier_customer",
+    "multimodal_features",
 ]
 
 
@@ -208,6 +215,40 @@ def main() -> None:
     ext_timings, ext_reps = measure(EXTENDED)
 
     total = round(sum(timings.values()), 3)
+
+    # Regression guard (r8 verdict ask #9): compare the frozen 19-query
+    # headline set against a reference record and flag any query >25%
+    # slower.  The reference defaults to the repo's last committed
+    # same-machine run (BENCH_local_r08.json); override with
+    # SPARK_GRAFT_BENCH_BASELINE.  Flags go to stderr AND into the full
+    # record — stdout's compact last line stays driver-contract-only.
+    # Cross-SESSION sandbox noise is a documented +-25-50% band, so a
+    # flag from a stale baseline is a prompt to re-baseline in the same
+    # session, not necessarily a regression.
+    regressions: dict[str, float] = {}
+    base_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r08.json"
+        ),
+    )
+    try:
+        with open(base_path) as f:
+            base_q = json.load(f).get("queries", {})
+        for name, t in timings.items():
+            b = base_q.get(name)
+            if b and b > 0 and t > 1.25 * b:
+                regressions[name] = round(t / b, 2)
+        if regressions:
+            print(
+                f"BENCH GUARD: {len(regressions)} headline quer"
+                f"{'y' if len(regressions) == 1 else 'ies'} >25% over "
+                f"{os.path.basename(base_path)}: {regressions}",
+                file=sys.stderr,
+                flush=True,
+            )
+    except (OSError, ValueError):
+        pass  # no baseline available: guard is a no-op
     summary = json.dumps(
         {
             "metric": "headline_total",
@@ -218,6 +259,7 @@ def main() -> None:
             "extended": ext_timings,
             "extended_reps": ext_reps,
             "extended_total": round(sum(ext_timings.values()), 3),
+            "regressions_vs_baseline": regressions,
             "sf": sf,
         }
     )

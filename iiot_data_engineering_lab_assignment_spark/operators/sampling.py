@@ -197,7 +197,11 @@ def weighted_sample_per_group(
         raise ValueError(f"k must be >= 1, got {k}")
     u = hash_uniform(key_col, salt)
     w = F.col(weight_col).cast("double")
-    es_key = F.when((w > 0) & ~F.isnan(w), F.log(u) / w)
+    # u > 0 guard: on the ~2^-52/row zero-hash draw, Spark's log(0) is
+    # NULL (row filtered) while an oracle's ln(0) is -inf (row kept and
+    # still rankable in an under-full group) — drop it identically on
+    # both sides (oracles mirror the u > 0 predicate)
+    es_key = F.when((w > 0) & ~F.isnan(w) & (u > 0), F.log(u) / w)
     keyed = df.withColumn("_es_key", es_key).filter(F.col("_es_key").isNotNull())
     order = [F.col("_es_key").desc(), F.col(key_col)]
     if not group_cols:

@@ -24,7 +24,6 @@ volumes use the RocksDB state store provider; the logic is unchanged.
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 import uuid
 from pathlib import Path
@@ -416,11 +415,20 @@ def run_stream_stream_left_join(
     delays outer nulls by up to (watermark delay + range span), so the
     stream's raw output withholds nulls for purchases near the stream
     tail.  Both the stream result and the batch oracle therefore filter
-    to purchases older than ``max(ts) - closed_margin`` (margin > range
-    span + watermark delay): below that boundary every null is provable
-    and flushed by availableNow's final no-data micro-batch, so the two
-    sides agree row-for-row.  Matched rows emit immediately and carry no
-    such subtlety; the same filter applies to both sides symmetrically.
+    to purchases older than
+    ``least(max purchase_ts, max click_ts) - closed_margin`` (margin >
+    range span + watermark delay): null flushing is governed by the
+    GLOBAL watermark — the MIN over both streams' event-time maxima
+    (multipleWatermarkPolicy=min) — so the cutoff must anchor on the
+    SLOWER stream, exactly as the FULL OUTER form does (r8 advice: the
+    earlier ``max(ts)``-over-all-events anchor only held because the
+    fixture's click stream happens to end well before its purchase
+    stream; clicks ending later would have left sub-cutoff purchases
+    with unflushed NULL rows).  Below the least()-anchored boundary
+    every null is provable and flushed by availableNow's final no-data
+    micro-batch, so the two sides agree row-for-row.  Matched rows emit
+    immediately and carry no such subtlety; the same filter applies to
+    both sides symmetrically.
     """
     stream = events_file_stream(spark, sf_dir)
     p = (
@@ -447,7 +455,15 @@ def run_stream_stream_left_join(
 
     cutoff = (
         load_table(spark, sf_dir, "events")
-        .agg((F.max("ts") - F.expr(f"INTERVAL {closed_margin}")).alias("c"))
+        .agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                )
+                - F.expr(f"INTERVAL {closed_margin}")
+            ).alias("c")
+        )
         .collect()[0]["c"]
     )
     return result.filter(F.col("purchase_ts") < F.lit(cutoff))
@@ -829,15 +845,34 @@ def incremental_dedup_stream_writer(
             if stamps:
                 for name_ in stamps:
                     (marker_dir / name_).unlink(missing_ok=True)
-                wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
-                    "file:"
+                # r9 (r8 advice): resolve + delete orphaned table dirs via
+                # the Hadoop FS API, not string-munging warehouse.dir —
+                # correct on hdfs:/s3a:/percent-encoded file URIs — and
+                # fail LOUDLY when cleanup is impossible, because the heal
+                # that follows would otherwise die on
+                # LOCATION_ALREADY_EXISTS with no hint at the cause
+                jvm = spark.sparkContext._jvm
+                wh = jvm.org.apache.hadoop.fs.Path(
+                    spark.conf.get("spark.sql.warehouse.dir")
+                )
+                fs = wh.getFileSystem(
+                    spark.sparkContext._jsc.hadoopConfiguration()
                 )
                 for _, (table, _key) in bucketed_names.items():
                     db, _, tbl = table.rpartition(".")
                     loc = (
-                        Path(wh) / f"{db}.db" / tbl if db else Path(wh) / tbl
+                        jvm.org.apache.hadoop.fs.Path(wh, f"{db}.db/{tbl}")
+                        if db
+                        else jvm.org.apache.hadoop.fs.Path(wh, tbl)
                     )
-                    shutil.rmtree(loc, ignore_errors=True)
+                    if fs.exists(loc) and not fs.delete(loc, True):
+                        raise RuntimeError(
+                            f"orphaned warehouse dir {loc} for catalog-less "
+                            f"table {table!r} could not be removed; the "
+                            "store heal's saveAsTable would fail with "
+                            "LOCATION_ALREADY_EXISTS — remove it manually "
+                            "or use a distinct bucketed_store_prefix"
+                        )
             return False
         # a store partition is legitimate iff its history partition is on
         # disk — including the CURRENT batch id, but only when a crashed
