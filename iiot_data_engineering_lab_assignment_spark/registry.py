@@ -7826,11 +7826,18 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("delta"),
         "event_id",
     )
-    allr = starts.unionByName(ends).unionByName(qs).withColumn(
-        # day-quantum buckets: per-(type,bucket) partitions are one day of
-        # one type; the offsets table is |types| x |days| summary rows
-        "bucket",
-        F.floor(F.col("t") / F.lit(D)),
+    allr = (
+        starts.unionByName(ends)
+        .unionByName(qs)
+        .withColumn(
+            # day-quantum buckets: per-(type,bucket) partitions are one day
+            # of one type; the offsets table is |types| x |days| summary rows
+            "bucket",
+            F.floor(F.col("t") / F.lit(D)),
+        )
+        # feeds both the offsets aggregate and the interior window:
+        # pin it so the per-user interval-merge lineage runs once
+        .localCheckpoint(eager=False)
     )
     wb = (
         Window.partitionBy("event_type")
