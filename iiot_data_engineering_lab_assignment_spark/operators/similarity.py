@@ -30,6 +30,9 @@ __all__ = [
     "kmeans_train",
     "semantic_dedup_pairs",
     "incremental_semantic_dedup",
+    "pq_codebook",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -820,4 +823,150 @@ def incremental_semantic_dedup(
         i.groupBy("cell")
         .cogroup(h.groupBy("cell"))
         .applyInPandas(cell_cross, out_schema)
+    )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    n_codes: int = 8,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Fixed product-quantization codebook: the d-dim space splits into
+    ``m`` contiguous subspaces and each subspace's code vectors are the
+    corresponding SLICES of the ``n_codes`` lowest-id stored vectors —
+    the same pin-the-seeds convention as ``kmeans_assignments_fixed``
+    (data-derived, deterministic, and reproducible by a SQL oracle via
+    list slicing; a production trainer would Lloyd-iterate each subspace
+    with :func:`kmeans_train`, which changes the codebook, not the
+    encode/ADC plumbing below).
+
+    Returns {sub_idx: [(code, subvector), ...]} — a k x d parameter
+    object (collects n_codes rows, never data)."""
+    rows = sorted(
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(id_col, emb_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"codebook needs vectors with {id_col} < {n_codes}; found {len(rows)}"
+        )
+    d = len(rows[0][emb_col])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible into {m} subspaces")
+    dsub = d // m
+    return {
+        s: [
+            (int(r[id_col]), [float(x) for x in r[emb_col]][s * dsub : (s + 1) * dsub])
+            for r in rows
+        ]
+        for s in range(m)
+    }
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011, the IVF-PQ storage
+    tier): each vector's m subvectors are independently assigned to
+    their nearest subspace code vector, compressing d floats to m small
+    codes — the 10^9-vector memory plan (64 float32 dims -> 4 bytes at
+    m=4).  One scan, codebook broadcast as literals (the parameter-
+    server pattern shared with :func:`assign_cells`); argmin per
+    subspace via array_min over (d2, code) structs with the
+    deterministic lowest-code tiebreak.  Output is the long form
+    (id, sub_idx, code) so a SQL oracle can value-check every code.
+    """
+    e = _as_double(F.col(emb_col))
+    per_sub = []
+    for s, cents in sorted(codebook.items()):
+        dsub = len(cents[0][1])
+        v = F.slice(e, s * dsub + 1, dsub)
+        vnorm = dot(v, v)
+        entries = []
+        for code, c in cents:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            cnorm = float(sum(x * x for x in c))
+            d2 = vnorm - F.lit(2.0) * dot(v, carr) + F.lit(cnorm)
+            entries.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
+        best = F.array_min(F.array(*entries))
+        per_sub.append(
+            F.struct(F.lit(s).alias("sub_idx"), best["code"].alias("code"))
+        )
+    return embeddings.select(
+        F.col(id_col), F.explode(F.array(*per_sub)).alias("sc")
+    ).select(
+        id_col,
+        F.col("sc.sub_idx").cast("int").alias("sub_idx"),
+        F.col("sc.code").cast("int").alias("code"),
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the FAISS serving
+    path: the (uncompressed) query precomputes one m x n_codes distance
+    lookup table, and every stored vector's approximate distance is m
+    table lookups + adds, never a d-element fold per pair.  Here the
+    lookup table is itself a Spark plan over the n_codes codebook rows
+    (so both engines derive its doubles from the identical float32
+    slices), broadcast into the codes join; per-vector distances sum in
+    a FIXED subspace order (conditional sums, not a shuffle-order SUM)
+    so the oracle reproduces every bit.  Ascending (distance, id) top-k.
+    """
+    codes = pq_encode(embeddings, codebook, id_col, emb_col)
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
+    )
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    q = [float(x) for x in qrow[emb_col]]
+    m = len(codebook)
+    dsub = len(q) // m
+    n_codes = len(codebook[0])
+    e = _as_double(F.col(emb_col))
+    entries = []
+    for s in range(m):
+        qs = F.array(*[F.lit(x) for x in q[s * dsub : (s + 1) * dsub]])
+        cv = F.slice(e, s * dsub + 1, dsub)
+        entries.append(
+            F.struct(
+                F.lit(s).alias("sub_idx"),
+                (dot(qs, qs) - F.lit(2.0) * dot(qs, cv) + dot(cv, cv)).alias(
+                    "dist"
+                ),
+            )
+        )
+    lut = (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).cast("int").alias("code"), F.explode(F.array(*entries)).alias("e"))
+        .select("code", F.col("e.sub_idx").cast("int").alias("sub_idx"), F.col("e.dist").alias("dist"))
+    )
+    part = [
+        F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)
+    ]
+    adc_raw = part[0]
+    for p in part[1:]:
+        adc_raw = adc_raw + p
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy(id_col)
+        .agg(adc_raw.alias("adc_raw"))
+    )
+    return (
+        scored.orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc_raw", 6).alias("adc"))
     )

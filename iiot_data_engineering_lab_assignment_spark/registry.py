@@ -10121,6 +10121,249 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legs
 
 
+_PQ_CTES = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), subs AS (
+      SELECT unnest(generate_series(0, 3)) AS sub_idx
+    ), vsub AS (
+      SELECT e.vec_id, s.sub_idx,
+             e.ev[(s.sub_idx * 16 + 1):(s.sub_idx * 16 + 16)] AS v
+      FROM e CROSS JOIN subs s
+    ), cents AS (
+      SELECT vec_id AS code, sub_idx, v AS cv FROM vsub WHERE vec_id < 8
+    ), codes AS (
+      SELECT vec_id, sub_idx, code FROM (
+        SELECT v.vec_id, v.sub_idx, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN cents c USING (sub_idx))
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "pq_codes_fixed",
+    _PQ_CTES
+    + """
+    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code
+    FROM codes
+    """,
+)
+def pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: product-quantization encode (Jegou et al. 2011) — the
+    compression tier of the 10^9-vector ANN stack (64 float32 dims ->
+    4 one-byte codes at m=4 subspaces): each subvector snaps to its
+    nearest subspace code vector.  The codebook is PINNED to the slices
+    of vec_id 0..7 (the kmeans_assignments_fixed convention) so every
+    code is deterministic arithmetic both engines reproduce: argmin of
+    |v|^2 - 2 v.c + |c|^2 per subspace with a (d2, code) tiebreak,
+    sequential-fold dots == list_dot_product, DuckDB list slicing ==
+    F.slice.  One scan, codebook as broadcast literals, long-form
+    (id, sub_idx, code) output so the oracle value-checks every code."""
+    from .operators.similarity import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebook(emb, n_codes=8, m=4))
+
+
+@register(
+    "pq_adc_topk",
+    _PQ_CTES
+    + """, q AS (
+      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(q.qv, q.qv)
+             - 2.0 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM cents c JOIN q USING (sub_idx)
+    ), scored AS (
+      SELECT codes.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes JOIN lut l USING (sub_idx, code)
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, ROUND(adc_raw, 6) AS adc
+    FROM scored ORDER BY adc_raw, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: asymmetric distance computation over the PQ codes — the
+    FAISS IVF-PQ serving path: the uncompressed query precomputes one
+    m x n_codes lookup table and every stored vector costs m lookups +
+    adds, never a d-element fold.  The lookup table is itself a tiny
+    Spark plan over the 8 codebook rows (both engines derive its
+    doubles from the identical float32 slices), broadcast into the
+    codes join; the per-vector total sums in FIXED subspace order
+    (conditional sums, not shuffle-order SUM), so ADC distances are
+    bit-reproducible and the ascending (distance, id) top-10 value-hash
+    checks end to end.  Scale: codes table is the only corpus-sized
+    input — 4 bytes/vector scanned, corpus never re-folded per query."""
+    from .operators.similarity import pq_adc_topk, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, pq_codebook(emb, n_codes=8, m=4), query_id=0, k=10)
+
+
+@register(
+    "countmin_heavy_users",
+    """
+    WITH js AS (
+      SELECT unnest(generate_series(0, 3)) AS j
+    ), tagged AS (
+      SELECT j,
+             CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                                       || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS b
+      FROM events CROSS JOIN js
+    ), counters AS (
+      SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM tagged GROUP BY 1, 2
+    ), exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY 1
+    ), probes AS (
+      SELECT e.user_id, js.j,
+             CAST(('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || ':'
+                                       || CAST(e.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS b
+      FROM exact e CROSS JOIN js WHERE e.user_id < 20
+    ), est AS (
+      SELECT p.user_id, MIN(c.c) AS cms_est
+      FROM probes p JOIN counters c USING (j, b) GROUP BY 1
+    )
+    SELECT e.user_id, e.exact_count, est.cms_est,
+           est.cms_est >= e.exact_count AS never_underestimates
+    FROM exact e JOIN est USING (user_id)
+    WHERE e.user_id < 20
+    """,
+)
+def countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: Count-Min sketch (Cormode & Muthukrishnan 2005) built
+    Spark-native — the fixed-memory frequency sketch you stream 100 TB
+    through when even a (key, count) aggregate is too wide: d=4 md5-seeded
+    hash rows x w=64 buckets = 256 counters regardless of key cardinality.
+    Build = one explode(4 bucket tags) + one tiny groupBy; point queries
+    = min over the d counters a key hashes to.  Every hash is md5-derived
+    (the repo's deterministic-randomness convention), so the oracle
+    rebuilds the SAME sketch and the estimates value-hash exactly —
+    alongside the CMS THEOREM the sketch must satisfy: estimates never
+    underestimate (emitted as a boolean).  Probed on the 20 lowest user
+    ids against their exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def bucket(j: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        )
+
+    tags = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), bucket(j, F.col("user_id")).alias("b"))
+            for j in range(4)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(tags).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .filter(F.col("user_id") < 20)
+    )
+    probes = exact.select("user_id", F.explode(tags).alias("h")).select(
+        "user_id", F.col("h.j").alias("j"), F.col("h.b").alias("b")
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_count")).alias("never_underestimates"),
+    )
+
+
+@register(
+    "debounce_alerts",
+    """
+    WITH RECURSIVE ordered AS (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'error'
+    ), walk AS (
+      SELECT user_id, event_id, ts, rn, ts AS last_kept, TRUE AS kept
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.ts, o.rn,
+             CASE WHEN o.ts >= w.last_kept + INTERVAL '6 hours'
+                  THEN o.ts ELSE w.last_kept END,
+             o.ts >= w.last_kept + INTERVAL '6 hours'
+      FROM ordered o JOIN walk w
+        ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, ts AS alert_ts FROM walk WHERE kept
+    """,
+)
+def debounce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: per-key alert debouncing — emit an error alert only if
+    >= 6 hours have passed since the last EMITTED alert for that user
+    (the paging/alert-fatigue suppressor every monitoring pipeline
+    needs).  The kept set is genuinely recursive (each decision depends
+    on the previous KEPT timestamp, not the previous row), so no window
+    frame expresses it: Spark runs it as one applyInPandas linear scan
+    per user — the sanctioned custom-stateful extension path
+    (SURVEY.md section 2.9), Arrow-batched, partitioned by the
+    high-cardinality user key, O(events/user) memory — while the DuckDB
+    oracle walks the same recurrence as a recursive CTE (depth = max
+    alerts/user), making this rare shape value-hash-checkable anyway.
+    The streaming twin is the applyInPandasWithState pattern of
+    streaming/stateful.py with last_kept as the state row."""
+    import pandas as pd
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "ts")
+    )
+
+    def _debounce(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        keep, last = [], None
+        cooldown = pd.Timedelta(hours=6)
+        for t in pdf["ts"]:
+            if last is None or t >= last + cooldown:
+                keep.append(True)
+                last = t
+            else:
+                keep.append(False)
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        return out.rename(columns={"ts": "alert_ts"})
+
+    return ev.groupBy("user_id").applyInPandas(
+        _debounce, "user_id long, event_id long, alert_ts timestamp"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

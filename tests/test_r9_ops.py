@@ -1,0 +1,213 @@
+"""Round-9 operators: product quantization (encode + ADC serving),
+Count-Min sketch, per-key alert debouncing, and the scale-safe rewrites
+of rolling_distinct_users / autocorr_lag1_per_type (result-equivalence
+against the naive single-window forms they replaced)."""
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+    dot,
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
+)
+from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+
+
+def test_pq_codebook_shape(embeddings):
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    assert sorted(book) == [0, 1, 2, 3]
+    for s, cents in book.items():
+        assert [c for c, _ in cents] == list(range(8))
+        assert all(len(v) == 16 for _, v in cents)
+
+
+def test_pq_codebook_rejects_bad_split(embeddings):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(embeddings, n_codes=8, m=7)
+
+
+def test_pq_encode_codes_in_range_and_complete(embeddings):
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    codes = pq_encode(embeddings, book)
+    n_vecs = embeddings.count()
+    rows = codes.collect()
+    assert len(rows) == 4 * n_vecs
+    assert all(0 <= r["code"] < 8 for r in rows)
+    assert all(0 <= r["sub_idx"] < 4 for r in rows)
+
+
+def test_pq_encode_codebook_rows_self_code(embeddings):
+    """A codebook vector's subvectors are distance-0 to themselves, so
+    vec_id v < 8 must encode to code v in every subspace (unless another
+    code vector ties at 0, impossible for distinct seeds)."""
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    codes = pq_encode(embeddings, book).filter(F.col("vec_id") < 8)
+    assert all(r["code"] == r["vec_id"] for r in codes.collect())
+
+
+def test_pq_adc_approximates_exact_distance(embeddings):
+    """ADC(query, v) must approximate the true squared L2: for the top-10
+    by ADC, |adc - exact| is bounded by the quantization error scale —
+    sanity-check against brute-force exact squared distances."""
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    top = pq_adc_topk(embeddings, book, query_id=0, k=10)
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    qarr = F.array(*[F.lit(x) for x in q])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    diff = F.zip_with(e, qarr, lambda a, b: a - b)
+    exact = embeddings.select(
+        "vec_id", dot(diff, diff).alias("d2")
+    )
+    joined = {r["vec_id"]: r for r in top.join(exact, "vec_id").collect()}
+    assert len(joined) == 10
+    # query itself: exact 0, ADC = its own quantization residual
+    assert joined[0]["d2"] == pytest.approx(0.0, abs=1e-12)
+    for r in joined.values():
+        assert abs(r["adc"] - r["d2"]) < 2.0  # fixture vectors have |v| ~ 1
+
+
+def test_pq_adc_missing_query_raises(embeddings):
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    with pytest.raises(ValueError, match="not found"):
+        pq_adc_topk(embeddings, book, query_id=10**9)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_countmin_never_underestimates_and_tracks_heavy_key(spark, tmp_path):
+    """Planted distribution: one heavy user (1000 events) among 50 light
+    ones (1 each).  CMS point estimates must (a) never underestimate —
+    the sketch theorem — and (b) put the heavy key within the published
+    eps*N additive envelope (w=64 -> eps ~ e/64, N=1050)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = [(i, 7) for i in range(1000)] + [
+        (1000 + i, 100 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    df = df.select(
+        "event_id",
+        F.timestamp_micros(F.lit(0)).alias("ts"),
+        "user_id",
+        F.lit("error").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    out = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(out)
+    # the registered query reads <dir>/events.parquet
+    res = {
+        r["user_id"]: r
+        for r in QUERIES["countmin_heavy_users"].fn(spark, str(tmp_path)).collect()
+    }
+    assert res[7]["exact_count"] == 1000
+    assert all(r["never_underestimates"] for r in res.values())
+    n_total = 1050
+    eps = math.e / 64
+    assert res[7]["cms_est"] - res[7]["exact_count"] <= eps * n_total
+
+
+# ---------------------------------------------------------------------------
+# debounce
+
+
+def test_debounce_keeps_first_and_respects_cooldown(spark, tmp_path):
+    """Hand-built timeline, cooldown 6h: events at t=0h, 2h, 5h, 7h, 14h
+    for one user -> kept: 0h (first), 7h (>= 0h+6h), 14h (>= 7h+6h+1h).
+    Note 7h is kept relative to the last KEPT (0h), not the previous row
+    (5h) — the recursive property a session/gap window gets wrong."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    hours = [0, 2, 5, 7, 14]
+    rows = [
+        (i, h * 3_600_000_000, 1, "error", 1.0, "{}")
+        for i, h in enumerate(hours)
+    ]
+    # a second user whose lone event must always be kept
+    rows.append((99, 3_600_000_000, 2, "error", 1.0, "{}"))
+    # a non-error event inside a suppressed gap: must be ignored entirely
+    rows.append((50, 3 * 3_600_000_000, 1, "click", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, us long, user_id long, event_type string, value double, props string"
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        (r["user_id"], r["event_id"])
+        for r in QUERIES["debounce_alerts"].fn(spark, str(tmp_path)).collect()
+    )
+    assert got == [(1, 0), (1, 3), (1, 4), (2, 99)]
+
+
+# ---------------------------------------------------------------------------
+# scale-safe rewrites: result equivalence vs the naive window forms
+
+
+def test_rolling_distinct_users_matches_naive_window(spark, events):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    got = {
+        r["event_id"]: r["distinct_users_24h"]
+        for r in QUERIES["rolling_distinct_users"].fn(spark, SF_DIR).collect()
+    }
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    naive = {
+        r["event_id"]: r["n"]
+        for r in events.select(
+            "event_id", F.size(F.collect_set("user_id").over(w)).alias("n")
+        ).collect()
+    }
+    assert got == naive
+
+
+def test_autocorr_matches_naive_global_lag(spark, events):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["autocorr_lag1"])
+        for r in QUERIES["autocorr_lag1_per_type"].fn(spark, SF_DIR).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    naive = {
+        r["event_type"]: (r["n_pairs"], r["autocorr_lag1"])
+        for r in events.select(
+            "event_type", "value", F.lag("value").over(w).alias("prev")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("prev").alias("n_pairs"),
+            F.round(F.corr("value", "prev"), 6).alias("autocorr_lag1"),
+        )
+        .collect()
+    }
+    assert set(got) == set(naive)
+    for t in got:
+        assert got[t][0] == naive[t][0]
+        assert got[t][1] == pytest.approx(naive[t][1], abs=2e-6)
