@@ -130,6 +130,12 @@ EXTENDED = [
     "autocorr_lag1_per_type",
     "pagerank_supplier_customer",
     "multimodal_features",
+    # round-9 additions: the IVF-PQ ANN stack, Count-Min sketch,
+    # recursive alert debounce
+    "pq_codes_fixed",
+    "ivf_pq_topk",
+    "countmin_heavy_users",
+    "debounce_alerts",
 ]
 
 

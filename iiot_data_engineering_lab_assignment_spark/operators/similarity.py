@@ -33,6 +33,7 @@ __all__ = [
     "pq_codebook",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_pq_topk",
 ]
 
 
@@ -969,4 +970,116 @@ def pq_adc_topk(
         scored.orderBy(F.asc("adc_raw"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("adc_raw", 6).alias("adc"))
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    n_cells: int = 8,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The full FAISS IVF-PQ serving stack in one plan: coarse-quantizer
+    cell pruning (IVF) -> PQ asymmetric-distance shortlist (ADC) ->
+    exact re-rank of the survivors — the architecture that serves
+    10^9-vector corpora, composed from :func:`assign_cells`,
+    :func:`pq_encode` and the ADC lookup.
+
+    Deterministic/oracle-reproducible variant: the coarse centroids are
+    the full vectors of ``id < n_cells`` and the PQ codebook their
+    slices (the pinned-seed convention).  The query probes its
+    ``nprobe`` nearest cells (a k-row driver-side parameter
+    computation, same left-fold arithmetic as the SQL), only vectors in
+    those cells are ADC-scored (at real cell counts this prunes
+    ~(1 - nprobe/k) of the corpus BEFORE any distance math — the scan
+    analog of partition pruning), the best ``shortlist`` by
+    (adc, id) are re-ranked by exact squared L2, and the (d2, id)
+    top-k emits.  Only the codes table (m bytes/vector) is touched at
+    corpus scale until the final shortlist-sized exact pass."""
+    cents_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(id_col, emb_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(cents_rows) < n_cells:
+        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
+    cents = {int(r[id_col]): [float(x) for x in r[emb_col]] for r in cents_rows}
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    q = [float(x) for x in qrow[emb_col]]
+
+    def _d2(a: list[float], b: list[float]) -> float:
+        # qq - 2*qc + cc with left-fold sums == list_dot_product order
+        aa = 0.0
+        for x in a:
+            aa = aa + x * x
+        ab = 0.0
+        for x, y in zip(a, b):
+            ab = ab + x * y
+        bb = 0.0
+        for y in b:
+            bb = bb + y * y
+        return aa - 2.0 * ab + bb
+
+    probed = sorted(
+        ((_d2(q, c), cell) for cell, c in cents.items())
+    )[:nprobe]
+    probe_cells = [cell for _, cell in probed]
+
+    assigned = assign_cells(embeddings, cents, id_col, emb_col).select(
+        id_col, "cell"
+    )
+    cand = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
+    book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
+    codes = pq_encode(embeddings, book, id_col, emb_col).join(cand, id_col)
+    dsub = len(q) // m
+    e = _as_double(F.col(emb_col))
+    entries = []
+    for s in range(m):
+        qs = F.array(*[F.lit(x) for x in q[s * dsub : (s + 1) * dsub]])
+        cv = F.slice(e, s * dsub + 1, dsub)
+        entries.append(
+            F.struct(
+                F.lit(s).alias("sub_idx"),
+                (dot(qs, qs) - F.lit(2.0) * dot(qs, cv) + dot(cv, cv)).alias("dist"),
+            )
+        )
+    lut = (
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).cast("int").alias("code"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select("code", F.col("e.sub_idx").cast("int").alias("sub_idx"), F.col("e.dist").alias("dist"))
+    )
+    part = [F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)]
+    adc_raw = part[0]
+    for p in part[1:]:
+        adc_raw = adc_raw + p
+    short = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy(id_col)
+        .agg(adc_raw.alias("adc_raw"))
+        .orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qarr = F.array(*[F.lit(x) for x in q])
+    exact = (
+        short.join(embeddings.select(id_col, emb_col), id_col)
+        .select(
+            id_col,
+            (dot(e, e) - F.lit(2.0) * dot(e, qarr) + dot(qarr, qarr)).alias("d2_raw"),
+        )
+    )
+    return (
+        exact.orderBy(F.asc("d2_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("d2_raw", 6).alias("d2"))
     )

@@ -10213,6 +10213,87 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_topk",
+    _PQ_CTES
+    + """, cellsfull AS (
+      SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM e CROSS JOIN cellsfull c)
+      WHERE rn = 1
+    ), qfull AS (
+      SELECT ev AS qv FROM e WHERE vec_id = 0
+    ), probed AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (ORDER BY
+                 list_dot_product(q.qv, q.qv)
+                 - 2.0 * list_dot_product(q.qv, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM cellsfull c CROSS JOIN qfull q)
+      WHERE rn <= 3
+    ), q AS (
+      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(q.qv, q.qv)
+             - 2.0 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM cents c JOIN q USING (sub_idx)
+    ), scored AS (
+      SELECT codes.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes
+      JOIN assign a ON a.vec_id = codes.vec_id
+      JOIN probed p ON p.cell = a.cell
+      JOIN lut l USING (sub_idx, code)
+      GROUP BY codes.vec_id
+    ), short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_raw, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 50
+    ), rerank AS (
+      SELECT e.vec_id,
+             list_dot_product(e.ev, e.ev)
+             - 2.0 * list_dot_product(e.ev, q.qv)
+             + list_dot_product(q.qv, q.qv) AS d2_raw
+      FROM short JOIN e USING (vec_id) CROSS JOIN qfull q
+    )
+    SELECT vec_id, ROUND(d2_raw, 6) AS d2
+    FROM rerank ORDER BY d2_raw, vec_id LIMIT 10
+    """,
+)
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: the complete FAISS IVF-PQ serving stack in ONE plan —
+    coarse-cell pruning (IVF: vectors in the query's 3 nearest of 8
+    fixed cells), PQ asymmetric-distance shortlist (top-50 by the m=4
+    lookup-table distance over 4-byte codes), exact re-rank of the
+    survivors (true squared L2, top-10).  This is the 10^9-vector
+    architecture end to end: at real cell counts the probe prunes
+    ~(1 - nprobe/k_cells) of the corpus before any distance math, the
+    shortlist pass touches only the m-byte codes, and full vectors are
+    read for 50 rows.  Coarse centroids = full vectors of vec_id 0..7,
+    PQ codebook = their slices (the pinned-seed convention), so every
+    stage — cell argmin, probe choice, ADC sums in fixed subspace
+    order, exact re-rank — is deterministic arithmetic the oracle
+    replays; driver-side probe selection uses the same left-fold sums
+    as list_dot_product (parameter math, not data)."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, query_id=0, k=10, nprobe=3, shortlist=50)
+
+
+@register(
     "countmin_heavy_users",
     """
     WITH js AS (

@@ -30,7 +30,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "cusum_alarm", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA", "CUSUM_ALARM_SCHEMA", "CUSUM_STATE_SCHEMA"]
+__all__ = ["anomaly_detector", "sessionize", "make_sessionizer", "streaming_last_touch", "cusum_alarm", "streaming_debounce", "DEBOUNCE_SCHEMA", "DEBOUNCE_STATE_SCHEMA", "ANOMALY_SCHEMA", "STATE_SCHEMA", "SESSION_SCHEMA", "ATTRIBUTION_SCHEMA", "ATTRIBUTION_STATE_SCHEMA", "CUSUM_ALARM_SCHEMA", "CUSUM_STATE_SCHEMA"]
 
 ANOMALY_SCHEMA = StructType(
     [
@@ -489,6 +489,84 @@ def cusum_alarm(
         update,
         outputStructType=CUSUM_ALARM_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming alert debounce (cooldown relative to the last EMITTED alert)
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("alert_ts", TimestampType(), True),
+    ]
+)
+
+#: one long per key: microsecond timestamp of the last emitted alert.
+DEBOUNCE_STATE_SCHEMA = StructType(
+    [StructField("last_kept_us", LongType(), True)]
+)
+
+
+def streaming_debounce(
+    events: DataFrame,
+    cooldown_us: int = 21_600_000_000,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch ``debounce_alerts`` query (registry):
+    emit an alert only when >= cooldown has passed since the last
+    EMITTED alert for that key — the recursive keep-set no window frame
+    expresses, carried here as one long of state per user.
+
+    Within a micro-batch rows process in (ts, event_id) order, so a
+    time-ordered replay reproduces the batch recursive-CTE result
+    row-for-row (pinned by tests/test_r9_ops.py).  Across batches state
+    only moves forward — the standard carry-forward caveat; the batch
+    query is the backfill-correct form.  Callers pre-filter to the
+    alerting event type; input columns: event_id, user_id, ts."""
+    cooldown = int(cooldown_us)
+    timeout_ms = idle_timeout_ms
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        out = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in pdf.itertuples(index=False):
+            us = int(row.ts.value) // 1000  # pandas ns -> µs
+            if last is None or us >= last + cooldown:
+                out.append((int(user_id), int(row.event_id), row.ts))
+                last = us
+        if last is not None:
+            state.update((int(last),))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "alert_ts"]
+            )
+
+    grouped = events.select("event_id", "user_id", "ts").groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=DEBOUNCE_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.ProcessingTimeTimeout

@@ -211,3 +211,125 @@ def test_autocorr_matches_naive_global_lag(spark, events):
     for t in got:
         assert got[t][0] == naive[t][0]
         assert got[t][1] == pytest.approx(naive[t][1], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ stack
+
+
+def test_ivf_pq_topk_recall_vs_exact(spark, embeddings):
+    """The IVF-PQ top-10 must largely agree with the exact brute-force
+    squared-L2 top-10 (fixture embeddings are near-uniform so recall
+    won't be perfect — require the query itself ranked first and >= 4
+    of the exact top-10 recovered, and every returned d2 to be the TRUE
+    distance since the final stage re-ranks exactly)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    got = ivf_pq_topk(embeddings, query_id=0, k=10).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["d2"] == pytest.approx(0.0)
+    q = [
+        float(x)
+        for x in embeddings.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    qarr = F.array(*[F.lit(x) for x in q])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    diff = F.zip_with(e, qarr, lambda a, b: a - b)
+    exact = {
+        r["vec_id"]: r["d2"]
+        for r in embeddings.select("vec_id", dot(diff, diff).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    overlap = sum(1 for r in got if r["vec_id"] in exact)
+    assert overlap >= 4
+    for r in got:
+        if r["vec_id"] in exact:
+            assert r["d2"] == pytest.approx(exact[r["vec_id"]], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# streaming debounce twin
+
+
+def test_streaming_debounce_matches_batch_on_ordered_replay(spark):
+    """Single availableNow-style replay of the sf0.001 error events must
+    reproduce the batch recursive-CTE debounce row-for-row."""
+    import tempfile
+    import uuid
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+    )
+    schema = "event_id long, user_id long, ts timestamp"
+    src = tempfile.mkdtemp(prefix="sdb_src_")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    name = f"sdb_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_debounce(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdb_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["user_id"], r["event_id"]) for r in spark.table(name).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["event_id"])
+        for r in QUERIES["debounce_alerts"].fn(spark, SF_DIR).collect()
+    )
+    assert got == batch
+
+
+def test_streaming_debounce_state_carries_across_batches(spark):
+    """An alert kept in batch 1 suppresses a within-cooldown event that
+    arrives in batch 2 — the state-carry property itself."""
+    import tempfile
+    import uuid
+    from datetime import datetime
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.stateful import (
+        streaming_debounce,
+    )
+
+    T = lambda h: datetime(2024, 3, 1, h, 0, 0)  # noqa: E731
+    schema = "event_id long, user_id long, ts timestamp"
+    b1 = [(1, 7, T(0))]           # kept (first)
+    b2 = [(2, 7, T(3)), (3, 7, T(9))]  # 3h suppressed, 9h kept (>= 0h+6h)
+    src = tempfile.mkdtemp(prefix="sdbc_src_")
+    name = f"sdbc_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_debounce(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sdbc_ckpt_"))
+        .start()
+    )
+    try:
+        for batch in (b1, b2):
+            spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(r["event_id"] for r in spark.table(name).collect())
+    assert got == [1, 3]
