@@ -10473,8 +10473,11 @@ DRIVER_WINDOW: list[str] = [
     # r10 window so the set fits 50 slots: embedding_dim_stats,
     # unpivot_sensor_stats, value_histogram_by_type, filtered_aggregates,
     # modal_event_type_per_user, multiset_order_custkeys — all local-gate
-    # green, each a sibling of a driver-green family anchor.  After r10
-    # every registered query will have at least one driver-green row.
+    # green, each a sibling of a driver-green family anchor.  The r10
+    # rotation queue is those 6 plus the NEW r9 registrations
+    # (pq_codes_fixed, pq_adc_topk, ivf_pq_topk, countmin_heavy_users,
+    # debounce_alerts + any later r9 additions); after r10 every
+    # registered query will have at least one driver-green row.
     #
     # Out (ALL driver-green r8 or earlier): the r8 window's 50 — every
     # evicted query stays in tools/check_oracles.py's full local gate.

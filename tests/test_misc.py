@@ -119,49 +119,31 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-8 rotation (r7 verdict ask #1): the ENTIRE never-driver-
-    # checked backlog is in-window — 30 oracle-backed stragglers, the
-    # 5 rows-only queries, 2 new r8 queries — plus 13 family anchors
-    first_timers = [
-        "string_functions", "null_handling", "conditional_aggregates",
-        "having_clause", "daily_activity", "dense_rank_ntile",
-        "array_functions", "regex_extract_docs", "date_math_orders",
-        "stats_moments", "math_functions", "in_subquery",
-        "first_last_window", "percent_rank_cume_dist",
-        "grouping_indicator", "chunk_documents", "pack_chunks",
-        "redact_pii", "stratified_take_per_lang",
-        "ngram_repetition_stats", "latest_reading_per_sensor",
-        "sensor_gap_report", "cosine_dup_pairs",
-        "stream_range_join_purchase_click",
-        "incremental_semantic_dedup_fixed", "epoch_shuffle_order",
-        "length_bucket_packing", "scd2_point_in_time_join",
-        "ewma_sensor_state", "bm25_search",
-        # new r8
-        "stream_left_join_purchase_click", "approx_distinct_users",
+    # round-9 rotation (r8 verdict ask #1): 49 never-driver-checked
+    # queries (the whole r8 analytics/curation wave) + the repaired
+    # multimodal_features; spot-check one representative per family and
+    # the queries this round rewrote or repaired
+    required = [
+        # repaired r8 red row (now oracle-backed, scalar unpivot)
+        "multimodal_features",
+        # r9 rewrites under first driver check
+        "rolling_distinct_users", "autocorr_lag1_per_type",
+        "basket_part_pairs", "pagerank_supplier_customer",
+        # analytics wave representatives
+        "linear_trend_per_type", "cusum_drift_per_user",
+        "gap_sessionization", "pareto_abc_parts", "rfm_segmentation",
+        "wasserstein_value_drift", "triangle_parts_topk",
+        "tfidf_doc_similarity", "hybrid_search_rrf",
+        "dsir_importance_weights", "weighted_sample_by_length",
+        "signbit_hamming_rerank", "heavy_hitters_envelope",
+        "stream_full_outer_join_purchase_click", "stream_dedup_doubled",
     ]
-    anchors = [
-        "sensor_rollup_1m", "stream_tumbling_1m", "json_extract_props",
-        "q1_pricing_summary", "customer_order_revenue",
-        "dedup_exact_fingerprint", "minhash_lsh_pairs_md5",
-        "incremental_dedup_new_docs", "text_stats_per_doc",
-        "cosine_topk", "multimodal_decode", "gapfill_interpolate_daily",
-        "zorder_key_events",
-    ]
-    rows_only_in_window = [
-        "multimodal_features", "cosine_dup_pairs_blocked",
-        "winnowing_fingerprints", "kmeans_assignments",
-        "semantic_dedup_pairs",
-    ]
-    for required in first_timers + anchors + rows_only_in_window:
-        assert required in registry.DRIVER_WINDOW, required
-    # every window entry carries an oracle EXCEPT the five rows-only
-    # queries deliberately rotated in for their (weaker) driver check —
-    # each has a documented hard reason and an oracle-green hash twin
+    for name in required:
+        assert name in registry.DRIVER_WINDOW, name
+    # the r9 window is ALL-oracle: every entry value-hash-checks
+    # (multimodal_features was upgraded rows-only -> oracle this round)
     for name in registry.DRIVER_WINDOW:
-        if name not in rows_only_in_window:
-            assert registry.QUERIES[name].oracle is not None, name
-        else:
-            assert registry.QUERIES[name].oracle is None, name
+        assert registry.QUERIES[name].oracle is not None, name
 
 
 def test_nightly_etl_counts_verified(spark, events, tmp_path):
