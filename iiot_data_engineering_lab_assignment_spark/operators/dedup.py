@@ -32,6 +32,7 @@ __all__ = [
     "exact_dedup_keep_first_fp",
     "shingles",
     "jaccard_pairs",
+    "jaccard_pairs_prefix",
     "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -1043,3 +1044,98 @@ def load_history_signature_store(spark, tables: dict[str, str]) -> dict[str, Dat
     """Reload a persisted bucketed signature store for
     :func:`incremental_dedup` (pass as ``history_store``)."""
     return {part: spark.table(name) for part, name in tables.items()}
+
+
+def jaccard_pairs_prefix(
+    docs: DataFrame,
+    n: int = 3,
+    theta_num: int = 2,
+    theta_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-filtered exact-Jaccard near-duplicate pairs — the AllPairs /
+    PPJoin candidate generation (Bayardo et al. 2007, Xiao et al. 2008)
+    that the plain posting-list self-join (:func:`jaccard_pairs`) grows
+    out of at corpus scale.
+
+    The prefix-filter theorem: order every document's shingles by one
+    GLOBAL canonical order (ascending document frequency, shingle
+    tiebreak — rarest first); if Jaccard(a, b) >= theta, the two sets
+    must share a shingle within each one's PREFIX of length
+    ``n_sh - ceil(theta * n_sh) + 1``.  Joining on prefix postings only
+    is therefore LOSSLESS for the >= theta result while shrinking the
+    candidate join to the rarest ~(1 - theta) fraction of each posting
+    list — the hot (high-df) shingles that make the naive join quadratic
+    are exactly the ones prefixes exclude, so this replaces the blunt
+    ``max_shingle_df`` cap with an exact filter.  Candidates are then
+    verified by counting true intersections via two bounded joins
+    against the full posting list (per-candidate work, not per-pair-of-
+    corpus).
+
+    ``theta`` is the RATIONAL theta_num/theta_den so the prefix length
+    uses exact integer ceil — binary-float ``ceil(theta * n)``
+    overshoots for some rational thetas (``ceil((9/11) * 77)`` is 64,
+    exact is 63), and an overshot ceil shortens the prefix below the
+    theorem's bound, silently dropping borderline pairs.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    jaccard >= theta — identical to ``jaccard_pairs`` without a df cap
+    (equality pinned in tests/test_r9_ops.py).
+    """
+    from pyspark.sql import Window
+
+    if not (0 < theta_num <= theta_den):
+        raise ValueError(f"theta must be in (0, 1]: {theta_num}/{theta_den}")
+    theta = theta_num / theta_den
+    post = shingles(docs, n, text_col, id_col)
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle")
+    ranked = (
+        post.join(dfreq, "shingle")
+        .join(sizes, id_col)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    # prefix_len = n_sh - ceil(theta*n_sh) + 1, exact integer ceil
+    ceil_tn = (F.lit(theta_num) * F.col("n_sh") + F.lit(theta_den - 1)) / F.lit(
+        theta_den
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("n_sh") - F.floor(ceil_tn).cast("long") + 1
+    ).select(id_col, "shingle")
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    xa = post.select(F.col(id_col).alias("doc_a"), "shingle")
+    xb = post.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            >= F.lit(theta)
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -10121,6 +10121,187 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return legs
 
 
+@register(
+    "jaccard_pairs_prefix",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), ranked AS (
+      SELECT s.doc_id, s.shingle, z.n_sh,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.shingle) AS rk
+      FROM sh s JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id)
+    ), prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rk <= n_sh - ((2 * n_sh + 4) // 5) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    """,
+)
+def jaccard_pairs_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: prefix-filtered exact-Jaccard near-dup pairs — the
+    AllPairs/PPJoin candidate generator (Bayardo 2007 / Xiao 2008):
+    shingles globally ordered rarest-first (df, shingle); for
+    Jaccard >= 0.4 two docs MUST share a shingle within each one's
+    first n - ceil(0.4 n) + 1 shingles, so the posting self-join runs
+    on prefixes only — LOSSLESS (equals ngram_jaccard_pairs,
+    test-pinned) while excluding exactly the hot high-df shingles that
+    make the naive join quadratic; the blunt df-cap becomes an exact
+    filter.  ceil is exact-integer ((2n+4) DIV 5) — binary-float
+    ceil(theta*n) overshoots for some rational thetas (ceil((9/11)*77)
+    = 64 vs exact 63), which would shorten the prefix below the
+    theorem's bound and silently drop borderline pairs.  Verification
+    counts true intersections via two candidate-bounded joins."""
+    from .operators.dedup import jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(docs, n=3, theta_num=2, theta_den=5)
+
+
+@register(
+    "vocab_oov_rate_by_source",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+        ORDER BY c DESC, term LIMIT 20)
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_tokens
+      FROM toks LEFT JOIN vocab v USING (term)
+      GROUP BY source
+    )
+    SELECT source, n_tokens, oov_tokens,
+           CAST((2000000 * oov_tokens + n_tokens) // (2 * n_tokens)
+                AS DOUBLE) / 1000000.0 AS oov_rate
+    FROM s
+    """,
+)
+def vocab_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: fixed-vocabulary out-of-vocabulary rate per source — the
+    tokenizer-coverage number a training pipeline reports before
+    committing a corpus mix (a source whose OOV spikes is in the wrong
+    language/domain for the tokenizer).  The vocab is the global top-k
+    terms by (count DESC, term) — k=20 against this fixture's small
+    synthetic lexicon; production swaps in the real 50k tokenizer vocab
+    as a broadcast table, which is exactly how the plan treats it
+    (top-k collect -> broadcast left join, stream side never shuffles).
+    The rate is exact-integer derived (the half-up DIV emitter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(20)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    s = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("oov_tokens"),
+        )
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "oov_tokens",
+        F.expr(
+            "CAST((2000000 * oov_tokens + n_tokens) DIV (2 * n_tokens)"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("oov_rate"),
+    )
+
+
+@register(
+    "dup_aware_sample_weights",
+    f"""
+    WITH comp AS (
+      SELECT * FROM ({QUERIES["near_dup_clusters"].oracle}) nd
+    ), szs AS (
+      SELECT component, COUNT(*) AS cluster_size
+      FROM comp GROUP BY 1
+    ), w AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN szs s ON s.component = c.component
+    )
+    SELECT doc_id, cluster_size,
+           CAST((2000000 + cluster_size) // (2 * cluster_size)
+                AS DOUBLE) / 1000000.0 AS sample_weight
+    FROM w
+    """,
+)
+def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: duplication-aware soft-dedup weights — instead of DROPPING
+    near-duplicates, down-weight every member of a near-dup cluster by
+    1/cluster_size so the cluster contributes one document's worth of
+    probability mass to the training mixture (the soft alternative to
+    keep-best; used when duplicates carry complementary metadata).
+    Composes the registered near_dup_clusters closure (its recursive-CTE
+    oracle embeds verbatim) with one O(#clusters) size aggregate and a
+    left join back to documents; singletons weigh 1.  The weight is
+    exact-integer derived (half-up DIV emitter), ready to multiply into
+    weighted_sample_by_length's ES key."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["near_dup_clusters"].fn(spark, sf_dir)
+    szs = clusters.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    w = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(F.broadcast(szs), "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+        )
+    )
+    return w.select(
+        "doc_id",
+        "cluster_size",
+        F.expr(
+            "CAST((2000000 + cluster_size) DIV (2 * cluster_size)"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("sample_weight"),
+    )
+
+
 _PQ_CTES = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings

@@ -333,3 +333,123 @@ def test_streaming_debounce_state_carries_across_batches(spark):
         q.stop()
     got = sorted(r["event_id"] for r in spark.table(name).collect())
     assert got == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered jaccard (AllPairs/PPJoin)
+
+
+def test_prefix_jaccard_is_lossless_vs_full_join(spark, documents):
+    """The prefix-filter theorem: prefix-posting candidates must yield
+    EXACTLY the full posting-join >= theta result — no missed pairs, no
+    extras."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    full = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs(documents, n=3, threshold=0.4).collect()
+    )
+    pref = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jaccard_pairs_prefix(
+            documents, n=3, theta_num=2, theta_den=5
+        ).collect()
+    )
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_jaccard_prunes_candidates(spark, documents):
+    """The point of the prefix filter: candidate pairs from prefix
+    postings must be a strict subset of the full posting-join candidate
+    pairs (the hot high-df shingles fall outside every prefix)."""
+    from pyspark.sql import Window
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import shingles
+
+    post = shingles(documents, 3)
+    full_cand = (
+        post.alias("a")
+        .join(post.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        post.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.col("n_sh")
+            - F.floor((2 * F.col("n_sh") + 4) / F.lit(5)).cast("long")
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    pref_cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert pref_cand < full_cand
+
+
+def test_prefix_length_integer_ceil():
+    """The prefix length must use exact integer ceil: binary-float
+    ceil(theta * n) overshoots for some rational thetas (e.g.
+    theta=9/11, n=77 -> float 64 vs exact 63), which would shorten the
+    prefix below the theorem's bound and silently drop pairs.  The
+    integer form (num*n + den - 1) // den is exact for every theta."""
+    import math
+
+    # a real divergence the float form exhibits
+    assert math.ceil((9 / 11) * 77) == 64
+    assert (9 * 77 + 11 - 1) // 11 == 63
+    # and the integer form agrees with true rational ceil everywhere
+    for num, den in [(2, 5), (9, 11), (7, 12), (3, 17)]:
+        for n in range(1, 300):
+            assert (num * n + den - 1) // den == -((-num * n) // den)
+
+
+# ---------------------------------------------------------------------------
+# vocab OOV + dup-aware weights
+
+
+def test_vocab_oov_rates_in_range(spark):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["vocab_oov_rate_by_source"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["oov_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_dup_aware_weights_mass_conservation(spark, documents):
+    """Every doc appears exactly once; each near-dup cluster's total
+    weight is ~1 (cluster_size * 1/cluster_size, up to the 1e-6 emit
+    rounding); singletons weigh exactly 1."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["dup_aware_sample_weights"].fn(spark, SF_DIR).collect()
+    assert len(rows) == documents.count()
+    by_size: dict = {}
+    for r in rows:
+        assert r["cluster_size"] >= 1
+        if r["cluster_size"] == 1:
+            assert r["sample_weight"] == 1.0
+        else:
+            assert abs(r["sample_weight"] * r["cluster_size"] - 1.0) < 1e-4
+        by_size.setdefault(r["cluster_size"], 0)
+        by_size[r["cluster_size"]] += 1
+    # the fixture has at least one real near-dup cluster
+    assert any(s > 1 for s in by_size)
