@@ -131,11 +131,16 @@ EXTENDED = [
     "pagerank_supplier_customer",
     "multimodal_features",
     # round-9 additions: the IVF-PQ ANN stack, Count-Min sketch,
-    # recursive alert debounce
+    # recursive alert debounce, prefix-filtered similarity join, MMR
+    # re-rank, OOV accounting, soft-dedup weights
     "pq_codes_fixed",
     "ivf_pq_topk",
     "countmin_heavy_users",
     "debounce_alerts",
+    "jaccard_pairs_prefix",
+    "mmr_diversified_topk",
+    "vocab_oov_rate_by_source",
+    "dup_aware_sample_weights",
 ]
 
 

@@ -10122,6 +10122,150 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mmr_diversified_topk",
+    """
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT ev AS qv, nrm AS qn FROM e WHERE vec_id = 0
+    ), qsim AS (
+      SELECT vec_id AS v,
+             list_dot_product(e.ev, q.qv) / (e.nrm * q.qn) AS s
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+    ), short AS (
+      SELECT v, s FROM (
+        SELECT v, s, row_number() OVER (ORDER BY s DESC, v) AS rn FROM qsim)
+      WHERE rn <= 20
+    ), pairsim AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.ev, b.ev) / (a.nrm * b.nrm) AS s
+      FROM e a JOIN short sa ON sa.v = a.vec_id
+      JOIN e b ON a.vec_id <> b.vec_id
+      JOIN short sb ON sb.v = b.vec_id
+    ), sel(step, picked, score, chosen) AS (
+      SELECT 1, v, s, [v] FROM (
+        SELECT v, s, row_number() OVER (ORDER BY s DESC, v) AS rn FROM short)
+      WHERE rn = 1
+      UNION ALL
+      SELECT sel.step + 1, nxt.v, nxt.mmr, list_append(sel.chosen, nxt.v)
+      FROM sel, LATERAL (
+        SELECT v, mmr FROM (
+          SELECT sh.v,
+                 0.7 * sh.s - 0.3 * (
+                   SELECT MAX(p.s) FROM pairsim p
+                   WHERE p.a = sh.v AND list_contains(sel.chosen, p.b)
+                 ) AS mmr,
+                 row_number() OVER (ORDER BY
+                   0.7 * sh.s - 0.3 * (
+                     SELECT MAX(p.s) FROM pairsim p
+                     WHERE p.a = sh.v AND list_contains(sel.chosen, p.b)
+                   ) DESC, sh.v) AS rn
+          FROM short sh
+          WHERE NOT list_contains(sel.chosen, sh.v)
+        ) WHERE rn = 1
+      ) nxt
+      WHERE sel.step < 5
+    )
+    SELECT CAST(step AS INTEGER) AS mmr_rank, picked AS vec_id,
+           ROUND(score, 6) AS score
+    FROM sel
+    """,
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: maximal-marginal-relevance diversified re-rank (Carbonell
+    & Goldstein 1998) — the serving-side step that keeps a retrieval
+    result from returning five paraphrases of the same document:
+    greedily pick argmax of ``0.7*sim(q,d) - 0.3*max sim(d, selected)``
+    over a 20-candidate shortlist, 5 picks.
+
+    The greedy chain is genuinely recursive (each pick depends on the
+    SET already picked), so like debounce_alerts it is not a window/
+    join shape: the corpus-scale work — the shortlist scan and the
+    20x19 pairwise-cosine table — runs as Spark fold expressions, and
+    the 5-step greedy runs driver-side over that collected
+    parameter-sized matrix (exactly how a vector store's re-rank tier
+    works: shortlist from the index, MMR on the client).  The oracle
+    replays the identical greedy as a recursive CTE with the chosen
+    set as list state; every cosine is a sequential fold both engines
+    produce bit-identically, so argmax ties cannot diverge.  Scores
+    re-enter Spark RAW and round through F.round (half-up, matching
+    DuckDB ROUND; Python's round is half-even and never touches the
+    emitted value)."""
+    import math
+
+    from .operators.similarity import _as_double, dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:
+        raise ValueError("query vector vec_id=0 not found")
+    q = [float(x) for x in qrow["embedding"]]
+    qq = 0.0
+    for x in q:
+        qq = qq + x * x
+    qn = math.sqrt(qq)
+    qarr = F.array(*[F.lit(x) for x in q])
+    e = _as_double(F.col("embedding"))
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id", (dot(e, qarr) / (l2_norm(e) * F.lit(qn))).alias("s")
+    )
+    short = scored.orderBy(F.desc("s"), F.asc("vec_id")).limit(20).collect()
+    ids = [int(r["vec_id"]) for r in short]
+    qsim = {int(r["vec_id"]): float(r["s"]) for r in short}
+    cand = emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+    a = cand.select(
+        F.col("vec_id").alias("a"),
+        _as_double(F.col("embedding")).alias("ea"),
+        l2_norm(_as_double(F.col("embedding"))).alias("na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b"),
+        _as_double(F.col("embedding")).alias("eb"),
+        l2_norm(_as_double(F.col("embedding"))).alias("nb"),
+    )
+    pair_rows = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "s"
+            ),
+        )
+        .collect()
+    )
+    psim: dict[tuple[int, int], float] = {
+        (int(r["a"]), int(r["b"])): float(r["s"]) for r in pair_rows
+    }
+    # greedy MMR over the collected parameter-sized matrices
+    chosen: list[tuple[int, int, float]] = []  # (rank, vec_id, raw score)
+    first = max(ids, key=lambda v: (qsim[v], -v))
+    chosen.append((1, first, qsim[first]))
+    picked = [first]
+    for step in range(2, 6):
+        best_v, best_m = None, None
+        for v in ids:
+            if v in picked:
+                continue
+            mmr = 0.7 * qsim[v] - 0.3 * max(psim[(v, p)] for p in picked)
+            if best_m is None or mmr > best_m or (mmr == best_m and v < best_v):
+                best_v, best_m = v, mmr
+        if best_v is None:  # shortlist exhausted — oracle's recursion
+            break           # stops the same way (empty LATERAL)
+        chosen.append((step, best_v, best_m))
+        picked.append(best_v)
+    out = spark.createDataFrame(
+        chosen, "mmr_rank int, vec_id long, score_raw double"
+    )
+    return out.select(
+        "mmr_rank", "vec_id", F.round("score_raw", 6).alias("score")
+    )
+
+
+@register(
     "jaccard_pairs_prefix",
     """
     WITH toks AS (

@@ -453,3 +453,57 @@ def test_dup_aware_weights_mass_conservation(spark, documents):
         by_size[r["cluster_size"]] += 1
     # the fixture has at least one real near-dup cluster
     assert any(s > 1 for s in by_size)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark, tmp_path):
+    """Planted geometry: v1 and v2 are the SAME direction (a near-dup
+    pair, both most similar to q), v3 equally relevant but diverse.
+    Plain top-2 returns the duplicate pair; MMR's second pick must be
+    the diverse v3 (0.7*0.95 - 0.3*1.0 = 0.365 for the dup vs
+    0.7*0.95 - 0.3*0.805 = 0.4235 for v3)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    def vec(*xs):
+        v = list(xs) + [0.0] * (8 - len(xs))
+        return [float(x) for x in v]
+
+    rows = [
+        (0, vec(1.0, 0.0, 0.0), 0),          # query
+        (1, vec(0.95, 0.312, 0.0), 0),       # relevant
+        (2, vec(0.95, 0.312, 0.0), 0),       # exact duplicate of 1
+        (3, vec(0.95, -0.312, 0.0), 0),      # equally relevant, diverse
+        (4, vec(0.0, 0.1, 0.9), 0),          # filler
+        (5, vec(0.0, -0.1, 0.9), 0),         # filler
+        (6, vec(0.1, 0.0, -0.9), 0),         # filler
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r["mmr_rank"]: r["vec_id"]
+        for r in QUERIES["mmr_diversified_topk"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == 1          # highest sim, lowest id on the tie
+    assert got[2] == 3          # diversity beats the duplicate
+    assert len(got) == 5        # five picks exist among six candidates
+
+
+def test_mmr_short_candidate_list_stops_early(spark, tmp_path):
+    """Fewer candidates than picks: the greedy stops when the shortlist
+    is exhausted instead of erroring (mirrors the oracle's recursion)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.5, 0.5], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = QUERIES["mmr_diversified_topk"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 2
