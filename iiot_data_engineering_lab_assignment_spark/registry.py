@@ -10122,6 +10122,170 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_semijoin_vip_events",
+    """
+    WITH vip AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND value > 250
+    ), ks AS (
+      SELECT unnest(generate_series(0, 3)) AS k
+    ), bits AS (
+      SELECT DISTINCT ks.k,
+             CAST(('0x' || substr(md5('bf' || CAST(ks.k AS VARCHAR) || ':'
+                                       || CAST(v.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM vip v CROSS JOIN ks
+    ), probes AS (
+      SELECT e.event_id, e.event_type, e.user_id, ks.k,
+             CAST(('0x' || substr(md5('bf' || CAST(ks.k AS VARCHAR) || ':'
+                                       || CAST(e.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4096 AS pos
+      FROM events e CROSS JOIN ks
+    ), pass AS (
+      SELECT p.event_id, p.event_type, p.user_id
+      FROM probes p JOIN bits b ON b.k = p.k AND b.pos = p.pos
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) = 4
+    ), truth AS (
+      SELECT e.event_id FROM events e JOIN vip v USING (user_id)
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(p.event_id) AS BIGINT) AS n_bloom_pass,
+           CAST(COUNT(t.event_id) AS BIGINT) AS n_true_vip,
+           CAST(COUNT(p.event_id) - COUNT(t.event_id) AS BIGINT)
+             AS n_false_positives,
+           bool_and(t.event_id IS NULL OR p.event_id IS NOT NULL)
+             AS no_false_negatives
+    FROM events e
+    LEFT JOIN pass p ON p.event_id = e.event_id
+    LEFT JOIN truth t ON t.event_id = e.event_id
+    GROUP BY 1
+    """,
+)
+def bloom_semijoin_vip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: Bloom-filter semi-join reduction — the classic distributed
+    pre-filter: instead of shuffling 100 TB of events against a VIP key
+    set, broadcast a 4 KB bit array (m=4096, k=4 md5-derived hashes)
+    and let each scan task drop non-members locally; only the tiny
+    maybe-member stream reaches the exact join.  Every hash is
+    md5-derived, so the oracle rebuilds the IDENTICAL filter and the
+    per-type pass counts value-hash exactly — alongside the Bloom
+    THEOREM (no false negatives: every true VIP event passes, emitted
+    as bool_and) and the measured false-positive count (the quantity
+    the m/k sizing trades against the broadcast size).  VIP set: users
+    with a purchase over 250.  The bit set is represented as its set
+    (k, pos) pairs — the broadcastable relational form of the bitmap;
+    membership = all 4 probes hit."""
+    ev = load_table(spark, sf_dir, "events")
+    vip = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 250))
+        .select("user_id")
+        .distinct()
+    )
+
+    def pos(k: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{k}:"), col.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        )
+
+    karr = lambda col: F.array(  # noqa: E731
+        *[
+            F.struct(F.lit(k).alias("k"), pos(k, col).alias("pos"))
+            for k in range(4)
+        ]
+    )
+    bits = (
+        vip.select(F.explode(karr(F.col("user_id"))).alias("h"))
+        .select(F.col("h.k").alias("k"), F.col("h.pos").alias("pos"))
+        .distinct()
+    )
+    probes = ev.select(
+        "event_id", "event_type", "user_id", F.explode(karr(F.col("user_id"))).alias("h")
+    ).select("event_id", "event_type", "user_id", F.col("h.k").alias("k"), F.col("h.pos").alias("pos"))
+    passed = (
+        probes.join(F.broadcast(bits), ["k", "pos"])
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+        .filter(F.col("nhit") == 4)
+        .select("event_id", F.lit(1).alias("bloom_pass"))
+    )
+    truth = (
+        ev.join(F.broadcast(vip), "user_id", "left_semi")
+        .select("event_id", F.lit(1).alias("is_vip"))
+    )
+    j = (
+        ev.select("event_id", "event_type")
+        .join(passed, "event_id", "left")
+        .join(truth, "event_id", "left")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("bloom_pass").alias("n_bloom_pass"),
+        F.count("is_vip").alias("n_true_vip"),
+        (F.count("bloom_pass") - F.count("is_vip")).alias("n_false_positives"),
+        F.bool_and(
+            F.col("is_vip").isNull() | F.col("bloom_pass").isNotNull()
+        ).alias("no_false_negatives"),
+    )
+
+
+@register(
+    "decayed_popularity_by_type",
+    """
+    WITH mx AS (
+      SELECT CAST(max(ts) AS DATE) AS d0 FROM events
+    ), aged AS (
+      SELECT event_type,
+             date_diff('day', CAST(ts AS DATE), mx.d0) AS age
+      FROM events CROSS JOIN mx
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN age <= 20 THEN CAST(1 AS BIGINT) << (20 - age)
+                         ELSE 0 END) AS DOUBLE) / 1048576.0
+             AS decayed_count
+    FROM aged GROUP BY 1
+    """,
+)
+def decayed_popularity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: exponentially time-decayed popularity (half-life = 1 day)
+    per event type — the freshness-weighted count behind trending/decay
+    sampling (recent activity dominates, old activity fades).  The decay
+    is DYADIC — weight(age) = 2^-age — so every per-row weight is the
+    exact integer ``1 << (20 - age)`` at scale 2^20 (ages beyond 20
+    half-lives underflow to a true 0: their real weight < 1e-6 of a
+    fresh event): the sum is an exact BIGINT in any partition order and
+    the emitted double is the exact dyadic rational — no libm exp()
+    whose last ulp differs between engines.  One map + one tiny
+    aggregate; the max(ts) anchor rides along as a broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "event_type", F.datediff(F.col("d0"), F.to_date("ts")).alias("age")
+    )
+    return aged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(
+                F.when(
+                    F.col("age") <= 20,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), 20 - age)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("double")
+            / F.lit(1048576.0)
+        ).alias("decayed_count"),
+    )
+
+
+@register(
     "mmr_diversified_topk",
     """
     WITH RECURSIVE e AS (
