@@ -10122,6 +10122,77 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sax_words_daily",
+    """
+    WITH bins AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) // 6
+               AS bin,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), sym AS (
+      SELECT event_type, day, bin,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY CAST(s AS DOUBLE) / n, day, bin) AS q
+      FROM bins
+    )
+    SELECT event_type, day,
+           string_agg(CASE q WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                             WHEN 3 THEN 'c' ELSE 'd' END,
+                      '' ORDER BY bin) AS sax
+    FROM sym GROUP BY 1, 2
+    """,
+)
+def sax_words_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: SAX symbolization (Lin/Keogh 2003) per sensor type — the
+    time-series-to-text discretization behind motif mining and signal
+    similarity search: each (type, day) becomes a 4-character word over
+    {a,b,c,d}, one symbol per 6-hour PAA bin.  Deviating from textbook
+    SAX's N(0,1) breakpoints, symbols are EMPIRICAL per-type quartiles
+    (ntile over the bin means) — equal-occupancy words that need no
+    float threshold compares: the ntile ordering key is the exact
+    DECIMAL bin sum cast to double over the bin count (identical
+    doubles both engines, (day, bin) tiebreak), so no cross-engine AVG
+    summation-order noise can flip a symbol.  The ntile window is keyed
+    by event_type but runs over PAA SUMMARY rows (|types| x |days| x 4),
+    not raw data — the same bounded-summary-single-task shape as
+    pareto's offset stage."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.hour("ts") / F.lit(6)).cast("long").alias("bin"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("s").cast("double") / F.col("n")).asc(), "day", "bin"
+    )
+    sym = bins.select(
+        "event_type",
+        "day",
+        "bin",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            F.ntile(4).over(w),
+        ).alias("ch"),
+    )
+    return sym.groupBy("event_type", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bin", "ch"))),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("sax")
+    )
+
+
+@register(
     "bloom_semijoin_vip_events",
     """
     WITH vip AS (

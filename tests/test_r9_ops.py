@@ -507,3 +507,118 @@ def test_mmr_short_candidate_list_stops_early(spark, tmp_path):
     ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
     got = QUERIES["mmr_diversified_topk"].fn(spark, str(tmp_path)).collect()
     assert len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# Bloom semi-join + decayed popularity
+
+
+def test_bloom_semijoin_theorem_and_counts(spark):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["bloom_semijoin_vip_events"].fn(spark, SF_DIR).collect()
+    assert {r["event_type"] for r in rows} == {
+        "click", "view", "purchase", "signup", "error",
+    }
+    for r in rows:
+        # Bloom theorem: no false negatives, so pass >= true
+        assert r["no_false_negatives"]
+        assert r["n_bloom_pass"] >= r["n_true_vip"]
+        assert r["n_false_positives"] == r["n_bloom_pass"] - r["n_true_vip"]
+        assert r["n_bloom_pass"] <= r["n_events"]
+
+
+def test_bloom_fp_rate_within_sizing(spark):
+    """m=4096 bits, k=4, |VIP| small: expected fp rate (fill^4) is well
+    under 5% on the fixture — a broken hash (all probes colliding)
+    would blow this bound immediately."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["bloom_semijoin_vip_events"].fn(spark, SF_DIR).collect()
+    n_events = sum(r["n_events"] for r in rows)
+    n_fp = sum(r["n_false_positives"] for r in rows)
+    assert n_fp <= 0.05 * n_events
+
+
+def test_decayed_popularity_dyadic_exactness(spark, tmp_path):
+    """Planted ages: 3 events today (w=1), 2 yesterday (w=0.5), 1 at age
+    21 (underflows to 0) -> decayed = 4.0 exactly, as a bit-exact
+    double."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    D = 86_400_000_000
+    base = 1_700_000_000_000_000  # anchor µs
+    rows = (
+        [(i, base, 1, "view", 1.0, "{}") for i in range(3)]
+        + [(10 + i, base - D, 1, "view", 1.0, "{}") for i in range(2)]
+        + [(20, base - 21 * D, 1, "view", 1.0, "{}")]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    rows = QUERIES["decayed_popularity_by_type"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 6
+    assert rows[0]["decayed_count"] == 4.0  # 3*1 + 2*0.5 + 0, bit-exact
+
+
+# ---------------------------------------------------------------------------
+# SAX words
+
+
+def test_sax_words_shape_and_alphabet(spark):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["sax_words_daily"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= len(r["sax"]) <= 4
+        assert set(r["sax"]) <= set("abcd")
+    # empirical quartiles -> all four symbols occur somewhere per type
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], set()).update(r["sax"])
+    for t, syms in by_type.items():
+        assert syms == set("abcd"), t
+
+
+def test_sax_symbols_order_by_level(spark, tmp_path):
+    """Planted levels: day 1 lowest mean, day 4 highest -> with one bin
+    per day and four days, the words must be 'a','b','c','d' in level
+    order."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    D = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = []
+    for day, level in enumerate([10.0, 20.0, 30.0, 40.0]):
+        for i in range(3):
+            rows.append(
+                (day * 10 + i, base + day * D, 1, "view", level, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        str(r["day"]): r["sax"]
+        for r in QUERIES["sax_words_daily"].fn(spark, str(tmp_path)).collect()
+    }
+    assert sorted(got.values()) == ["a", "b", "c", "d"]
