@@ -141,6 +141,13 @@ EXTENDED = [
     "mmr_diversified_topk",
     "vocab_oov_rate_by_source",
     "dup_aware_sample_weights",
+    # registered after the r9 local bench record (BENCH_local_r09.json
+    # lacks these two rows; first tracked in the driver's BENCH_r09)
+    "bloom_semijoin_vip_events",
+    "decayed_popularity_by_type",
+    "sax_words_daily",
+    "kcore_peeling_rounds",
+    "quantile_normalize_by_source",
 ]
 
 

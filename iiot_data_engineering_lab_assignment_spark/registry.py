@@ -10122,6 +10122,200 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_normalize_by_source",
+    """
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+             COUNT(*) OVER () AS n_total
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, n_chars, n_total,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS srank,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM g
+    ), mapped AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN n_src > 1
+                  THEN 1 + ((srank - 1) * (n_total - 1)) // (n_src - 1)
+                  ELSE (n_total + 1) // 2 END AS g_pos
+      FROM s
+    )
+    SELECT m.doc_id, m.source, m.n_chars,
+           lut.n_chars AS norm_chars
+    FROM mapped m JOIN g lut ON lut.grank = m.g_pos
+    """,
+)
+def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: quantile normalization across sources — map every source's
+    length distribution onto the GLOBAL length distribution (the
+    microarray-normalization move, used in curation to compare quality/
+    length scores across feeds whose raw scales differ): a doc at the
+    p-th within-source rank is assigned the global value at the same
+    relative rank.  All arithmetic is integer-exact: within-source rank
+    -> global position via (srank-1)(N-1) DIV (n_src-1) + 1 (singleton
+    sources map to the median), then a rank-keyed join against the
+    globally ordered value table.
+
+    Scale shape: the within-source ranks are high-cardinality windows;
+    the GLOBAL rank — the classic single-task trap — is built with the
+    pareto two-pass pattern: bucket by the sort key itself (n_chars, so
+    bucket order IS value order), per-bucket offsets from a
+    summary-sized window, intra-bucket row_number.  Partition count
+    scales with the value range, never 1."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    n_total = docs.count()
+    # global rank, two-pass: bucket = n_chars (first sort key) ->
+    # offsets over the distinct-value summary -> intra-bucket ranks
+    per_bucket = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wb = (
+        Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "n_chars",
+        F.coalesce(F.sum("c").over(wb), F.lit(0).cast("long")).alias("off"),
+    )
+    wi = Window.partitionBy("n_chars").orderBy("doc_id")
+    g = docs.join(F.broadcast(offsets), "n_chars").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("off") + F.row_number().over(wi)).alias("grank"),
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = docs.withColumn("srank", F.row_number().over(ws)).withColumn(
+        "n_src", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    mapped = s.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.when(
+            F.col("n_src") > 1,
+            1
+            + F.floor(
+                (F.col("srank") - 1) * F.lit(n_total - 1) / (F.col("n_src") - 1)
+            ).cast("long"),
+        )
+        .otherwise(F.lit((n_total + 1) // 2))
+        .alias("g_pos"),
+    )
+    lut = g.select(F.col("grank").alias("g_pos"), F.col("n_chars").alias("norm_chars"))
+    return mapped.join(lut, "g_pos").select(
+        "doc_id", "source", "n_chars", "norm_chars"
+    )
+
+
+_KCORE_EDGES = """
+    edges0 AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS a, 'c' || o.o_custkey AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )"""
+
+_KCORE_PEEL = """, deg{i} AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM edges{i}
+        UNION ALL SELECT b FROM edges{i}) u
+      GROUP BY 1
+    ), keep{j} AS (
+      SELECT node FROM deg{i} WHERE d >= 10
+    ), edges{j} AS (
+      SELECT e.a, e.b FROM edges{i} e
+      JOIN keep{j} ka ON ka.node = e.a
+      JOIN keep{j} kb ON kb.node = e.b
+    )"""
+
+
+@register(
+    "kcore_peeling_rounds",
+    "WITH "
+    + _KCORE_EDGES
+    + "".join(_KCORE_PEEL.format(i=i, j=i + 1) for i in range(3))
+    + """
+    SELECT * FROM (
+      SELECT 0 AS round,
+             (SELECT COUNT(*) FROM (SELECT a FROM edges0
+                                    UNION SELECT b FROM edges0) n)
+               AS n_nodes,
+             (SELECT COUNT(*) FROM edges0) AS n_edges
+      UNION ALL SELECT 1,
+             (SELECT COUNT(*) FROM (SELECT a FROM edges1
+                                    UNION SELECT b FROM edges1) n),
+             (SELECT COUNT(*) FROM edges1)
+      UNION ALL SELECT 2,
+             (SELECT COUNT(*) FROM (SELECT a FROM edges2
+                                    UNION SELECT b FROM edges2) n),
+             (SELECT COUNT(*) FROM edges2)
+      UNION ALL SELECT 3,
+             (SELECT COUNT(*) FROM (SELECT a FROM edges3
+                                    UNION SELECT b FROM edges3) n),
+             (SELECT COUNT(*) FROM edges3)
+    ) t
+    """,
+)
+def kcore_peeling_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: k-core decomposition by iterative peeling (k=10, 3 fixed
+    rounds) over the supplier-customer fulfilment graph — the
+    graph-densification step crawl/link pipelines run to separate the
+    well-connected core from tendrils before expensive link analysis
+    (PageRank on the k-core costs a fraction of the full graph; this
+    bipartite fixture converges in one peel — the trajectory still
+    hash-checks the peel arithmetic round by round).  Each
+    peel = one degree aggregate + two semi-join-shaped filters on the
+    shrinking edge list; like pagerank_supplier_customer the iteration
+    count is FIXED so the oracle unrolls it as CTE rounds, and the
+    emitted (round, n_nodes, n_edges) trajectory is exact integers.
+    The edge list is pinned once (localCheckpoint) and only SHRINKS —
+    at 10^9 edges each round's cost is bounded by the previous
+    survivor set, the standard distributed k-core shape (run to
+    fixpoint in production; trajectory form kept hash-checkable)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def stats(e, rnd: int):
+        nodes = e.select(F.col("a").alias("node")).union(
+            e.select(F.col("b").alias("node"))
+        ).distinct()
+        return nodes.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+            e.agg(F.count(F.lit(1)).alias("n_edges"))
+        ).select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+
+    out = stats(edges, 0)
+    cur = edges
+    for rnd in range(1, 4):
+        deg = (
+            cur.select(F.col("a").alias("node"))
+            .unionAll(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= 10).select("node")
+        cur = (
+            cur.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(stats(cur, rnd))
+    return out
+
+
+@register(
     "sax_words_daily",
     """
     WITH bins AS (

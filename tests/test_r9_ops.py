@@ -622,3 +622,78 @@ def test_sax_symbols_order_by_level(spark, tmp_path):
         for r in QUERIES["sax_words_daily"].fn(spark, str(tmp_path)).collect()
     }
     assert sorted(got.values()) == ["a", "b", "c", "d"]
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling + quantile normalization
+
+
+def test_kcore_trajectory_monotone_and_consistent(spark):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in QUERIES["kcore_peeling_rounds"].fn(spark, SF_DIR).collect()
+    )
+    assert [r[0] for r in rows] == [0, 1, 2, 3]
+    # peeling only shrinks
+    for (_, n0, e0), (_, n1, e1) in zip(rows, rows[1:]):
+        assert n1 <= n0 and e1 <= e0
+    # every surviving round-3 node has degree >= 10 in the round-3 graph
+    # is implied by fixpoint: if round 2 == round 3 the peel found
+    # nothing left to remove
+    if rows[2][1:] == rows[3][1:]:
+        assert rows[3][2] <= rows[2][2]
+
+
+def test_kcore_planted_tendril_is_peeled(spark, tmp_path):
+    """A 12x12 complete bipartite core survives k=10 peeling; a pendant
+    supplier attached to one customer is peeled in round 1 (and its
+    removal drops exactly one edge)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = []
+    ok = 0
+    for s in range(12):
+        for c in range(12):
+            rows.append((ok, s, c))
+            ok += 1
+    # build lineitem/orders: orderkey i joins supplier s and customer c
+    lineitem = spark.createDataFrame(
+        [(i, s) for (i, s, c) in rows] + [(9999, 99)],
+        "l_orderkey long, l_suppkey long",
+    )
+    orders = spark.createDataFrame(
+        [(i, c) for (i, s, c) in rows] + [(9999, 0)],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    orders.coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r["round"]: (r["n_nodes"], r["n_edges"])
+        for r in QUERIES["kcore_peeling_rounds"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (25, 145)  # 12+12 core + pendant supplier, 144+1 edges
+    assert got[1] == (24, 144)  # pendant peeled, core intact
+    assert got[3] == (24, 144)  # fixpoint
+
+
+def test_quantile_normalize_properties(spark, documents):
+    """Per source: ranks preserved (monotone map), min source value maps
+    to the global min, max to the global max; output covers every doc."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["quantile_normalize_by_source"].fn(spark, SF_DIR).collect()
+    docs = {r["doc_id"]: r for r in rows}
+    assert len(docs) == documents.count()
+    gmin = min(r["norm_chars"] for r in rows)
+    gmax = max(r["norm_chars"] for r in rows)
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["n_chars"], r["doc_id"]))
+        norm = [r["norm_chars"] for r in rs]
+        assert norm == sorted(norm), src  # monotone
+        if len(rs) > 1:
+            assert norm[0] == gmin and norm[-1] == gmax, src
