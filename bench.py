@@ -148,6 +148,7 @@ EXTENDED = [
     "sax_words_daily",
     "kcore_peeling_rounds",
     "quantile_normalize_by_source",
+    "seasonal_naive_mase_by_type",
 ]
 
 

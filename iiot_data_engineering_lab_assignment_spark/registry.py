@@ -10122,6 +10122,115 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "seasonal_naive_mase_by_type",
+    """
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT event_type, day, hr,
+             CAST(ROUND((CAST(s AS DOUBLE) / n) * 10000, 0) AS BIGINT) AS m4
+      FROM hourly
+    ), lagged AS (
+      SELECT event_type, m4,
+             LAG(m4, 1)  OVER w AS p1,
+             LAG(m4, 24) OVER w AS p24
+      FROM m
+      WINDOW w AS (PARTITION BY event_type ORDER BY day, hr)
+    ), agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(ABS(m4 - p24)) AS BIGINT) AS a_sum,
+             CAST(COUNT(p24) AS BIGINT) AS a_n,
+             CAST(SUM(ABS(m4 - p1)) AS BIGINT) AS b_sum,
+             CAST(COUNT(p1) AS BIGINT) AS b_n
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n_hours,
+           CAST((2000000 * a_sum + a_n) // (2 * a_n) AS DOUBLE) / 10000000000.0
+             AS mae_seasonal,
+           CAST((2000000 * b_sum + b_n) // (2 * b_n) AS DOUBLE) / 10000000000.0
+             AS mae_naive,
+           CASE WHEN b_sum = 0 THEN NULL
+                ELSE CAST((2000000 * a_sum * b_n + a_n * b_sum)
+                          // (2 * a_n * b_sum) AS DOUBLE) / 1000000.0
+           END AS mase
+    FROM agg
+    """,
+)
+def seasonal_naive_mase_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: MASE (mean absolute scaled error, Hyndman & Koehler 2006)
+    of the seasonal-naive forecast per sensor type — the standard
+    scale-free forecast-quality gate: how much better does "same hour
+    yesterday" predict the hourly mean than "previous hour"?  MASE < 1
+    means daily seasonality carries real signal; ~1 means the series is
+    a drift/noise process.
+
+    Exactness discipline end to end: hourly means come from exact
+    DECIMAL sums (identical doubles both engines), quantize to 1e-4
+    integers via a shared half-up round, both error terms are then
+    exact BIGINT sums in any partition order, and every emitted ratio —
+    the two MAEs and their quotient — goes through the exact-integer
+    half-up DIV emitter (the cross-MAE ratio cross-multiplies
+    a_sum*b_n / a_n*b_sum so no intermediate float division exists).
+    Plan: one groupBy to the |types| x |days| x 24 summary, LAGs over
+    summary rows, a 5-row aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = hourly.select(
+        "event_type",
+        "day",
+        "hr",
+        F.round((F.col("s").cast("double") / F.col("n")) * 10000, 0)
+        .cast("long")
+        .alias("m4"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day", "hr")
+    lagged = m.select(
+        "event_type",
+        "m4",
+        F.lag("m4", 1).over(w).alias("p1"),
+        F.lag("m4", 24).over(w).alias("p24"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.abs(F.col("m4") - F.col("p24"))).alias("a_sum"),
+        F.count("p24").alias("a_n"),
+        F.sum(F.abs(F.col("m4") - F.col("p1"))).alias("b_sum"),
+        F.count("p1").alias("b_n"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        F.expr(
+            "CAST((2000000 * a_sum + a_n) DIV (2 * a_n) AS DOUBLE)"
+            " / 10000000000.0"
+        ).alias("mae_seasonal"),
+        F.expr(
+            "CAST((2000000 * b_sum + b_n) DIV (2 * b_n) AS DOUBLE)"
+            " / 10000000000.0"
+        ).alias("mae_naive"),
+        F.expr(
+            "CASE WHEN b_sum = 0 THEN NULL"
+            " ELSE CAST((2000000 * a_sum * b_n + a_n * b_sum)"
+            " DIV (2 * a_n * b_sum) AS DOUBLE) / 1000000.0 END"
+        ).alias("mase"),
+    )
+
+
+@register(
     "quantile_normalize_by_source",
     """
     WITH g AS (

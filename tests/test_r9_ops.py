@@ -697,3 +697,42 @@ def test_quantile_normalize_properties(spark, documents):
         assert norm == sorted(norm), src  # monotone
         if len(rs) > 1:
             assert norm[0] == gmin and norm[-1] == gmax, src
+
+
+def test_mase_planted_perfect_seasonality(spark, tmp_path):
+    """A perfectly daily-periodic hourly series: the seasonal-naive error
+    is 0 (same hour yesterday is exact), the naive error is not ->
+    mase == 0.0; and a constant series yields NULL mase (0/0 guard)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    H = 3_600_000_000
+    rows = []
+    eid = 0
+    for day in range(3):
+        for hr in range(24):
+            # periodic: value depends only on hour-of-day
+            rows.append((eid, (day * 24 + hr) * H, 1, "view", 100.0 + hr, "{}"))
+            eid += 1
+            # constant series on a second type
+            rows.append((eid, (day * 24 + hr) * H, 1, "error", 42.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["seasonal_naive_mase_by_type"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got["view"]["mase"] == 0.0
+    assert got["view"]["mae_seasonal"] == 0.0
+    assert got["view"]["mae_naive"] > 0.0
+    assert got["error"]["mase"] is None  # constant series: 0/0 guarded
