@@ -149,6 +149,7 @@ EXTENDED = [
     "kcore_peeling_rounds",
     "quantile_normalize_by_source",
     "seasonal_naive_mase_by_type",
+    "pq_codes_gemm",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "pq_codebook",
     "pq_encode",
     "pq_adc_topk",
+    "pq_encode_gemm",
     "ivf_pq_topk",
 ]
 
@@ -1083,3 +1084,78 @@ def ivf_pq_topk(
         .limit(k)
         .select(id_col, F.round("d2_raw", 6).alias("d2"))
     )
+
+
+def pq_encode_gemm(
+    embeddings: DataFrame,
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched GEMM tier of :func:`pq_encode` — the production
+    encoder at 10^9 vectors: per batch, each subspace's distances are
+    ONE (n x dsub) @ (dsub x k) matrix product instead of m*k
+    interpreted fold expressions per row (the probe-measured ~10x
+    lever; SCALE.md round 9).
+
+    The CODES are identical to the fold form: argmin of
+    |v|^2 - 2 v.c + |c|^2 with the lowest-code tiebreak (np.argmin
+    returns the first minimum and codes are sorted ascending).  Float64
+    GEMM accumulates in a different order than the sequential fold, but
+    the argmin is invariant — inter-centroid distance gaps are ~1e15 x
+    the accumulation ulp — so this registers against the SAME value-hash
+    oracle as ``pq_codes_fixed`` (exact integer outputs; a tie close
+    enough to flip would need two centroids equidistant to ~1e-13,
+    excluded by distinct seeds)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    subs = sorted(codebook.items())
+    mats = []  # (sub_idx, start, dsub, C (k x dsub), cnorm (k,))
+    start = 0
+    for s, cents in subs:
+        C = np.array([c for _, c in cents], dtype=np.float64)
+        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1)))
+        start += C.shape[1]
+    codes_order = [code for code, _ in subs[0][1]]
+    assert codes_order == sorted(codes_order), "codebook must be code-sorted"
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("sub_idx", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+        ]
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for s, st, dsub, C, cnorm in mats:
+                Xs = X[:, st : st + dsub]
+                D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
+                best = D.argmin(axis=1)  # first min == lowest code
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "sub_idx": np.full(len(ids), s, dtype=np.int32),
+                            "code": np.array(
+                                [codes_order[b] for b in best], dtype=np.int32
+                            ),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(id_col, emb_col).mapInPandas(_encode, out_schema)

@@ -11034,6 +11034,31 @@ def pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pq_codes_gemm",
+    _PQ_CTES
+    + """
+    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code
+    FROM codes
+    """,
+)
+def pq_codes_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: the Arrow-batched GEMM tier of the PQ encoder — per batch,
+    one (n x 16) @ (16 x 8) matrix product per subspace replaces the
+    m*k interpreted fold expressions per row (probe-measured ~10x at 1M
+    vectors; SCALE.md round 9).  Registered against the SAME value-hash
+    oracle as ``pq_codes_fixed``: the output is exact integer codes and
+    the argmin is invariant to GEMM-vs-fold accumulation order (a flip
+    would need two centroids equidistant to the accumulation ulp,
+    excluded by distinct seeds) — the rare python=1 entry where the
+    vectorized path wins AND stays bit-checkable."""
+    from .operators.similarity import pq_codebook, pq_encode_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode_gemm(emb, pq_codebook(emb, n_codes=8, m=4))
+
+
+@register(
     "pq_adc_topk",
     _PQ_CTES
     + """, q AS (

@@ -736,3 +736,22 @@ def test_mase_planted_perfect_seasonality(spark, tmp_path):
     assert got["view"]["mae_seasonal"] == 0.0
     assert got["view"]["mae_naive"] > 0.0
     assert got["error"]["mase"] is None  # constant series: 0/0 guarded
+
+
+def test_pq_gemm_codes_equal_fold_codes(spark, embeddings):
+    """The GEMM tier must produce bit-identical codes to the fold form
+    (argmin invariant to accumulation order)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        pq_encode_gemm,
+    )
+
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    fold = {
+        (r["vec_id"], r["sub_idx"]): r["code"]
+        for r in pq_encode(embeddings, book).collect()
+    }
+    gemm = {
+        (r["vec_id"], r["sub_idx"]): r["code"]
+        for r in pq_encode_gemm(embeddings, book).collect()
+    }
+    assert fold == gemm and len(fold) > 0
