@@ -11225,26 +11225,13 @@ def countmin_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     alongside the CMS THEOREM the sketch must satisfy: estimates never
     underestimate (emitted as a boolean).  Probed on the 20 lowest user
     ids against their exact counts."""
+    from .streaming.jobs import cms_bucket_tags
+
     ev = load_table(spark, sf_dir, "events")
-
-    def bucket(j: int, col):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"cms{j}:"), col.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 64
-        )
-
-    tags = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), bucket(j, F.col("user_id")).alias("b"))
-            for j in range(4)
-        ]
-    )
+    # the SAME tag expression maintains the streaming counter store
+    # (streaming/jobs.py:run_stream_countmin) — additivity makes the
+    # stream-merged sketch bit-equal to this batch build (test-pinned)
+    tags = cms_bucket_tags(F.col("user_id"), d=4, w=64)
     counters = (
         ev.select(F.explode(tags).alias("h"))
         .groupBy(F.col("h.j").alias("j"), F.col("h.b").alias("b"))

@@ -47,6 +47,9 @@ __all__ = [
     "wap_batch_writer",
     "stream_stream_left_range_join",
     "incremental_dedup_stream_writer",
+    "cms_bucket_tags",
+    "run_stream_countmin",
+    "read_countmin_estimates",
 ]
 
 
@@ -1157,3 +1160,93 @@ def fan_out_two_sinks(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_bucket_tags(key_col, d: int = 4, w: int = 64, prefix: str = "cms"):
+    """The Count-Min hash tags shared by the batch query
+    (registry.countmin_heavy_users) and the streaming store: an array of
+    (j, b) structs, one per hash row, md5-derived so any engine — and
+    the DuckDB oracle — rebuilds the identical sketch."""
+    entries = []
+    for j in range(d):
+        b = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{prefix}{j}:"), key_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+        entries.append(F.struct(F.lit(j).alias("j"), b.alias("b")))
+    return F.array(*entries)
+
+
+def run_stream_countmin(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    d: int = 4,
+    w: int = 64,
+) -> None:
+    """Streaming Count-Min sketch maintenance — the fixed-memory running
+    heavy-hitter counter a 100 TB/day stream actually keeps: each
+    micro-batch reduces to its own d x w counter grid (<= 256 rows) and
+    lands in a ``batch_id=``-keyed partition (the idempotent_batch_writer
+    discipline, so a retried batch REPLACES its own partial output —
+    exactly-once additivity without a transactional store).  Because CMS
+    counters are ADDITIVE, read-time merge = GROUP BY (j, b) SUM over
+    partitions: the merged sketch is bit-equal to the batch-built one,
+    which tests/test_r9_ops.py asserts EXACTLY (no envelope needed —
+    additivity is an identity, not an approximation).
+
+    Query the store with :func:`read_countmin_estimates`."""
+    stream = events_file_stream(spark, sf_dir)
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        counters = (
+            df.select(F.explode(cms_bucket_tags(F.col("user_id"), d, w)).alias("h"))
+            .groupBy(F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        counters.write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_countmin_estimates(
+    spark: SparkSession,
+    store_dir: str,
+    keys: DataFrame,
+    key_col: str = "user_id",
+    d: int = 4,
+    w: int = 64,
+) -> DataFrame:
+    """Point-query the streaming CMS store: merge per-batch counter grids
+    (GROUP BY sum — additivity), then estimate each key as the MIN over
+    its d bucket counters.  The merged grid is <= d*w rows regardless of
+    stream volume, so it broadcasts."""
+    merged = (
+        spark.read.parquet(f"{store_dir}/batch_id=*")
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    probes = keys.select(
+        key_col, F.explode(cms_bucket_tags(F.col(key_col), d, w)).alias("h")
+    ).select(key_col, F.col("h.j").alias("j"), F.col("h.b").alias("b"))
+    return (
+        probes.join(F.broadcast(merged), ["j", "b"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_est"))
+    )

@@ -755,3 +755,36 @@ def test_pq_gemm_codes_equal_fold_codes(spark, embeddings):
         for r in pq_encode_gemm(embeddings, book).collect()
     }
     assert fold == gemm and len(fold) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming Count-Min store
+
+
+def test_stream_countmin_store_equals_batch_sketch_exactly(spark, tmp_path):
+    """CMS counters are additive, so the stream-maintained store merged
+    at read time must equal the batch-built sketch BIT-EXACTLY — every
+    probe estimate identical (an identity, not an envelope)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        read_countmin_estimates,
+        run_stream_countmin,
+    )
+
+    store = str(tmp_path / "cms_store")
+    run_stream_countmin(spark, SF_DIR, store)
+    keys = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") < 20)
+    )
+    got = {
+        r["user_id"]: r["cms_est"]
+        for r in read_countmin_estimates(spark, store, keys).collect()
+    }
+    batch = {
+        r["user_id"]: r["cms_est"]
+        for r in QUERIES["countmin_heavy_users"].fn(spark, SF_DIR).collect()
+    }
+    assert got == batch and len(got) > 0
