@@ -150,6 +150,7 @@ EXTENDED = [
     "quantile_normalize_by_source",
     "seasonal_naive_mase_by_type",
     "pq_codes_gemm",
+    "bigram_logprob_score",
 ]
 
 

@@ -6952,6 +6952,69 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS b
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+    ), c2 AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS cp FROM bg GROUP BY 1
+    ), db AS (
+      SELECT doc_id, w1, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY 1, 2, 3
+    )
+    SELECT db.doc_id,
+           CAST(SUM(db.cnt) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(db.cnt * -ln(c2.c * 1.0 / c1.cp)
+                               AS DECIMAL(28,12))) AS DOUBLE)
+                 / SUM(db.cnt), 6) AS avg_nll2
+    FROM db JOIN c2 USING (b) JOIN c1 USING (w1)
+    GROUP BY 1
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: per-document average conditional negative log-probability
+    under the corpus's own BIGRAM LM — the order-2 companion to
+    ``unigram_logprob_score`` (CCNet-lineage perplexity pruning; the
+    bigram model additionally punishes scrambled/shuffled text whose
+    unigram distribution looks normal).  p(w2|w1) = c(w1 w2)/c(w1 .),
+    both counts from the corpus itself so no smoothing is needed when
+    scoring in-corpus docs (every doc bigram was counted).  Same
+    exactness discipline as the unigram form: the division feeds ln()
+    as an identical double on both engines, each contribution casts to
+    exact DECIMAL so partitioning cannot reorder float addition, and
+    the per-doc mean rounds at 6dp.  Shape: two bigram-keyed aggregates
+    build the LM, one bigram-keyed join scores docs — all O(postings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> struct(element_at(split(text, ' '), i) AS w1,"
+        " concat(element_at(split(text, ' '), i), ' ',"
+        " element_at(split(text, ' '), i + 1)) AS b))"
+    )
+    bg = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.b").alias("b")
+    )
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
+    db = bg.groupBy("doc_id", "w1", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = db.join(c2, "b").join(c1, "w1")
+    contrib = (
+        F.col("cnt") * -F.log(F.col("c") * F.lit(1.0) / F.col("cp"))
+    ).cast("decimal(28,12)")
+    return scored.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(F.sum(contrib).cast("double") / F.sum("cnt"), 6).alias(
+            "avg_nll2"
+        ),
+    )
+
+
+@register(
     "dsir_importance_weights",
     """
     WITH toks AS (
