@@ -788,3 +788,24 @@ def test_stream_countmin_store_equals_batch_sketch_exactly(spark, tmp_path):
         for r in QUERIES["countmin_heavy_users"].fn(spark, SF_DIR).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_bigram_lm_flags_scrambled_text(spark, tmp_path):
+    """Word-order destruction: many docs share a natural word ORDER; one
+    doc has the same unigram profile but scrambled order.  The bigram
+    NLL must rank the scrambled doc strictly worse than a natural twin
+    (a unigram LM cannot tell them apart)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    scrambled = "dog the jumps quick lazy brown the over fox"  # same bag
+    rows = [(i, natural, "en", "src0", len(natural)) for i in range(20)]
+    rows.append((100, scrambled, "en", "src0", len(scrambled)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["avg_nll2"]
+        for r in QUERIES["bigram_logprob_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[100] > got[0]
