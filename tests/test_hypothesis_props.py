@@ -337,3 +337,69 @@ def test_cusum_matches_python_recompute(spark, vals):
     assert out["n_events"] == len(vals)
     assert math.isclose(out["max_cusum"], round(mx, 6), rel_tol=1e-6, abs_tol=2e-4)
     assert out["max_cusum"] >= 0.0
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    times=st.lists(
+        st.integers(min_value=0, max_value=200_000), min_size=1, max_size=40
+    ),
+    cooldown=st.integers(min_value=1, max_value=50_000),
+)
+def test_debounce_matches_python_reference(spark, tmp_path_factory, times, cooldown):
+    """The registered debounce (applyInPandas) == the one-line Python
+    recurrence, for arbitrary timelines and cooldowns; plus the
+    idempotence property (debouncing the kept set keeps everything)."""
+    from pyspark.sql import functions as F2
+
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    tmp = tmp_path_factory.mktemp("debounce_prop")
+    # the registered query's cooldown is fixed at 6h; rescale the drawn
+    # second offsets so the EFFECTIVE cooldown is the drawn one (keep-set
+    # is scale-invariant), materialized at integer microseconds so the
+    # reference recurrence and the engine see the identical timeline
+    scale = 21_600 / cooldown
+    rows = [
+        (i, int(t * scale * 1_000_000), 1, "error", 1.0, "{}")
+        for i, t in enumerate(sorted(times))
+    ]
+    kept_ref, last = [], None
+    for i, (eid, us, *_rest) in enumerate(rows):
+        if last is None or us >= last + 21_600 * 1_000_000:
+            kept_ref.append(eid)
+            last = us
+    spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F2.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.parquet(str(tmp / "events.parquet"))
+    got = sorted(
+        r["event_id"]
+        for r in QUERIES["debounce_alerts"].fn(spark, str(tmp)).collect()
+    )
+    assert got == kept_ref
+    # idempotence: debouncing only the kept events keeps all of them
+    kept_rows = [r for r in rows if r[0] in set(kept_ref)]
+    spark.createDataFrame(
+        kept_rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F2.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp / "events.parquet"))
+    again = sorted(
+        r["event_id"]
+        for r in QUERIES["debounce_alerts"].fn(spark, str(tmp)).collect()
+    )
+    assert again == kept_ref
