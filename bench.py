@@ -151,6 +151,7 @@ EXTENDED = [
     "seasonal_naive_mase_by_type",
     "pq_codes_gemm",
     "bigram_logprob_score",
+    "knn_label_eval",
 ]
 
 

@@ -11097,6 +11097,112 @@ def pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_eval",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < 50
+    ), sc AS (
+      SELECT q.vec_id AS query_id, q.label AS t_label,
+             e.vec_id AS neighbor_id, e.label AS n_label,
+             list_dot_product(e.ev, q.ev) / (e.nrm * q.nrm) AS c
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ), top AS (
+      SELECT query_id, t_label, n_label FROM (
+        SELECT query_id, t_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id) AS rn
+        FROM sc)
+      WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, t_label, n_label, COUNT(*) AS v
+      FROM top GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, t_label, n_label AS p_label FROM (
+        SELECT query_id, t_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, n_label) AS rn
+        FROM votes)
+      WHERE rn = 1
+    )
+    SELECT t_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN p_label = t_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((2000000 * SUM(CASE WHEN p_label = t_label THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+             AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: k-NN label-consistency evaluation (5-NN majority vote,
+    cosine, self excluded) over the labeled embeddings — the standard
+    embedding-space quality probe a training pipeline runs after
+    (re)embedding a corpus: if nearest neighbors don't share labels,
+    the space won't cluster, dedup, or retrieve well.  Probes = the 50
+    lowest ids; prediction = majority label with a (votes DESC, label)
+    tiebreak; per-class accuracy emits through the exact-integer
+    half-up DIV.  Composes the registered knn_join (broadcast query
+    slab x corpus scan — the corpus never shuffles for scoring);
+    neighbor ranks use raw-double cosine with an id tiebreak, so both
+    engines pick the identical neighbor sets."""
+    from .operators.similarity import knn_join
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    nn = knn_join(probes, emb, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    nn_lab = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("t_label"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    votes = nn_lab.groupBy("query_id", "t_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "t_label", F.col("n_label").alias("p_label"))
+    )
+    agg = pred.groupBy(F.col("t_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            F.when(F.col("p_label") == F.col("t_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    return agg.select(
+        "label",
+        "n_probes",
+        "n_correct",
+        F.expr(
+            "CAST((2000000 * n_correct + n_probes) DIV (2 * n_probes)"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("accuracy"),
+    )
+
+
+@register(
     "pq_codes_gemm",
     _PQ_CTES
     + """
