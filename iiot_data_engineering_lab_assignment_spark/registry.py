@@ -11518,13 +11518,14 @@ DRIVER_WINDOW: list[str] = [
     # unpivot_sensor_stats, value_histogram_by_type, filtered_aggregates,
     # modal_event_type_per_user, multiset_order_custkeys — all local-gate
     # green, each a sibling of a driver-green family anchor.  The r10
-    # rotation queue is those 6 plus the 17 NEW r9 registrations:
+    # rotation queue is those 6 plus the 18 NEW r9 registrations:
     # pq_codes_fixed, pq_codes_gemm, pq_adc_topk, ivf_pq_topk,
     # countmin_heavy_users, bloom_semijoin_vip_events, debounce_alerts,
     # jaccard_pairs_prefix, mmr_diversified_topk, vocab_oov_rate_by_source,
     # dup_aware_sample_weights, decayed_popularity_by_type, sax_words_daily,
     # kcore_peeling_rounds, quantile_normalize_by_source,
-    # seasonal_naive_mase_by_type, bigram_logprob_score (all local-gate
+    # seasonal_naive_mase_by_type, bigram_logprob_score, knn_label_eval
+    # (all local-gate
     # green at sf0.001/0.01/0.1 AND under a vanilla driver session);
     # after r10 every registered query will have at least one
     # driver-green row.
