@@ -910,34 +910,25 @@ def pq_encode(
     )
 
 
-def pq_adc_topk(
+def _adc_parts(
     embeddings: DataFrame,
-    codebook: dict[int, list[tuple[int, list[float]]]],
-    query_id: int = 0,
-    k: int = 10,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-) -> DataFrame:
-    """Asymmetric distance computation over PQ codes — the FAISS serving
-    path: the (uncompressed) query precomputes one m x n_codes distance
-    lookup table, and every stored vector's approximate distance is m
-    table lookups + adds, never a d-element fold per pair.  Here the
-    lookup table is itself a Spark plan over the n_codes codebook rows
-    (so both engines derive its doubles from the identical float32
-    slices), broadcast into the codes join; per-vector distances sum in
-    a FIXED subspace order (conditional sums, not a shuffle-order SUM)
-    so the oracle reproduces every bit.  Ascending (distance, id) top-k.
-    """
-    codes = pq_encode(embeddings, codebook, id_col, emb_col)
-    qrow = (
-        embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
-    )
-    if qrow is None:
-        raise ValueError(f"query vector {id_col}={query_id} not found")
-    q = [float(x) for x in qrow[emb_col]]
-    m = len(codebook)
+    q: list[float],
+    m: int,
+    n_codes: int,
+    id_col: str,
+    emb_col: str,
+):
+    """The shared ADC machinery (single source of truth for the
+    bit-reproducibility-critical arithmetic — review catch: it was
+    previously duplicated between :func:`pq_adc_topk` and
+    :func:`ivf_pq_topk`, a silent-desync hazard): returns
+    ``(lut, adc_raw)`` where ``lut`` is the m x n_codes lookup table of
+    subspace distances from the query to each code vector (a tiny Spark
+    plan over the codebook rows, so both engines derive its doubles
+    from the identical float32 slices) and ``adc_raw`` the aggregate
+    expression summing a vector's m lookups in FIXED subspace order
+    (conditional sums, not a shuffle-order SUM)."""
     dsub = len(q) // m
-    n_codes = len(codebook[0])
     e = _as_double(F.col(emb_col))
     entries = []
     for s in range(m):
@@ -953,8 +944,15 @@ def pq_adc_topk(
         )
     lut = (
         embeddings.filter(F.col(id_col) < n_codes)
-        .select(F.col(id_col).cast("int").alias("code"), F.explode(F.array(*entries)).alias("e"))
-        .select("code", F.col("e.sub_idx").cast("int").alias("sub_idx"), F.col("e.dist").alias("dist"))
+        .select(
+            F.col(id_col).cast("int").alias("code"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(
+            "code",
+            F.col("e.sub_idx").cast("int").alias("sub_idx"),
+            F.col("e.dist").alias("dist"),
+        )
     )
     part = [
         F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)
@@ -962,6 +960,33 @@ def pq_adc_topk(
     adc_raw = part[0]
     for p in part[1:]:
         adc_raw = adc_raw + p
+    return lut, adc_raw
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the FAISS serving
+    path: the (uncompressed) query precomputes one m x n_codes distance
+    lookup table, and every stored vector's approximate distance is m
+    table lookups + adds, never a d-element fold per pair (the shared
+    :func:`_adc_parts` machinery), broadcast into the codes join.
+    Ascending (distance, id) top-k."""
+    codes = pq_encode(embeddings, codebook, id_col, emb_col)
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
+    )
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    q = [float(x) for x in qrow[emb_col]]
+    lut, adc_raw = _adc_parts(
+        embeddings, q, len(codebook), len(codebook[0]), id_col, emb_col
+    )
     scored = (
         codes.join(F.broadcast(lut), ["sub_idx", "code"])
         .groupBy(id_col)
@@ -1039,31 +1064,14 @@ def ivf_pq_topk(
     )
     cand = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
     book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
-    codes = pq_encode(embeddings, book, id_col, emb_col).join(cand, id_col)
-    dsub = len(q) // m
-    e = _as_double(F.col(emb_col))
-    entries = []
-    for s in range(m):
-        qs = F.array(*[F.lit(x) for x in q[s * dsub : (s + 1) * dsub]])
-        cv = F.slice(e, s * dsub + 1, dsub)
-        entries.append(
-            F.struct(
-                F.lit(s).alias("sub_idx"),
-                (dot(qs, qs) - F.lit(2.0) * dot(qs, cv) + dot(cv, cv)).alias("dist"),
-            )
-        )
-    lut = (
-        embeddings.filter(F.col(id_col) < n_cells)
-        .select(
-            F.col(id_col).cast("int").alias("code"),
-            F.explode(F.array(*entries)).alias("e"),
-        )
-        .select("code", F.col("e.sub_idx").cast("int").alias("sub_idx"), F.col("e.dist").alias("dist"))
+    # semi-filter to the probed cells BEFORE encoding (review catch: a
+    # join on the encoded output cannot be pushed below the per-row
+    # encode by Catalyst, so the whole corpus paid the m*k argmin) —
+    # only ~nprobe/n_cells of vectors are encoded, identical result
+    codes = pq_encode(
+        embeddings.join(cand, id_col, "left_semi"), book, id_col, emb_col
     )
-    part = [F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)]
-    adc_raw = part[0]
-    for p in part[1:]:
-        adc_raw = adc_raw + p
+    lut, adc_raw = _adc_parts(embeddings, q, m, n_cells, id_col, emb_col)
     short = (
         codes.join(F.broadcast(lut), ["sub_idx", "code"])
         .groupBy(id_col)
@@ -1071,6 +1079,7 @@ def ivf_pq_topk(
         .orderBy(F.asc("adc_raw"), F.asc(id_col))
         .limit(shortlist)
     )
+    e = _as_double(F.col(emb_col))
     qarr = F.array(*[F.lit(x) for x in q])
     exact = (
         short.join(embeddings.select(id_col, emb_col), id_col)

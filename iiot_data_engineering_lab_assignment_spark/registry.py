@@ -6996,8 +6996,15 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         " concat(element_at(split(text, ' '), i), ' ',"
         " element_at(split(text, ' '), i + 1)) AS b))"
     )
-    bg = docs.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", F.col("g.w1").alias("w1"), F.col("g.b").alias("b")
+    # single-token/empty docs have no bigrams: filter BEFORE the
+    # transform — sequence(1, 0) is Spark's DESCENDING [1, 0] and the
+    # element_at(.., 0) inside would throw under ANSI (review catch);
+    # the oracle's range(1, len(t)) is empty for the same doc, so
+    # both sides simply omit it
+    bg = (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.b").alias("b"))
     )
     c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cp"))
@@ -10213,13 +10220,15 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lagged GROUP BY 1
     )
     SELECT event_type, n_hours,
-           CAST((2000000 * a_sum + a_n) // (2 * a_n) AS DOUBLE) / 10000000000.0
-             AS mae_seasonal,
-           CAST((2000000 * b_sum + b_n) // (2 * b_n) AS DOUBLE) / 10000000000.0
-             AS mae_naive,
+           CAST((2000000 * CAST(a_sum AS HUGEINT) + a_n) // (2 * a_n)
+                AS DOUBLE) / 10000000000.0 AS mae_seasonal,
+           CAST((2000000 * CAST(b_sum AS HUGEINT) + b_n) // (2 * b_n)
+                AS DOUBLE) / 10000000000.0 AS mae_naive,
            CASE WHEN b_sum = 0 THEN NULL
-                ELSE CAST((2000000 * a_sum * b_n + a_n * b_sum)
-                          // (2 * a_n * b_sum) AS DOUBLE) / 1000000.0
+                ELSE CAST((2000000 * CAST(a_sum AS HUGEINT) * b_n
+                           + a_n * CAST(b_sum AS HUGEINT))
+                          // (2 * a_n * CAST(b_sum AS HUGEINT))
+                          AS DOUBLE) / 1000000.0
            END AS mase
     FROM agg
     """,
@@ -10237,8 +10246,10 @@ def seasonal_naive_mase_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers via a shared half-up round, both error terms are then
     exact BIGINT sums in any partition order, and every emitted ratio —
     the two MAEs and their quotient — goes through the exact-integer
-    half-up DIV emitter (the cross-MAE ratio cross-multiplies
-    a_sum*b_n / a_n*b_sum so no intermediate float division exists).
+    half-up DIV emitter widened to DECIMAL(38,0)/HUGEINT (the cross-MAE
+    ratio cross-multiplies a_sum*b_n / a_n*b_sum so no intermediate
+    float division exists; the widening keeps that product exact at
+    year-scale spans where 2e6*a_sum*b_n exceeds int64).
     Plan: one groupBy to the |types| x |days| x 24 summary, LAGs over
     summary rows, a 5-row aggregate."""
     from pyspark.sql import Window
@@ -10274,21 +10285,27 @@ def seasonal_naive_mase_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("m4") - F.col("p1"))).alias("b_sum"),
         F.count("p1").alias("b_n"),
     )
+    # emitters widen to DECIMAL(38,0) (HUGEINT on the oracle side): the
+    # cross-multiplied MASE term 2e6 * a_sum * b_n exceeds int64 at
+    # year-scale spans x 1e6-scale quantized means (review catch —
+    # ANSI Spark would throw ARITHMETIC_OVERFLOW, not corrupt)
     return agg.select(
         "event_type",
         "n_hours",
         F.expr(
-            "CAST((2000000 * a_sum + a_n) DIV (2 * a_n) AS DOUBLE)"
-            " / 10000000000.0"
+            "CAST((2000000 * CAST(a_sum AS DECIMAL(38,0)) + a_n)"
+            " DIV (2 * a_n) AS DOUBLE) / 10000000000.0"
         ).alias("mae_seasonal"),
         F.expr(
-            "CAST((2000000 * b_sum + b_n) DIV (2 * b_n) AS DOUBLE)"
-            " / 10000000000.0"
+            "CAST((2000000 * CAST(b_sum AS DECIMAL(38,0)) + b_n)"
+            " DIV (2 * b_n) AS DOUBLE) / 10000000000.0"
         ).alias("mae_naive"),
         F.expr(
             "CASE WHEN b_sum = 0 THEN NULL"
-            " ELSE CAST((2000000 * a_sum * b_n + a_n * b_sum)"
-            " DIV (2 * a_n * b_sum) AS DOUBLE) / 1000000.0 END"
+            " ELSE CAST((2000000 * CAST(a_sum AS DECIMAL(38,0)) * b_n"
+            " + a_n * CAST(b_sum AS DECIMAL(38,0)))"
+            " DIV (2 * a_n * CAST(b_sum AS DECIMAL(38,0)))"
+            " AS DOUBLE) / 1000000.0 END"
         ).alias("mase"),
     )
 
@@ -10364,16 +10381,19 @@ def quantile_normalize_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.withColumn("srank", F.row_number().over(ws)).withColumn(
         "n_src", F.count(F.lit(1)).over(Window.partitionBy("source"))
     )
+    # exact integer DIV, not float floor: (srank-1)*(N-1) passes 2^53 at
+    # ~1e9 docs and the double cast would land on the wrong global rank
+    # (review catch — the same DIV discipline as every ratio emitter)
     mapped = s.select(
         "doc_id",
         "source",
         "n_chars",
         F.when(
             F.col("n_src") > 1,
-            1
-            + F.floor(
-                (F.col("srank") - 1) * F.lit(n_total - 1) / (F.col("n_src") - 1)
-            ).cast("long"),
+            F.expr(
+                f"1 + ((srank - 1) * CAST({n_total - 1} AS BIGINT))"
+                " DIV (n_src - 1)"
+            ),
         )
         .otherwise(F.lit((n_total + 1) // 2))
         .alias("g_pos"),

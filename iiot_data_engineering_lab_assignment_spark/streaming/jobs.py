@@ -1236,7 +1236,13 @@ def read_countmin_estimates(
     """Point-query the streaming CMS store: merge per-batch counter grids
     (GROUP BY sum — additivity), then estimate each key as the MIN over
     its d bucket counters.  The merged grid is <= d*w rows regardless of
-    stream volume, so it broadcasts."""
+    stream volume, so it broadcasts.
+
+    The probe join is LEFT with a COALESCE-to-0: an empty bucket has no
+    stored row, and an inner join would silently drop that probe — a key
+    the stream never saw would then estimate as the min of its remaining
+    COLLIDING buckets (or vanish from the output entirely) instead of
+    the true CMS answer 0 (review catch)."""
     merged = (
         spark.read.parquet(f"{store_dir}/batch_id=*")
         .groupBy("j", "b")
@@ -1246,7 +1252,7 @@ def read_countmin_estimates(
         key_col, F.explode(cms_bucket_tags(F.col(key_col), d, w)).alias("h")
     ).select(key_col, F.col("h.j").alias("j"), F.col("h.b").alias("b"))
     return (
-        probes.join(F.broadcast(merged), ["j", "b"])
+        probes.join(F.broadcast(merged), ["j", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cms_est"))
     )

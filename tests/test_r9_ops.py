@@ -809,3 +809,64 @@ def test_bigram_lm_flags_scrambled_text(spark, tmp_path):
         for r in QUERIES["bigram_logprob_score"].fn(spark, str(tmp_path)).collect()
     }
     assert got[100] > got[0]
+
+
+def test_bigram_lm_survives_single_token_docs(spark, tmp_path):
+    """Docs with <2 tokens carry no bigrams: they must be OMITTED (like
+    the oracle's empty range), not crash the transform with an
+    out-of-range element_at (review catch: sequence(1,0) descends)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = [
+        (0, "only", "en", "src0", 4),
+        (1, "two tokens", "en", "src0", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r["n_bigrams"]
+        for r in QUERIES["bigram_logprob_score"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_countmin_unseen_key_estimates_zero(spark, tmp_path):
+    """A key the stream never saw must estimate 0 whenever any of its
+    buckets is empty — the LEFT-join contract (review catch: an inner
+    join silently returned colliding-bucket counts or dropped the key)."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        read_countmin_estimates,
+        run_stream_countmin,
+    )
+
+    # tiny stream: ONE user -> at most 4 of the 256 buckets non-empty,
+    # so any other key is guaranteed an empty bucket -> est 0
+    import glob
+    import shutil
+
+    spark.createDataFrame(
+        [(0, 0, 1, "error", 1.0, "{}")],
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.parquet(str(tmp_path / "ev_dir"))
+    # the fixture layout is a single parquet FILE (events_file_stream
+    # symlinks it into its staging dir and does not recurse into a
+    # symlinked directory)
+    part = glob.glob(str(tmp_path / "ev_dir" / "part-*.parquet"))[0]
+    shutil.copy(part, str(tmp_path / "events.parquet"))
+    store = str(tmp_path / "cms_store")
+    run_stream_countmin(spark, str(tmp_path), store)
+    keys = spark.createDataFrame([(1,), (999_999,)], "user_id long")
+    got = {
+        r["user_id"]: r["cms_est"]
+        for r in read_countmin_estimates(spark, store, keys).collect()
+    }
+    assert got[1] == 1
+    assert got[999_999] == 0  # present in output, estimated 0
