@@ -152,6 +152,7 @@ EXTENDED = [
     "pq_codes_gemm",
     "bigram_logprob_score",
     "knn_label_eval",
+    "rolling_slope_24h_per_user",
 ]
 
 

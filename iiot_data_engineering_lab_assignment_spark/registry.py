@@ -10192,6 +10192,101 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_slope_24h_per_user",
+    """
+    WITH pts AS (
+      SELECT event_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 AS x,
+             CAST(ROUND(value * 10000) AS BIGINT) AS y4
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id,
+             COUNT(*) OVER fr AS n,
+             SUM(x) OVER fr AS sx,
+             SUM(y4) OVER fr AS sy4,
+             SUM(x * x) OVER fr AS sxx,
+             SUM(x * y4) OVER fr AS sxy4
+      FROM pts
+      WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS n_window,
+           CASE WHEN n >= 2 AND (n * sxx) - (sx * sx) <> 0
+                THEN ROUND((8.64 * ((n * sxy4) - (sx * sy4)))
+                           / ((n * sxx) - (sx * sx)), 6)
+           END AS slope_per_day
+    FROM w
+    """,
+)
+def rolling_slope_24h_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: per-event rolling least-squares slope of value vs time over
+    the user's trailing 24 h — the windowed drift-RATE signal
+    (linear_trend_per_type gives one global fit; this emits how fast
+    each sensor is drifting NOW, per reading, the quantity a
+    maintenance alert thresholds on).
+
+    Exactness: x is integer seconds since 2024-01-01 and y the exact
+    1e-4-scaled integer, so all five windowed sufficient statistics are
+    exact BIGINT sums under any evaluation order (x*y4 <= ~1.3e13 and
+    day-bounded frames keep every sum far from 2^63); both engines then
+    divide the IDENTICAL exact-integer-derived doubles, so the 6dp
+    round cannot diverge (the hazard is engine-DIFFERENT doubles, not
+    rounding of equal ones).  8.64 rescales (value/1e4)/sec to
+    value-units/day.  Degenerate frames (n < 2 or zero variance — e.g.
+    all ties at one timestamp) emit NULL identically via the shared
+    guard.  Plan: ONE user-keyed sort shuffle shared by all five RANGE
+    frames — the high-cardinality timeline shape, never |types| tasks."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    y4 = F.expr("CAST(ROUND(value * 10000) AS BIGINT)")
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        y4.alias("y4"),
+    ).withColumn(
+        # integer DIV, never float: ulp(µs/1e6) near an integer boundary
+        # can round UP across the second mark (the TESTDATA truncation
+        # hazard class) while DuckDB's // floors exactly
+        "x",
+        F.expr("us DIV 1000000 - 1704067200"),
+    )
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    w = pts.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("x").over(fr).alias("sx"),
+        F.sum("y4").over(fr).alias("sy4"),
+        F.sum(F.col("x") * F.col("x")).over(fr).alias("sxx"),
+        F.sum(F.col("x") * F.col("y4")).over(fr).alias("sxy4"),
+    )
+    denom = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    return w.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("long").alias("n_window"),
+        F.when(
+            (F.col("n") >= 2) & (denom != 0),
+            F.round(
+                (
+                    F.lit(8.64)
+                    * ((F.col("n") * F.col("sxy4")) - (F.col("sx") * F.col("sy4")))
+                )
+                / denom,
+                6,
+            ),
+        ).alias("slope_per_day"),
+    )
+
+
+@register(
     "seasonal_naive_mase_by_type",
     """
     WITH hourly AS (
