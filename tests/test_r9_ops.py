@@ -870,3 +870,42 @@ def test_countmin_unseen_key_estimates_zero(spark, tmp_path):
     }
     assert got[1] == 1
     assert got[999_999] == 0  # present in output, estimated 0
+
+
+def test_rolling_slope_recovers_planted_rate(spark, tmp_path):
+    """A user whose value rises exactly 2.5 units/hour: every window with
+    n >= 2 must report slope 60.0/day; a single-reading window and an
+    all-ties-at-one-timestamp window must both emit NULL."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    H = 3_600_000_000
+    base = 1_704_067_200_000_000  # the query's x-epoch, exact seconds
+    rows = [
+        (i, base + i * H, 1, "view", 100.0 + 2.5 * i, "{}") for i in range(30)
+    ]
+    rows.append((100, base, 2, "view", 7.0, "{}"))  # lone reading: NULL
+    # user 3: two readings at the SAME microsecond -> zero x-variance
+    rows.append((200, base, 3, "view", 1.0, "{}"))
+    rows.append((201, base, 3, "view", 2.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in QUERIES["rolling_slope_24h_per_user"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["slope_per_day"] is None  # first reading: n=1
+    for i in range(1, 30):
+        assert got[i]["slope_per_day"] == pytest.approx(60.0, abs=1e-6), i
+        assert got[i]["n_window"] == min(i + 1, 25)  # 24h window holds 25 pts
+    assert got[100]["slope_per_day"] is None
+    assert got[200]["slope_per_day"] is None and got[201]["slope_per_day"] is None
