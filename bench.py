@@ -153,6 +153,7 @@ EXTENDED = [
     "bigram_logprob_score",
     "knn_label_eval",
     "rolling_slope_24h_per_user",
+    "source_epoch_allocation",
 ]
 
 

@@ -10192,6 +10192,65 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_epoch_allocation",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+             SUM(sqrt(n_tokens * 1.0)) AS z
+      FROM per
+    )
+    SELECT source, n_tokens,
+           ROUND(sqrt(n_tokens * 1.0) / tot.z, 6) AS target_share,
+           ROUND(LEAST(4.0, (tot.budget * (sqrt(n_tokens * 1.0) / tot.z))
+                            / n_tokens), 4) AS epochs,
+           CAST(ROUND(LEAST(4.0 * n_tokens,
+                            tot.budget * (sqrt(n_tokens * 1.0) / tot.z)), 0)
+                AS BIGINT) AS tokens_allocated
+    FROM per CROSS JOIN tot
+    """,
+)
+def source_epoch_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: epoch allocation under a token budget — the data-mixing
+    rule from the data-constrained scaling-law literature (Muennighoff
+    et al. 2023: repeating data holds value up to ~4 epochs, then
+    decays): each source's target share is sqrt-temperature-scaled
+    (up-weights tail sources), and its EPOCH count is capped at 4 —
+    the budget a small high-quality source cannot absorb spills
+    implicitly to the rest at renormalization time.
+
+    Cross-engine determinism without integers: sqrt is IEEE
+    correctly-rounded (unlike pow/exp), so both engines build identical
+    shares from identical exact token counts, and every emitted value
+    rounds the SAME double.  One groupBy(source) aggregate; the budget
+    and normalizer ride along as a broadcast 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("budget"),
+        F.sum(F.sqrt(F.col("n_tokens") * F.lit(1.0))).alias("z"),
+    )
+    share = F.sqrt(F.col("n_tokens") * F.lit(1.0)) / F.col("z")
+    target = F.col("budget") * share
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(share, 6).alias("target_share"),
+        F.round(
+            F.least(F.lit(4.0), target / F.col("n_tokens")), 4
+        ).alias("epochs"),
+        F.round(F.least(F.lit(4.0) * F.col("n_tokens"), target), 0)
+        .cast("long")
+        .alias("tokens_allocated"),
+    )
+
+
+@register(
     "rolling_slope_24h_per_user",
     """
     WITH pts AS (
@@ -11633,13 +11692,14 @@ DRIVER_WINDOW: list[str] = [
     # unpivot_sensor_stats, value_histogram_by_type, filtered_aggregates,
     # modal_event_type_per_user, multiset_order_custkeys — all local-gate
     # green, each a sibling of a driver-green family anchor.  The r10
-    # rotation queue is those 6 plus the 18 NEW r9 registrations:
+    # rotation queue is those 6 plus the NEW r9 registrations:
     # pq_codes_fixed, pq_codes_gemm, pq_adc_topk, ivf_pq_topk,
     # countmin_heavy_users, bloom_semijoin_vip_events, debounce_alerts,
     # jaccard_pairs_prefix, mmr_diversified_topk, vocab_oov_rate_by_source,
     # dup_aware_sample_weights, decayed_popularity_by_type, sax_words_daily,
     # kcore_peeling_rounds, quantile_normalize_by_source,
-    # seasonal_naive_mase_by_type, bigram_logprob_score, knn_label_eval
+    # seasonal_naive_mase_by_type, bigram_logprob_score, knn_label_eval,
+    # rolling_slope_24h_per_user, source_epoch_allocation
     # (all local-gate
     # green at sf0.001/0.01/0.1 AND under a vanilla driver session);
     # after r10 every registered query will have at least one
