@@ -909,3 +909,19 @@ def test_rolling_slope_recovers_planted_rate(spark, tmp_path):
         assert got[i]["n_window"] == min(i + 1, 25)  # 24h window holds 25 pts
     assert got[100]["slope_per_day"] is None
     assert got[200]["slope_per_day"] is None and got[201]["slope_per_day"] is None
+
+
+def test_source_epoch_allocation_caps_and_shares(spark, documents):
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["source_epoch_allocation"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r["target_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r["epochs"] <= 4.0
+        assert r["tokens_allocated"] <= 4 * r["n_tokens"]
+    # sqrt-temperature up-weights tails: the smallest source gets MORE
+    # epochs than the largest
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    if by_tokens[0]["n_tokens"] < by_tokens[-1]["n_tokens"]:
+        assert by_tokens[0]["epochs"] >= by_tokens[-1]["epochs"]
