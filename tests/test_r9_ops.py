@@ -911,6 +911,45 @@ def test_rolling_slope_recovers_planted_rate(spark, tmp_path):
     assert got[200]["slope_per_day"] is None and got[201]["slope_per_day"] is None
 
 
+def test_rolling_slope_minute_cadence_no_overflow(spark, tmp_path):
+    """r11 regression (r9 ADVICE medium): at minute cadence a 24 h frame
+    holds 1441 points and x ~ 8e7 (mid-2026 seconds since 2024-01-01),
+    so the pre-fix BIGINT sufficient statistics overflowed 2^63 inside
+    n*sxx / sx*sx (and even inside SUM(x*x) itself) — Spark 4 ANSI
+    raised ARITHMETIC_OVERFLOW.  The DECIMAL(38,0) form must run the
+    full 48 h series and recover the planted 1 unit/minute = 1440/day
+    slope exactly in every full window."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    M = 60_000_000  # one minute in microseconds
+    base = 1_704_067_200_000_000 + 81_648_000_000_000  # 2026-08-04-ish
+    rows = [
+        (i, base + i * M, 1, "view", 1000.0 + 1.0 * i, "{}")
+        for i in range(2880)  # 48 h of minute readings
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, us long, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("us").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_id"]: r
+        for r in QUERIES["rolling_slope_24h_per_user"].fn(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 2880
+    for i in (1441, 2000, 2879):  # windows at full 24 h depth
+        assert got[i]["n_window"] == 1441
+        assert got[i]["slope_per_day"] == pytest.approx(1440.0, abs=1e-6), i
+    assert got[0]["slope_per_day"] is None  # n=1 guard intact
+
+
 def test_source_epoch_allocation_caps_and_shares(spark, documents):
     from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
 
