@@ -911,48 +911,46 @@ def pq_encode(
 
 
 def _adc_parts(
-    embeddings: DataFrame,
+    spark,
     q: list[float],
-    m: int,
-    n_codes: int,
-    id_col: str,
-    emb_col: str,
+    codebook: dict[int, list[tuple[int, list[float]]]],
 ):
     """The shared ADC machinery (single source of truth for the
     bit-reproducibility-critical arithmetic — review catch: it was
     previously duplicated between :func:`pq_adc_topk` and
     :func:`ivf_pq_topk`, a silent-desync hazard): returns
     ``(lut, adc_raw)`` where ``lut`` is the m x n_codes lookup table of
-    subspace distances from the query to each code vector (a tiny Spark
-    plan over the codebook rows, so both engines derive its doubles
-    from the identical float32 slices) and ``adc_raw`` the aggregate
-    expression summing a vector's m lookups in FIXED subspace order
-    (conditional sums, not a shuffle-order SUM)."""
+    subspace distances from the query to each code vector and
+    ``adc_raw`` the aggregate expression summing a vector's m lookups
+    in FIXED subspace order (conditional sums, not a shuffle-order SUM).
+
+    r11 fix (r9 ADVICE low): the LUT is now derived from the PASSED
+    ``codebook`` — the previous form rebuilt it from the pinned
+    ``id < n_codes`` embedding slices, so any caller passing a trained
+    codebook silently scored against the wrong table.  The codebook's
+    centroid doubles go in as a literal DataFrame and the distance is
+    the same sequential-fold ``dot`` arithmetic as before, so for the
+    pinned codebook the LUT values are bit-identical to the old path
+    (the centroids ARE those slices, collected and re-emitted as the
+    same IEEE doubles)."""
+    m = len(codebook)
     dsub = len(q) // m
-    e = _as_double(F.col(emb_col))
-    entries = []
-    for s in range(m):
-        qs = F.array(*[F.lit(x) for x in q[s * dsub : (s + 1) * dsub]])
-        cv = F.slice(e, s * dsub + 1, dsub)
-        entries.append(
-            F.struct(
-                F.lit(s).alias("sub_idx"),
-                (dot(qs, qs) - F.lit(2.0) * dot(qs, cv) + dot(cv, cv)).alias(
-                    "dist"
-                ),
-            )
-        )
-    lut = (
-        embeddings.filter(F.col(id_col) < n_codes)
-        .select(
-            F.col(id_col).cast("int").alias("code"),
-            F.explode(F.array(*entries)).alias("e"),
-        )
-        .select(
-            "code",
-            F.col("e.sub_idx").cast("int").alias("sub_idx"),
-            F.col("e.dist").alias("dist"),
-        )
+    rows = [
+        (int(s), int(code), [float(x) for x in cv])
+        for s, cents in sorted(codebook.items())
+        for code, cv in cents
+    ]
+    book = spark.createDataFrame(
+        rows, "sub_idx int, code int, cv array<double>"
+    )
+    qfull = F.array(*[F.lit(float(x)) for x in q])
+    qs = F.slice(qfull, F.col("sub_idx") * dsub + 1, dsub)
+    lut = book.select(
+        "code",
+        "sub_idx",
+        (dot(qs, qs) - F.lit(2.0) * dot(qs, F.col("cv")) + dot(F.col("cv"), F.col("cv"))).alias(
+            "dist"
+        ),
     )
     part = [
         F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)
@@ -984,9 +982,7 @@ def pq_adc_topk(
     if qrow is None:
         raise ValueError(f"query vector {id_col}={query_id} not found")
     q = [float(x) for x in qrow[emb_col]]
-    lut, adc_raw = _adc_parts(
-        embeddings, q, len(codebook), len(codebook[0]), id_col, emb_col
-    )
+    lut, adc_raw = _adc_parts(embeddings.sparkSession, q, codebook)
     scored = (
         codes.join(F.broadcast(lut), ["sub_idx", "code"])
         .groupBy(id_col)
@@ -1071,7 +1067,7 @@ def ivf_pq_topk(
     codes = pq_encode(
         embeddings.join(cand, id_col, "left_semi"), book, id_col, emb_col
     )
-    lut, adc_raw = _adc_parts(embeddings, q, m, n_cells, id_col, emb_col)
+    lut, adc_raw = _adc_parts(embeddings.sparkSession, q, book)
     short = (
         codes.join(F.broadcast(lut), ["sub_idx", "code"])
         .groupBy(id_col)

@@ -8133,24 +8133,51 @@ def linear_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "autocorr_lag1_per_type",
     """
     WITH lagged AS (
-      SELECT event_type, value,
-             LAG(value) OVER (PARTITION BY event_type
-                              ORDER BY ts, event_id) AS prev
+      SELECT event_type,
+             CAST(ROUND(value * 10000) AS BIGINT) AS y4,
+             LAG(CAST(ROUND(value * 10000) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS p4
       FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(p4) AS BIGINT) AS n,
+             SUM(CASE WHEN p4 IS NOT NULL THEN y4 END) AS sx,
+             SUM(p4) AS sy,
+             SUM(y4 * p4) AS sxy,
+             SUM(CASE WHEN p4 IS NOT NULL THEN y4 * y4 END) AS sxx,
+             SUM(p4 * p4) AS syy
+      FROM lagged GROUP BY 1
     )
-    SELECT event_type,
-           COUNT(prev) AS n_pairs,
-           ROUND(corr(value, prev), 6) AS autocorr_lag1
-    FROM lagged GROUP BY event_type
+    SELECT event_type, n AS n_pairs,
+           CASE WHEN n >= 2 AND (n * sxx) - (sx * sx) > 0
+                         AND (n * syy) - (sy * sy) > 0
+                THEN ROUND(CAST((n * sxy) - (sx * sy) AS DOUBLE)
+                           / (sqrt(CAST((n * sxx) - (sx * sx) AS DOUBLE))
+                              * sqrt(CAST((n * syy) - (sy * sy) AS DOUBLE))),
+                           6)
+           END AS autocorr_lag1
+    FROM s
     """,
 )
 def autocorr_lag1_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation per sensor type — the is-this-signal-noise
     probe (white noise ~0, a drifting/oscillating sensor shows structure).
     Pearson corr of (x_t, x_{t-1}) over the (ts, event_id)-deterministic
-    per-key timeline; corr is scale-free and both engines use
-    numerically-stable one-pass updates, so 6dp rounding hashes stably
-    (same precedent as stats_moments).
+    per-key timeline.
+
+    r11 hardening (r9 ADVICE low): the previous form compared Spark's
+    F.corr one-pass accumulation against the oracle's corr — measured
+    2e-6 apart at sf0.1, past the 6dp hash resolution.  Both engines
+    now compute corr from the SAME exact integer sufficient statistics
+    (y quantized to 1e-4 BIGINTs; n, Sx, Sy, Sxy, Sxx, Syy exact under
+    any partition/accumulation order, DECIMAL(38,0) in Spark, HUGEINT
+    in DuckDB), then evaluate the identical closed form
+    (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) on the
+    identical doubles — sqrt is IEEE correctly-rounded, so the 6dp
+    round cannot diverge and repartitioning cannot shift a bit.
+    Degenerate keys (n < 2 or zero variance on either leg) emit NULL
+    via the shared guard.  Bound note: n*Sxx stays under 38 digits
+    through ~1e12 rows/key at |value| <= 1e3 — the 100 TB envelope.
 
     r9 rewrite (r8 verdict "What's wrong #3"): the naive
     ``LAG OVER (PARTITION BY event_type)`` makes ONE task sort each
@@ -8183,10 +8210,36 @@ def autocorr_lag1_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("first.value").alias("value"),
         F.lag(F.col("last.value")).over(w_days).alias("prev"),
     )
-    pairs = within.unionByName(boundary)
-    return pairs.groupBy("event_type").agg(
-        F.count("prev").alias("n_pairs"),
-        F.round(F.corr("value", "prev"), 6).alias("autocorr_lag1"),
+    dec = "decimal(38,0)"
+    pairs = within.unionByName(boundary).select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 10000) AS BIGINT)").alias("y4"),
+        F.expr("CAST(ROUND(prev * 10000) AS BIGINT)").alias("p4"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count("p4").cast(dec).alias("n"),
+        F.sum(F.when(F.col("p4").isNotNull(), F.col("y4")).cast(dec)).alias("sx"),
+        F.sum(F.col("p4").cast(dec)).alias("sy"),
+        F.sum((F.col("y4") * F.col("p4")).cast(dec)).alias("sxy"),
+        F.sum(
+            F.when(F.col("p4").isNotNull(), F.col("y4") * F.col("y4")).cast(dec)
+        ).alias("sxx"),
+        F.sum((F.col("p4") * F.col("p4")).cast(dec)).alias("syy"),
+    )
+    d1 = (F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))
+    d2 = (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when(
+            (F.col("n") >= 2) & (d1 > 0) & (d2 > 0),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+                6,
+            ),
+        ).alias("autocorr_lag1"),
     )
 
 

@@ -86,6 +86,83 @@ def test_pq_adc_missing_query_raises(embeddings):
         pq_adc_topk(embeddings, book, query_id=10**9)
 
 
+def test_pq_adc_follows_passed_codebook(embeddings):
+    """r11 regression (r9 ADVICE low): the ADC lookup table must be
+    derived from the codebook ARGUMENT.  The pre-fix `_adc_parts`
+    rebuilt it from the pinned `id < n_codes` slices, so (a) a
+    code-relabeled book broke relabel invariance (codes permuted, LUT
+    didn't) and (b) a trained/shifted book was silently ignored."""
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    base = [(r["vec_id"], r["adc"]) for r in pq_adc_topk(embeddings, book, query_id=0, k=10).collect()]
+
+    # (a) relabel invariance: swap code ids 0 <-> 1 in every subspace —
+    # the code->centroid MAP is unchanged, so ADC output must be too
+    swap = {0: 1, 1: 0}
+    relabeled = {
+        s: sorted(((swap.get(c, c), v) for c, v in cents))
+        for s, cents in book.items()
+    }
+    got = [(r["vec_id"], r["adc"]) for r in pq_adc_topk(embeddings, relabeled, query_id=0, k=10).collect()]
+    assert got == base
+
+    # (b) a genuinely different book: translate every centroid by +3.0
+    # per element and recompute the expected ADC top-k in pure Python
+    # with the engine's exact fold order
+    shifted = {
+        s: [(c, [x + 3.0 for x in v]) for c, v in cents]
+        for s, cents in book.items()
+    }
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in embeddings.select("vec_id", "embedding").collect()
+    }
+    q = vecs[0]
+    m = len(shifted)
+    dsub = len(q) // m
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def enc(v):  # pq_encode: argmin of |v|^2 - 2 v.c + |c|^2, (d2, code) tiebreak
+        out = []
+        for s in sorted(shifted):
+            vs = v[s * dsub : (s + 1) * dsub]
+            vnorm = fold_dot(vs, vs)
+            cands = []
+            for code, c in shifted[s]:
+                cnorm = 0.0
+                for x in c:
+                    cnorm += x * x
+                cands.append((vnorm - 2.0 * fold_dot(vs, c) + cnorm, code))
+            out.append(min(cands)[1])
+        return out
+
+    lut = {}
+    for s in sorted(shifted):
+        qs = q[s * dsub : (s + 1) * dsub]
+        for code, c in shifted[s]:
+            lut[(s, code)] = (
+                fold_dot(qs, qs) - 2.0 * fold_dot(qs, c) + fold_dot(c, c)
+            )
+    scored = []
+    for vid, v in vecs.items():
+        codes = enc(v)
+        adc = lut[(0, codes[0])]
+        for s in range(1, m):
+            adc = adc + lut[(s, codes[s])]
+        scored.append((adc, vid))
+    scored.sort()
+    expect = [(vid, round(adc, 6)) for adc, vid in scored[:10]]
+    got2 = [(r["vec_id"], r["adc"]) for r in pq_adc_topk(embeddings, shifted, query_id=0, k=10).collect()]
+    assert [v for v, _ in got2] == [v for v, _ in expect]
+    for (_, a), (_, b) in zip(got2, expect):
+        assert a == pytest.approx(b, abs=1e-9)
+    assert got2 != base  # the shifted book really changed the scores
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch
 
@@ -211,6 +288,30 @@ def test_autocorr_matches_naive_global_lag(spark, events):
     for t in got:
         assert got[t][0] == naive[t][0]
         assert got[t][1] == pytest.approx(naive[t][1], abs=2e-6)
+
+
+def test_autocorr_bit_stable_across_repartitionings(spark):
+    """r11 hardening (r9 ADVICE low): corr now comes from exact integer
+    sufficient statistics, so the emitted doubles must be BIT-identical
+    no matter how the input is partitioned — the one-pass F.corr form
+    this replaces drifted 2e-6 with accumulation order."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    fn = QUERIES["autocorr_lag1_per_type"].fn
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("1", "7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results.append(
+                sorted(
+                    (r["event_type"], r["n_pairs"], r["autocorr_lag1"])
+                    for r in fn(spark, SF_DIR).collect()
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]  # exact ==, no approx
 
 
 # ---------------------------------------------------------------------------
