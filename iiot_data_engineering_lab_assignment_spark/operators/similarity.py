@@ -33,8 +33,11 @@ __all__ = [
     "pq_codebook",
     "pq_encode",
     "pq_adc_topk",
+    "pq_adc_topk_gemm",
     "pq_encode_gemm",
     "ivf_pq_topk",
+    "build_ivfpq_store",
+    "ivf_pq_topk_stored",
 ]
 
 
@@ -1037,21 +1040,8 @@ def ivf_pq_topk(
         raise ValueError(f"query vector {id_col}={query_id} not found")
     q = [float(x) for x in qrow[emb_col]]
 
-    def _d2(a: list[float], b: list[float]) -> float:
-        # qq - 2*qc + cc with left-fold sums == list_dot_product order
-        aa = 0.0
-        for x in a:
-            aa = aa + x * x
-        ab = 0.0
-        for x, y in zip(a, b):
-            ab = ab + x * y
-        bb = 0.0
-        for y in b:
-            bb = bb + y * y
-        return aa - 2.0 * ab + bb
-
     probed = sorted(
-        ((_d2(q, c), cell) for cell, c in cents.items())
+        ((_d2_fold(q, c), cell) for cell, c in cents.items())
     )[:nprobe]
     probe_cells = [cell for _, cell in probed]
 
@@ -1083,6 +1073,137 @@ def ivf_pq_topk(
             id_col,
             (dot(e, e) - F.lit(2.0) * dot(e, qarr) + dot(qarr, qarr)).alias("d2_raw"),
         )
+    )
+    return (
+        exact.orderBy(F.asc("d2_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("d2_raw", 6).alias("d2"))
+    )
+
+
+def _d2_fold(a: list[float], b: list[float]) -> float:
+    """Driver-side squared L2 as qq - 2*qc + cc with left-fold sums —
+    the exact accumulation order of :func:`dot` / list_dot_product, so
+    parameter math (probe selection) matches the data-path arithmetic."""
+    aa = 0.0
+    for x in a:
+        aa = aa + x * x
+    ab = 0.0
+    for x, y in zip(a, b):
+        ab = ab + x * y
+    bb = 0.0
+    for y in b:
+        bb = bb + y * y
+    return aa - 2.0 * ab + bb
+
+
+def build_ivfpq_store(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ serving index: the full corpus is coarse-
+    assigned to its nearest cell and PQ-encoded ONCE, and the long-form
+    codes (id, sub_idx, code) land as parquet PARTITIONED BY cell — the
+    build-time half of the FAISS serving split.  At 10^9 vectors this
+    is the one corpus-scale pass; every subsequent query touches only
+    ``nprobe`` cell directories (partition pruning at the file listing,
+    before any IO) and reads m bytes/vector of codes, never the
+    embeddings.  Centroids/codebook are the pinned ``id < n_cells``
+    convention shared with :func:`ivf_pq_topk`, so the stored codes are
+    deterministic and a serving query over the store is value-identical
+    to the inline plan (r10 verdict: probe measured 0.84 s/query stored
+    vs 34.1 s inline at 1M vectors, SCALE.md r9)."""
+    cents_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(id_col, emb_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(cents_rows) < n_cells:
+        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
+    cents = {int(r[id_col]): [float(x) for x in r[emb_col]] for r in cents_rows}
+    assigned = assign_cells(embeddings, cents, id_col, emb_col).select(
+        id_col, F.col("cell").cast("int").alias("cell")
+    )
+    book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
+    codes = pq_encode(embeddings, book, id_col, emb_col)
+    (
+        codes.join(assigned, id_col)
+        .repartition("cell")  # one writer task per cell dir, no tiny files
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_pq_topk_stored(
+    embeddings: DataFrame,
+    store_path: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    n_cells: int = 8,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """The SERVING half of the IVF-PQ split (r10 verdict ask #3): query
+    against a :func:`build_ivfpq_store` index instead of re-assigning
+    and re-encoding the corpus per call (the inline :func:`ivf_pq_topk`
+    registers the oracle-demo shape; this is the operational one).
+
+    Plan: probe selection is k-row driver-side parameter math (same
+    left-fold arithmetic as list_dot_product); the codes scan carries
+    ``cell IN (probed)`` on the PARTITION column, so pruning happens at
+    file listing — a 1000-executor cluster lists nprobe/n_cells of the
+    directories and reads 4 bytes/vector from those alone; the ADC
+    shortlist then joins the broadcast m x n_codes LUT and only the
+    ``shortlist`` survivors touch full embedding vectors for the exact
+    re-rank.  Value-identical to the inline plan (same pinned
+    centroids/codebook, same fixed-subspace-order ADC sums), so it
+    shares its value-hash oracle."""
+    spark = embeddings.sparkSession
+    cents_rows = sorted(
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(id_col, emb_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(cents_rows) < n_cells:
+        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
+    cents = {int(r[id_col]): [float(x) for x in r[emb_col]] for r in cents_rows}
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    q = [float(x) for x in qrow[emb_col]]
+    probe_cells = [
+        cell
+        for _, cell in sorted(
+            ((_d2_fold(q, c), cell) for cell, c in cents.items())
+        )[:nprobe]
+    ]
+    codes = spark.read.parquet(store_path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
+    lut, adc_raw = _adc_parts(spark, q, book)
+    short = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy(id_col)
+        .agg(adc_raw.alias("adc_raw"))
+        .orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    e = _as_double(F.col(emb_col))
+    qarr = F.array(*[F.lit(x) for x in q])
+    exact = short.join(embeddings.select(id_col, emb_col), id_col).select(
+        id_col,
+        (dot(e, e) - F.lit(2.0) * dot(e, qarr) + dot(qarr, qarr)).alias("d2_raw"),
     )
     return (
         exact.orderBy(F.asc("d2_raw"), F.asc(id_col))
@@ -1164,3 +1285,81 @@ def pq_encode_gemm(
             yield pd.concat(frames, ignore_index=True)
 
     return embeddings.select(id_col, emb_col).mapInPandas(_encode, out_schema)
+
+
+def pq_adc_topk_gemm(
+    embeddings: DataFrame,
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched GEMM tier of :func:`pq_adc_topk` (r10 verdict ask
+    #8): per batch, each subspace scores as ONE (n x dsub) @ (dsub x
+    n_codes) matrix product + argmin, the m lookups gather as numpy
+    fancy-indexing, and only the batch's k best (adc, id) rows leave
+    Python — the corpus never crosses Arrow as scored rows, so the
+    global TakeOrdered merges P*k candidates.
+
+    Bit parity with the fold form, term by term: (1) codes — GEMM
+    argmin == fold argmin (inter-centroid gaps ~1e15 x the accumulation
+    ulp; the pq_encode_gemm precedent, pytest-pinned); (2) the LUT —
+    COLLECTED from the same `_adc_parts` Spark plan, so its doubles are
+    the fold form's doubles verbatim; (3) the per-vector total — numpy
+    elementwise adds in FIXED subspace order ((l0+l1)+l2)+l3, the exact
+    add tree of `adc_raw`.  IEEE doubles make each step deterministic,
+    so the top-k is value-identical and shares pq_adc_topk's oracle."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    q = [float(x) for x in qrow[emb_col]]
+    lut_df, _ = _adc_parts(embeddings.sparkSession, q, codebook)
+    subs = sorted(codebook.items())
+    n_codes = len(subs[0][1])
+    lutmat = np.zeros((len(subs), n_codes), dtype=np.float64)
+    for r in lut_df.collect():  # m x n_codes parameter rows, never data
+        lutmat[r["sub_idx"], r["code"]] = r["dist"]
+    mats = []  # (sub_idx, start, dsub, C (k x dsub), cnorm (k,))
+    start = 0
+    for s, cents in subs:
+        C = np.array([c for _, c in cents], dtype=np.float64)
+        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1)))
+        start += C.shape[1]
+    codes_order = [code for code, _ in subs[0][1]]
+    assert codes_order == sorted(codes_order), "codebook must be code-sorted"
+    code_arr = np.array(codes_order, dtype=np.int64)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("adc_raw", DoubleType(), False),
+        ]
+    )
+
+    def _score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            adc = None
+            for s, st, dsub, C, cnorm in mats:
+                Xs = X[:, st : st + dsub]
+                D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
+                codes = code_arr[D.argmin(axis=1)]
+                term = lutmat[s, codes]
+                adc = term if adc is None else adc + term
+            out = pd.DataFrame({id_col: ids, "adc_raw": adc})
+            yield out.sort_values([ "adc_raw", id_col]).head(k)
+
+    scored = embeddings.select(id_col, emb_col).mapInPandas(_score, out_schema)
+    return (
+        scored.orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("adc_raw", 6).alias("adc"))
+    )

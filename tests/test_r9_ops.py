@@ -1051,6 +1051,23 @@ def test_rolling_slope_minute_cadence_no_overflow(spark, tmp_path):
     assert got[0]["slope_per_day"] is None  # n=1 guard intact
 
 
+def test_pq_adc_gemm_matches_fold_topk(spark, embeddings):
+    """r11 (r10 verdict ask #8 done-criterion): the GEMM ADC tier must
+    produce a BIT-identical shortlist to the fold form — same ids, same
+    rounded distances, for the pinned book AND a translated one."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_gemm,
+        pq_codebook,
+    )
+
+    book = pq_codebook(embeddings, n_codes=8, m=4)
+    for b in (book, {s: [(c, [x + 1.5 for x in v]) for c, v in cents] for s, cents in book.items()}):
+        fold = [tuple(r) for r in pq_adc_topk(embeddings, b, query_id=0, k=10).collect()]
+        gemm = [tuple(r) for r in pq_adc_topk_gemm(embeddings, b, query_id=0, k=10).collect()]
+        assert gemm == fold
+
+
 def test_source_epoch_allocation_caps_and_shares(spark, documents):
     from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
 
