@@ -510,3 +510,22 @@ def test_ivfpq_stored_probe_reaches_partition_filters(spark, tmp_path):
     inline = [tuple(r) for r in ivf_pq_topk(emb, query_id=0, k=10, nprobe=3, shortlist=50).collect()]
     stored = [tuple(r) for r in served.collect()]
     assert stored == inline
+
+
+def test_pagerank_bucketed_edges_no_src_exchange(spark):
+    """r11 (r10 verdict ask #5 done-criterion): with the edge list read
+    from the bucketed catalog table, no iteration exchanges the edge
+    side — the plan must show bucketed scans (SelectedBucketsCount) and
+    ZERO `Exchange hashpartitioning(src`, with broadcast/AQE disabled so
+    the join has to prove co-location."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["pagerank_supplier_customer"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan  # bucketed path, not the fallback
+        assert "Exchange hashpartitioning(src" not in plan
+        assert len(df.collect()) == 20
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
