@@ -5509,26 +5509,19 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     best = F.array_min(F.array(*entries))
-    # global mean: per-dim avg (1 x d parameter row, the k x d pattern)
-    dim_means = [
-        float(r["m"])
-        for r in emb.select(
-            F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
-        )
-        .groupBy("pos")
-        .agg(F.avg("v").alias("m"))
-        .orderBy("pos")
-        .collect()
-    ]
-    marr = F.array(*[F.lit(x) for x in dim_means])
-    mnorm = float(sum(x * x for x in dim_means))
-    n_emb = emb.count()
+    # r11 (r10 verdict ask #7): the global-mean term no longer needs its
+    # own posexplode full-corpus scan + collect — with S_i the per-dim
+    # sums, sum||v - m||^2 = sum|v|^2 - (S.S)/n, so the d per-dim sums
+    # ride along as columns of the SAME single-pass aggregate (d comes
+    # from the already-collected k x d centroid matrix, not a scan)
+    d_dim = len(next(iter(cents.values())))
+    n_emb = emb.count()  # parquet metadata count, not a data scan
     scored = assigned.select(
         "vec_id",
         "cell",
         F.greatest(best["d2"], F.lit(0.0)).alias("d2"),
         vnorm.alias("vnorm"),
-        dot(e, marr).alias("vm"),
+        _as_double(F.col("embedding")).alias("ev"),
     )
     stats = scored.agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -5537,12 +5530,17 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cells_in_range"
         ),
         F.sum("d2").alias("inertia"),
-        # sum ||v - m||^2 = sum|v|^2 - 2 sum(v.m) + n|m|^2
-        (
-            F.sum("vnorm")
-            - F.lit(2.0) * F.sum("vm")
-            + F.count(F.lit(1)) * F.lit(mnorm)
-        ).alias("total_var"),
+        F.sum("vnorm").alias("svn"),
+        *[
+            F.sum(F.element_at("ev", i + 1)).alias(f"s{i}")
+            for i in range(d_dim)
+        ],
+    )
+    ss = F.lit(0.0)
+    for i in range(d_dim):
+        ss = ss + F.col(f"s{i}") * F.col(f"s{i}")
+    stats = stats.withColumn(
+        "total_var", F.col("svn") - ss / F.col("n_vecs")
     )
     return stats.select(
         F.col("n_vecs").cast("long").alias("n_vecs"),
