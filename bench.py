@@ -154,6 +154,10 @@ EXTENDED = [
     "knn_label_eval",
     "rolling_slope_24h_per_user",
     "source_epoch_allocation",
+    # round-11 additions: the stored-index IVF-PQ serving path and the
+    # Arrow/GEMM ADC tier
+    "ivf_pq_topk_stored",
+    "pq_adc_topk_gemm",
 ]
 
 

@@ -916,13 +916,83 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, n=3, threshold=0.4)
 
 
-@register("minhash_lsh_pairs", None)
+@register(
+    "minhash_lsh_pairs",
+    """
+    WITH eligible AS (
+      SELECT doc_id, md5(text) AS fp FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), g AS (
+      SELECT fp, COUNT(*) AS c FROM eligible GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+             AS n_exact_dup_pairs,
+           TRUE AS exact_dups_recalled,
+           TRUE AS pairs_canonical,
+           TRUE AS pairs_verified_ge_threshold
+    FROM g
+    """,
+)
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands) candidate pairs verified by exact Jaccard.
-    Hash functions are engine-internal (xxhash64) so there is no SQL
-    oracle; tests assert consistency against ngram_jaccard_pairs."""
+    """MinHash(32)+LSH(8 bands) candidate pairs verified by exact Jaccard
+    — the production xxhash64 tier.
+
+    r11 upgrade rows-only -> envelope oracle (r10 verdict ask #10, the
+    kmeans_assignments pattern): the hash family is engine-internal so
+    the PAIR SET can't be replayed in SQL (that surface is the
+    hash-checked ``minhash_lsh_pairs_md5`` twin), but the LSH CONTRACT
+    itself is oracle-expressible as booleans the oracle emits as TRUE:
+    (1) every pair of md5-identical docs (with >= n tokens, i.e. a
+    non-empty shingle set) MUST be emitted — identical text gives an
+    identical signature, hence identical band buckets, hence a
+    guaranteed candidate that verifies at jaccard 1.0, a theorem for
+    ANY hash family; (2) every emitted pair is canonical (doc_a <
+    doc_b) and carries verified jaccard >= threshold.  n_docs and
+    n_exact_dup_pairs are exact integers both engines derive
+    independently, so a broken pipeline (dropped verifier, lost
+    candidates, de-canonicalized pairs) flips the value hash while a
+    legitimate hash-family change cannot."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3, threshold=0.4)
+    pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3, threshold=0.4)
+    elig = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        F.md5("text").alias("fp"), "doc_id"
+    )
+    a, b = elig.alias("a"), elig.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_dup = exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
+    )
+    recalled = exact_pairs.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
+    checks = pairs.agg(
+        F.coalesce(
+            F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+        ).alias("pairs_canonical"),
+        F.coalesce(F.bool_and(F.col("jaccard") >= 0.4), F.lit(True)).alias(
+            "pairs_verified_ge_threshold"
+        ),
+    )
+    return (
+        n_docs.crossJoin(n_dup)
+        .crossJoin(recalled)
+        .crossJoin(checks)
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            "exact_dups_recalled",
+            "pairs_canonical",
+            "pairs_verified_ge_threshold",
+        )
+    )
 
 
 @register(
@@ -1067,11 +1137,72 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(history, increment, num_hashes=16, bands=4, n=3, threshold=0.4)
 
 
-@register("simhash_pairs", None)
+@register(
+    "simhash_pairs",
+    """
+    WITH g AS (
+      SELECT md5(text) AS fp, COUNT(*) AS c FROM documents GROUP BY 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+             AS n_exact_dup_pairs,
+           TRUE AS exact_dups_recalled,
+           TRUE AS pairs_canonical,
+           TRUE AS pairs_within_budget
+    FROM g
+    """,
+)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (Hamming <= 3, banded blocking)."""
+    """SimHash near-dup candidates (Hamming <= 3, banded blocking) — the
+    production xxhash64 tier.
+
+    r11 upgrade rows-only -> envelope oracle (r10 verdict ask #10; the
+    per-bit-checkable surface is ``simhash_signature_md5``): the
+    CONTRACT asserted as oracle-TRUE booleans is hash-family-invariant:
+    (1) md5-identical docs have identical 64-bit signatures, so their
+    Hamming distance is 0 and the pigeonhole banding (max_hamming+1
+    bands) GUARANTEES a shared band bucket — every exact-dup pair must
+    be emitted; (2) every emitted pair is canonical and within the
+    Hamming budget.  n_docs / n_exact_dup_pairs are exact integers both
+    engines derive independently."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=3)
+    pairs = simhash_pairs(docs, max_hamming=3)
+    fp = docs.select(F.md5("text").alias("fp"), "doc_id")
+    a, b = fp.alias("a"), fp.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    n_dup = exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
+    )
+    recalled = exact_pairs.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
+    checks = pairs.agg(
+        F.coalesce(
+            F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+        ).alias("pairs_canonical"),
+        F.coalesce(F.bool_and(F.col("hamming") <= 3), F.lit(True)).alias(
+            "pairs_within_budget"
+        ),
+    )
+    return (
+        n_docs.crossJoin(n_dup)
+        .crossJoin(recalled)
+        .crossJoin(checks)
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            "exact_dups_recalled",
+            "pairs_canonical",
+            "pairs_within_budget",
+        )
+    )
 
 
 @register(
