@@ -2717,16 +2717,38 @@ def stream_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("cosine_dup_pairs_blocked", None)
+@register(
+    "cosine_dup_pairs_blocked",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) / (a.n * b.n) >= 0.4
+    """,
+)
 def cosine_dup_pairs_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-GEMM form of the cosine dedup (applyInPandas numpy matmul per
-    unordered block pair) — 28x the exact-JVM form at sf0.1 with an
-    identical pair set (tested); GEMM summation order differs from the
-    sequential SQL oracle so this entry is rows-only."""
+    unordered block pair) — 28x the exact-JVM form at sf0.1.
+
+    r11 upgrade rows-only -> pair-set value hash (r10 verdict ask #10):
+    the COSINE VALUES carry GEMM-order low bits the sequential oracle
+    can't replay, but the PAIR SET is decided by `cosine >= threshold`
+    where GEMM-vs-fold drift is ~1e-13 relative — an inclusion flip
+    needs a pair within that distance of 0.4, excluded by the fixtures'
+    near-uniform spread (the pq_codes_gemm argmin-invariance argument;
+    pair-set equality with the exact-JVM form is also pytest-pinned).
+    So the registered surface drops the value column and hashes
+    (id_a, id_b) against the exact sequential oracle; the per-pair
+    cosine values stay checked through ``cosine_dup_pairs``."""
     from .operators.similarity import cosine_dup_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_dup_pairs_blocked(emb, threshold=0.4)
+    return cosine_dup_pairs_blocked(emb, threshold=0.4).select("id_a", "id_b")
 
 
 @register(
@@ -2833,16 +2855,64 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qvec, nprobe=3, k=10)
 
 
-@register("winnowing_fingerprints", None)
+@register(
+    "winnowing_fingerprints",
+    """
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_tok >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_fp,
+           TRUE AS fp_counts_within_bounds
+    FROM t
+    """,
+)
 def winnowing_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (winnowing) document fingerprints — engine-internal
-    hashing => rows-only; structural properties asserted in tests, and
-    the selection logic is value-hash-checked through the md5 twin
-    below."""
+    """Rolling-hash (winnowing, k=3 w=4) document fingerprints — the
+    production xxhash64 tier.
+
+    r11 upgrade rows-only -> envelope oracle (r10 verdict ask #10): the
+    fingerprint VALUES are engine-internal (that surface is the
+    value-hash-checked ``winnowing_fingerprints_md5`` twin — literally
+    the same _winnow code), but the SELECTION contract is
+    hash-family-invariant and oracle-expressible: (1) exactly the docs
+    with >= k tokens (a non-empty k-gram list) emit fingerprints —
+    n_docs_with_fp is an exact integer the oracle derives independently
+    from token counts; (2) per doc, the distinct-fingerprint count is
+    between 1 and the window count max(1, n_kgrams - w + 1) — each
+    window contributes one min, so a broken clamp or a dropped/
+    duplicated selection flips the boolean while any hash family
+    satisfies it."""
     from .operators.text import winnowing_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")
-    return winnowing_fingerprints(docs)
+    fps = winnowing_fingerprints(docs)  # (doc_id, fingerprint), k=3 w=4
+    per_doc = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    ).withColumn(
+        "max_fp",
+        F.greatest(F.lit(1), F.col("n_tok") - F.lit(3) + F.lit(1) - F.lit(4) + F.lit(1)),
+    )
+    j = tok.join(per_doc, "doc_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_fp").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_with_fp"),
+        F.coalesce(
+            F.bool_and(
+                F.when(
+                    F.col("n_tok") >= 3,
+                    F.col("n_fp").isNotNull()
+                    & (F.col("n_fp") >= 1)
+                    & (F.col("n_fp") <= F.col("max_fp")),
+                ).otherwise(F.col("n_fp").isNull())
+            ),
+            F.lit(True),
+        ).alias("fp_counts_within_bounds"),
+    )
 
 
 @register(
