@@ -1685,16 +1685,45 @@ def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ===========================================================================
 # Deterministic IIoT generator (S4) — reference parity for
-# ingestion/ingest_data.py, rows-only (RNG is engine-internal)
+# ingestion/ingest_data.py (envelope oracle: the RNG values are
+# engine-internal, the generated VOLUME and dim join are exact)
 # ===========================================================================
 
 
-@register("iiot_backfill_rollup", None)
+@register(
+    "iiot_backfill_rollup",
+    """
+    WITH machines(machine_id, machine_type, location) AS (
+      VALUES ('CNC-001', 'CNC Mill', 'Assembly Line A'),
+             ('LATHE-002', 'Lathe', 'Tooling Bay 2'),
+             ('PRESS-003', 'Hydraulic Press', 'Stamping Area'),
+             ('WELD-004', 'Robotic Welder', 'Line B')
+    ), sensors(sensor_type) AS (
+      VALUES ('temperature'), ('vibration'), ('pressure'), ('power_draw')
+    )
+    SELECT machine_id, machine_type, location, sensor_type,
+           CAST(168 AS BIGINT) AS count_readings,
+           TRUE AS min_le_avg, TRUE AS avg_le_max
+    FROM machines CROSS JOIN sensors
+    """,
+)
 def iiot_backfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline end-to-end in batch: 7-day hourly Gaussian
     backfill (2,688 readings = 168 ticks x 4 machines x 4 sensors,
     ingest_data.py:90-118) -> machine-dim broadcast join -> per
-    (machine, sensor) rollup.  Deterministic for fixed seed+partitioning."""
+    (machine, sensor) rollup.  Deterministic for fixed seed+partitioning.
+
+    r11 upgrade rows-only -> envelope oracle (r10 verdict ask #10): the
+    Gaussian VALUES come from Spark's seeded randn — engine-internal RNG
+    the oracle cannot replay (those stay pinned by the determinism tests
+    in tests/test_generator.py) — but the generator's VOLUME contract is
+    exact arithmetic both engines state independently: the rollup must
+    contain exactly the 4x4 (machine, sensor) grid from
+    ingest_data.py:19-31, each with count_readings = 168 (7 days x 24
+    hourly ticks), machine_type/location exactly as the dim join supplies
+    them, and min <= avg <= max emitted as oracle-TRUE booleans.  A
+    dropped tick, a dim-join fanout, a lost sensor type, or a broken
+    aggregate flips the value hash; a reseeded RNG cannot."""
     from .operators.aggregates import sensor_rollup
     from .sources.generator import generate_backfill, machines_df
 
@@ -1702,7 +1731,15 @@ def iiot_backfill_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = machines_df(spark)
     joined = join_dim(readings, dim, "machine_id")
     out = sensor_rollup(joined, "machine_id", "machine_type", "location", "sensor_type")
-    return out
+    return out.select(
+        "machine_id",
+        "machine_type",
+        "location",
+        "sensor_type",
+        F.col("count_readings").cast("long").alias("count_readings"),
+        (F.col("min_value") <= F.col("avg_value")).alias("min_le_avg"),
+        (F.col("avg_value") <= F.col("max_value")).alias("avg_le_max"),
+    )
 
 
 # ===========================================================================
@@ -6338,21 +6375,116 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semantic_dedup_pairs", None)
+@register(
+    "semantic_dedup_pairs",
+    """
+    WITH nz AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[])) > 0
+    ), g AS (
+      SELECT COUNT(*) AS c FROM nz GROUP BY embedding
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+             AS n_exact_dup_pairs,
+           TRUE AS exact_dups_recalled,
+           TRUE AS pairs_canonical,
+           TRUE AS pairs_cos_ge_threshold
+    FROM g
+    """,
+)
 def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-duplicate pairs, SemDeDup-style: k-means
     clusters the corpus, pairs are compared only within a cluster (the
     cluster id is the blocking key; one dense GEMM per cell, replication
-    factor 1).  Rows-only check (k-means is iterative, not
-    SQL-expressible); pair recall on planted duplicate blobs is asserted
-    in tests/test_dedup_similarity.py.  Threshold 0.4 matches the other
-    cosine-dup entries: the fixture embeddings are near-uniform (no
-    0.95-cosine pairs exist at all), and the point of the registry row is
-    to exercise the cluster-blocked path on rows that actually survive."""
-    from .operators.similarity import semantic_dedup_pairs
+    factor 1).  Threshold 0.4 matches the other cosine-dup entries: the
+    fixture embeddings are near-uniform (no 0.95-cosine pairs exist at
+    all), so the registry row exercises the cluster-blocked path on rows
+    that actually survive.
 
+    r11 upgrade rows-only -> envelope oracle (r10 verdict ask #10, the
+    ``minhash_lsh_pairs`` pattern): the adaptive k-means seeding +
+    iteration count make the CELL PARTITION engine-internal, so the pair
+    set can't be replayed in SQL (that surface is the hash-checked
+    fixed-quantizer twin ``semantic_dedup_pairs_fixed``) — but the
+    SemDeDup CONTRACT is oracle-expressible: (1) every pair of vectors
+    with BIT-IDENTICAL non-zero embeddings MUST be emitted — identical
+    vectors are a pure function of themselves under nearest-centroid
+    assignment (same distances, same (d2, cell) tiebreak => same cell for
+    ANY centroid set) and their unit-normalized GEMM cosine is 1 >=
+    threshold, a theorem for any k-means outcome; (2) every emitted pair
+    is canonical (id_a < id_b) and its independently recomputed exact
+    cosine clears threshold - 1e-6 (GEMM float64 tolerance).  n_vecs and
+    n_exact_dup_pairs are exact integers both engines derive by grouping
+    on the raw embedding arrays (bit-exact floats from the same parquet
+    — no string canonicalization needed).  Pair recall on planted
+    duplicate blobs stays asserted in tests/test_dedup_similarity.py."""
+    from .operators.similarity import _as_double, semantic_dedup_pairs
+
+    threshold = 0.4
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, k=8, threshold=0.4, max_iter=5)
+    pairs = semantic_dedup_pairs(emb, k=8, threshold=threshold, max_iter=5)
+
+    sq_norm = F.aggregate(
+        _as_double(F.col("embedding")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    nz = emb.filter(sq_norm > 0).select("vec_id", "embedding")
+    a, b = nz.alias("a"), nz.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.embedding") == F.col("b.embedding"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+
+    ev = nz.select("vec_id", _as_double(F.col("embedding")).alias("ev"))
+    ea, eb = ev.alias("ea"), ev.alias("eb")
+    dot_ab = F.aggregate(
+        F.zip_with(F.col("ea.ev"), F.col("eb.ev"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n2 = lambda side: F.aggregate(  # noqa: E731
+        F.col(f"{side}.ev"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    recomputed = (
+        pairs.join(ea, pairs["id_a"] == F.col("ea.vec_id"))
+        .join(eb, pairs["id_b"] == F.col("eb.vec_id"))
+        .select((dot_ab / (F.sqrt(n2("ea")) * F.sqrt(n2("eb")))).alias("cos_exact"))
+    )
+
+    n_vecs = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    n_dup = exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
+    )
+    recalled = exact_pairs.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
+    canonical = pairs.agg(
+        F.coalesce(
+            F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)
+        ).alias("pairs_canonical")
+    )
+    within = recomputed.agg(
+        F.coalesce(
+            F.bool_and(F.col("cos_exact") >= threshold - 1e-6), F.lit(True)
+        ).alias("pairs_cos_ge_threshold")
+    )
+    return (
+        n_vecs.crossJoin(n_dup)
+        .crossJoin(recalled)
+        .crossJoin(canonical)
+        .crossJoin(within)
+        .select(
+            "n_vecs",
+            "n_exact_dup_pairs",
+            "exact_dups_recalled",
+            "pairs_canonical",
+            "pairs_cos_ge_threshold",
+        )
+    )
 
 
 @register(
@@ -12022,6 +12154,379 @@ def debounce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Round-11 wave: KMV sketch set algebra, chained streaming windows
+# ===========================================================================
+
+#: md5-based uniform hash shared by the KMV queries: fold the first 13 hex
+#: chars (52 bits — a double-exact dyadic fraction) into a BIGINT.  The
+#: md5 family is the cross-engine-checkable tier (the production tier
+#: would swap in xxhash64, exactly as minhash_lsh_pairs_md5 vs the
+#: xxhash64 production path).
+_KMV_HASH = (
+    "aggregate(transform(sequence(1, 13), i -> cast(locate(substr({h}, i, 1), "
+    "'0123456789abcdef') - 1 as bigint)), 0L, (a, x) -> a * 16 + x)"
+)
+
+_KMV_SQL_HASH = (
+    "list_reduce(list_transform(range(1, 14), i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+
+@register(
+    "kmv_user_overlap_event_types",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT event_type, {_KMV_SQL_HASH} AS hv FROM du
+    ), n AS (
+      SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1
+    ), f AS (
+      SELECT h.event_type, hv FROM h JOIN n USING (event_type)
+      WHERE CAST(hv AS DOUBLE) / 4503599627370496.0
+            < LEAST(1.0, 2048.0 / n.n)
+    ), sk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM f QUALIFY rn <= 256
+    ), tstats AS (
+      SELECT event_type, COUNT(*) AS n_sk, MAX(hv) AS theta_int
+      FROM sk GROUP BY 1
+    ), test AS (
+      SELECT event_type,
+             CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+                  ELSE 255.0 / (CAST(theta_int AS DOUBLE) / 4503599627370496.0)
+             END AS est
+      FROM tstats
+    ), pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM n a JOIN n b ON a.event_type < b.event_type
+    ), m AS (
+      SELECT pr.type_a, pr.type_b, sk.hv,
+             MAX(CASE WHEN sk.event_type = pr.type_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN sk.event_type = pr.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pr JOIN sk ON sk.event_type IN (pr.type_a, pr.type_b)
+      GROUP BY 1, 2, 3
+    ), u AS (
+      SELECT type_a, type_b, hv, in_a, in_b,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+      FROM m QUALIFY rn <= 256
+    ), pest AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS m_used,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS matches,
+             MAX(hv) AS theta_int
+      FROM u GROUP BY 1, 2
+    ), ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS inter
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           ea.est AS est_distinct_a,
+           eb.est AS est_distinct_b,
+           CASE WHEN p.m_used < 256 THEN CAST(p.m_used AS DOUBLE)
+                ELSE 255.0 / (CAST(p.theta_int AS DOUBLE) / 4503599627370496.0)
+           END AS est_union,
+           CAST(p.matches AS DOUBLE) / p.m_used AS est_jaccard,
+           CAST(COALESCE(ex.inter, 0) AS DOUBLE)
+             / (na.n + nb.n - COALESCE(ex.inter, 0)) AS exact_jaccard
+    FROM pest p
+    JOIN test ea ON ea.event_type = p.type_a
+    JOIN test eb ON eb.event_type = p.type_b
+    JOIN n na ON na.event_type = p.type_a
+    JOIN n nb ON nb.event_type = p.type_b
+    LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+    """,
+)
+def kmv_user_overlap_event_types_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch set algebra over per-event-type user
+    sets: estimated distinct users per type, estimated UNION size, and
+    estimated JACCARD for every type pair — the set operation family HLL
+    sketches cannot provide (HLL unions but never intersects; KMV's
+    bottom-k sample supports both, Beyer et al. SIGMOD'07).
+
+    Spark-first scale shape: the k smallest hashes per group are found
+    WITHOUT a per-group total sort — a deterministic pre-filter keeps
+    only hashes below 8k/n (n = the group's exact distinct count, one
+    cheap count aggregate broadcast back), so the subsequent per-group
+    ranking sorts ~2048 survivors instead of n.  P(k-th min > 8k/n) <
+    exp(-k(8-1)^2/16) ~ e^-784 — and because the ORACLE applies the SAME
+    filter, even that event could not flip the value hash.  All sketch
+    state is INTEGER (52-bit md5-prefix folds — the dyadic fraction is
+    double-exact on both engines), so every emitted double is
+    bit-identical across engines and needs no rounding.  The estimator:
+    distinct ~ (k-1)/theta_k (theta_k = normalized k-th smallest hash),
+    Jaccard ~ |K(A u B) n sk(A) n sk(B)| / k, union ~ (k-1)/theta of the
+    merged sketch; exact_jaccard rides along as ground truth (the
+    fixture's user sets overlap heavily, so estimates are near 1).  At
+    100 TB the sketches are ~k values per group — the merge is a
+    broadcast-size object, the same shape as hll_distinct_merge's
+    partial-sketch store."""
+    from pyspark.sql import Window
+
+    K = 256
+    two52 = 4503599627370496.0
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.expr(_KMV_HASH.format(h="md5(cast(user_id as string))")).alias("hv"),
+    )
+    n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    f = h.join(F.broadcast(n), "event_type").filter(
+        (F.col("hv").cast("double") / two52)
+        < F.least(F.lit(1.0), F.lit(8.0 * K) / F.col("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        f.select("event_type", "hv")
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") <= K)
+    )
+    tstats = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("hv").alias("theta_int")
+    )
+    test = tstats.select(
+        "event_type",
+        F.when(F.col("n_sk") < K, F.col("n_sk").cast("double"))
+        .otherwise(F.lit(float(K - 1)) / (F.col("theta_int").cast("double") / two52))
+        .alias("est"),
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    pr = na.join(
+        nb, F.col("na.event_type") < F.col("nb.event_type")
+    ).select(
+        F.col("na.event_type").alias("type_a"),
+        F.col("nb.event_type").alias("type_b"),
+        F.col("na.n").alias("n_a"),
+        F.col("nb.n").alias("n_b"),
+    )
+    skr = sk.select(F.col("event_type").alias("sk_type"), "hv")
+    m = (
+        F.broadcast(pr)
+        .join(
+            skr,
+            (F.col("sk_type") == F.col("type_a"))
+            | (F.col("sk_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "hv")
+        .agg(
+            F.max((F.col("sk_type") == F.col("type_a")).cast("int")).alias("in_a"),
+            F.max((F.col("sk_type") == F.col("type_b")).cast("int")).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    u = m.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= K)
+    pest = u.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("m_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+        F.max("hv").alias("theta_int"),
+    )
+    dua, dub = du.alias("dua"), du.alias("dub")
+    ex = (
+        dua.join(
+            dub,
+            (F.col("dua.user_id") == F.col("dub.user_id"))
+            & (F.col("dua.event_type") < F.col("dub.event_type")),
+        )
+        .groupBy(
+            F.col("dua.event_type").alias("type_a"),
+            F.col("dub.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ests = test
+    return (
+        pest.join(F.broadcast(pr.select("type_a", "type_b", "n_a", "n_b")), ["type_a", "type_b"])
+        .join(
+            F.broadcast(ests.select(F.col("event_type").alias("type_a"), F.col("est").alias("est_distinct_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(ests.select(F.col("event_type").alias("type_b"), F.col("est").alias("est_distinct_b"))),
+            "type_b",
+        )
+        .join(F.broadcast(ex), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_distinct_a",
+            "est_distinct_b",
+            F.when(F.col("m_used") < K, F.col("m_used").cast("double"))
+            .otherwise(
+                F.lit(float(K - 1)) / (F.col("theta_int").cast("double") / two52)
+            )
+            .alias("est_union"),
+            (F.col("matches").cast("double") / F.col("m_used")).alias("est_jaccard"),
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "histogram_quantile_sketch",
+    """
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), b AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(FLOOR(value / 0.1953125), 0), 1023) AS BIGINT)
+               AS bin
+      FROM ev
+    ), m AS (
+      SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS total
+      FROM m
+    ), qs AS (
+      SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q
+    ), j AS (
+      SELECT c.event_type, qs.q, c.bin, c.c, c.cum, c.total,
+             row_number() OVER (PARTITION BY c.event_type, qs.q ORDER BY c.bin)
+               AS rn
+      FROM cum c JOIN qs ON CAST(c.cum AS DOUBLE) >= qs.q * c.total
+    ), est AS (
+      SELECT event_type, q,
+             bin * 0.1953125
+               + 0.1953125 * ((q * total - (cum - c)) / c) AS est_value
+      FROM j WHERE rn = 1
+    ), ex AS (
+      SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
+             ROUND(quantile_cont(value, 0.5), 4) AS exact_value
+      FROM ev GROUP BY 1
+      UNION ALL
+      SELECT event_type, CAST(0.95 AS DOUBLE), ROUND(quantile_cont(value, 0.95), 4)
+      FROM ev GROUP BY 1
+      UNION ALL
+      SELECT event_type, CAST(0.99 AS DOUBLE), ROUND(quantile_cont(value, 0.99), 4)
+      FROM ev GROUP BY 1
+    )
+    SELECT e.event_type, e.q, e.est_value, x.exact_value
+    FROM est e JOIN ex x ON e.event_type = x.event_type AND e.q = x.q
+    """,
+)
+def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: MERGEABLE fixed-bin histogram quantiles — the
+    partial-aggregation path to percentiles at 100 TB.  Exact
+    ``percentile`` needs the full sorted multiset per group (one giant
+    shuffle + sort, and no incremental maintenance); a 1024-bin
+    fixed-domain histogram is an algebraic partial (per-day / per-batch
+    bin counts SUM associatively — the ``rollup_partials`` /
+    ``incremental_rollup_merge`` store shape), so a nightly pipeline
+    keeps O(groups x 1024) integers and answers any quantile with one
+    scan of the SKETCH, error bounded by the bin width (200/1024 ~ 0.2
+    here).  Estimation: first bin whose cumulative count reaches
+    q*total, linearly interpolated within the bin; ``exact_value``
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    ``percentile_order_value`` pattern) rides along as ground truth.
+    The bin width 0.1953125 = 200/1024 is an exact dyadic, every
+    intermediate is integer or a deterministic double expression, so
+    est_value is bit-identical across engines with no rounding."""
+    from pyspark.sql import Window
+
+    W_BIN = 0.1953125  # 200/1024 — exact dyadic, representable in double
+    NB = 1024
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "event_type",
+        F.least(
+            F.greatest(F.floor(F.col("value") / W_BIN), F.lit(0)),
+            F.lit(NB - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    m = b.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wtot = Window.partitionBy("event_type")
+    cum = m.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "q double")
+    j = cum.crossJoin(F.broadcast(qs)).filter(
+        F.col("cum").cast("double") >= F.col("q") * F.col("total")
+    )
+    wrn = Window.partitionBy("event_type", "q").orderBy("bin")
+    est = (
+        j.withColumn("rn", F.row_number().over(wrn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            (
+                F.col("bin") * W_BIN
+                + W_BIN
+                * (
+                    (F.col("q") * F.col("total") - (F.col("cum") - F.col("c")))
+                    / F.col("c")
+                )
+            ).alias("est_value"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("ps")
+    )
+    exact = exact.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)).alias("q"),
+                F.col("ps").alias("v"),
+            )
+        ).alias("z"),
+    ).select(
+        "event_type",
+        F.col("z.q").alias("q"),
+        F.round(F.col("z.v"), 4).alias("exact_value"),
+    )
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type", "q", "est_value", "exact_value"
+    )
+
+
+@register(
+    "stream_cascade_1m_to_5m",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_cascade_1m_to_5m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: chained streaming windowed aggregation — a 1-minute
+    partial rollup re-aggregated into 5-minute finals inside ONE
+    streaming query (two stateful operators, ``window_time`` chaining,
+    append mode; a sentinel event closes the final windows for the
+    replay).  The multi-stateful-operator form previously missing from
+    the streaming surface; the oracle is the direct batch 5-minute
+    rollup, which the cascade must equal exactly because the 1-minute
+    stage carries mergeable partials (decimal sum / min / max / count)
+    rather than finalized averages."""
+    from .streaming.jobs import run_stream_cascade_rollup
+
+    return run_stream_cascade_rollup(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -12083,21 +12588,26 @@ DRIVER_WINDOW: list[str] = [
     "ivf_pq_topk",
     "countmin_heavy_users",
     "debounce_alerts",
-    # --- 24 family anchors (all driver-green in earlier rounds) ---
+    # --- family anchors (all driver-green in earlier rounds) ---
     "sensor_rollup_1m",
     "zscore_anomalies",
-    "events_passthrough",
-    "scalar_roundtrip",
-    "date_partition_derivation",
     "sliding_rollup_1m_30s",
-    "retention_filter",
     "zorder_key_events",
-    "json_extract_props",
-    "string_functions",
     "dedup_exact_fingerprint",
     "minhash_lsh_pairs_md5",
     "simhash_signature_md5",
     "cosine_topk",
+    # r11 rows-only -> envelope upgrades — first-ever VALUE-HASH driver
+    # rows (they only ever had rows-only checks); each evicted anchor
+    # (events_passthrough, scalar_roundtrip, date_partition_derivation,
+    # retention_filter, json_extract_props, string_functions) is
+    # driver-green in 2+ earlier rounds and stays in the local gate
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_dup_pairs_blocked",
+    "winnowing_fingerprints",
+    "iiot_backfill_rollup",
+    "semantic_dedup_pairs",
     # r11 NEW registrations — first driver check this round
     "ivf_pq_topk_stored",
     "pq_adc_topk_gemm",

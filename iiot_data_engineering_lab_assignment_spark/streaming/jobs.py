@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from datetime import timedelta
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -351,6 +352,87 @@ def run_events_stream_rollup(
         agg, "stream_rollup", output_mode=output_mode,
         shuffle_partitions=state_partitions,
     )
+
+
+def run_stream_cascade_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Chained streaming windowed aggregation (window-on-window): a
+    watermarked 1-minute partial rollup whose OUTPUT is re-aggregated
+    into 5-minute finals inside the SAME streaming query — two stateful
+    operators in one plan (Spark 3.4+ multiple-stateful-operator
+    support via ``window_time``).  This is the streaming form of
+    ``rollup_cascade_hourly``: at 100 TB/day the 1-minute stage holds
+    per-(window, key) PARTIAL state (decimal sum / min / max / count —
+    mergeable algebra, the ``rollup_partials`` shape), so the 5-minute
+    stage aggregates ~1/60th the rows and the raw stream is touched
+    exactly once.
+
+    Chained aggregations require APPEND mode: a 5-minute window emits
+    only once the watermark passes its end.  A replay would therefore
+    hold back the final (still-open) windows, so the fixture stream is
+    unioned with a single SENTINEL event one hour past the fixture
+    maximum — it drags the watermark past every real window's end,
+    closing them all, and is filtered from the result.  The emitted
+    rows then equal the direct batch 5-minute rollup exactly: decimal
+    partial sums re-sum associatively, min/max/count compose, and the
+    average is derived LAST from the exact merged decimal total."""
+    stream = events_file_stream(spark, sf_dir)
+
+    from ..sources.readers import load_table
+
+    max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    sentinel_dir = tempfile.mkdtemp(prefix="cascade_sentinel_")
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(hours=1), -1, "__sentinel__", 0.0, None)],
+        stream.schema,
+    )
+    sentinel.write.mode("overwrite").parquet(sentinel_dir)
+    s2 = spark.readStream.schema(stream.schema).parquet(sentinel_dir)
+
+    src = stream.unionByName(s2).withWatermark("ts", watermark)
+    minute = src.groupBy(
+        F.window("ts", "1 minute").alias("w1"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("count_readings"),
+    )
+    five = (
+        minute.groupBy(
+            F.window(F.window_time("w1"), "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("count_readings").alias("count_readings"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            (F.col("sum_value").cast("double") / F.col("count_readings")).alias(
+                "avg_value"
+            ),
+            "min_value",
+            "max_value",
+            F.col("count_readings").cast("long").alias("count_readings"),
+        )
+    )
+    out = _run_to_memory(five, "cascade", output_mode="append")
+    # The sentinel exclusion must happen on the MATERIALIZED batch, not
+    # inside the streaming plan: Catalyst pushes an event_type predicate
+    # through both aggregations down BELOW the watermark operator, so the
+    # sentinel would never advance the watermark and the final real
+    # window would never close (debugged empirically: 986/987 rows, the
+    # missing row exactly the window containing max(ts)).  The filter is
+    # belt-and-braces anyway — the sentinel's own windows always end
+    # after the watermark it defines, so append mode never emits them.
+    return out.filter(F.col("event_type") != "__sentinel__")
 
 
 def run_stream_stream_range_join(

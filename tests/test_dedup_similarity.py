@@ -712,3 +712,56 @@ def test_zero_norm_embeddings_yield_no_nan_pairs(spark):
     bpairs = cosine_dup_pairs_blocked(df, threshold=0.9, n_blocks=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in bpairs} == {(0, 1)}
     assert all(not math.isnan(r["cosine"]) for r in bpairs)
+
+
+def test_semantic_dedup_envelope_recalls_planted_bit_dups(spark, tmp_path):
+    """The registry envelope for ``semantic_dedup_pairs`` (r11 rows-only
+    -> envelope upgrade) on a fixture with PLANTED bit-identical
+    duplicates: n_exact_dup_pairs counts every identical-embedding pair
+    (a 3-clone group contributes C(3,2)=3), the recall theorem holds
+    (every such pair is emitted by the engine for ANY k-means outcome),
+    and zero-norm vectors are excluded from the dup accounting."""
+    import numpy as np
+
+    from iiot_data_engineering_lab_assignment_spark import registry
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in rng.normal(size=8).astype(np.float32)]))
+    # plant a 3-clone group (ids 40-42) and a 2-clone group (ids 43-44)
+    clone_a = [float(x) for x in rng.normal(size=8).astype(np.float32)]
+    clone_b = [float(x) for x in rng.normal(size=8).astype(np.float32)]
+    rows += [(40, clone_a), (41, clone_a), (42, clone_a), (43, clone_b), (44, clone_b)]
+    # two zero-norm vectors: identical but must NOT count as a dup pair
+    rows += [(45, [0.0] * 8), (46, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = registry.QUERIES["semantic_dedup_pairs"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_vecs"] == 47
+    assert r["n_exact_dup_pairs"] == 3 + 1
+    assert r["exact_dups_recalled"] is True
+    assert r["pairs_canonical"] is True
+    assert r["pairs_cos_ge_threshold"] is True
+
+
+def test_iiot_backfill_envelope_matches_volume_contract(spark):
+    """The registry envelope for ``iiot_backfill_rollup`` (r11 rows-only
+    -> envelope upgrade): exactly the 4x4 (machine, sensor) grid, each
+    with count_readings = 168 and min <= avg <= max."""
+    from iiot_data_engineering_lab_assignment_spark import registry
+    from iiot_data_engineering_lab_assignment_spark.sources.generator import (
+        MACHINE_ROWS,
+        SENSOR_ROWS,
+    )
+
+    out = registry.QUERIES["iiot_backfill_rollup"].fn(spark, "unused").collect()
+    assert len(out) == 16
+    grid = {(r["machine_id"], r["sensor_type"]) for r in out}
+    assert grid == {(m[0], s[0]) for m in MACHINE_ROWS for s in SENSOR_ROWS}
+    for r in out:
+        assert r["count_readings"] == 168
+        assert r["min_le_avg"] is True and r["avg_le_max"] is True

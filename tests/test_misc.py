@@ -119,29 +119,30 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-9 rotation (r8 verdict ask #1): 49 never-driver-checked
-    # queries (the whole r8 analytics/curation wave) + the repaired
-    # multimodal_features; spot-check one representative per family and
-    # the queries this round rewrote or repaired
+    # round-11 rotation (r10 verdict ask #1): the 26 queries that never
+    # had a driver CORRECTNESS row (the r9 registration wave), the r11
+    # new registrations, the rows-only -> envelope upgrades under their
+    # first value-hash check, and the two bench-flagged anchors
     required = [
-        # repaired r8 red row (now oracle-backed, scalar unpivot)
-        "multimodal_features",
-        # r9 rewrites under first driver check
-        "rolling_distinct_users", "autocorr_lag1_per_type",
-        "basket_part_pairs", "pagerank_supplier_customer",
-        # analytics wave representatives
-        "linear_trend_per_type", "cusum_drift_per_user",
-        "gap_sessionization", "pareto_abc_parts", "rfm_segmentation",
-        "wasserstein_value_drift", "triangle_parts_topk",
-        "tfidf_doc_similarity", "hybrid_search_rrf",
-        "dsir_importance_weights", "weighted_sample_by_length",
-        "signbit_hamming_rerank", "heavy_hitters_envelope",
-        "stream_full_outer_join_purchase_click", "stream_dedup_doubled",
+        # the 26 never-driver-checked (spot-check representatives)
+        "bigram_logprob_score", "rolling_slope_24h_per_user",
+        "source_epoch_allocation", "jaccard_pairs_prefix",
+        "dup_aware_sample_weights", "pq_codes_fixed", "pq_adc_topk",
+        "ivf_pq_topk", "countmin_heavy_users", "debounce_alerts",
+        "kcore_peeling_rounds", "mmr_diversified_topk",
+        # r11 new registrations under first driver check
+        "ivf_pq_topk_stored", "pq_adc_topk_gemm",
+        # r11 rows-only -> envelope upgrades (first value-hash rows)
+        "minhash_lsh_pairs", "simhash_pairs", "cosine_dup_pairs_blocked",
+        "winnowing_fingerprints", "iiot_backfill_rollup",
+        "semantic_dedup_pairs",
+        # bench-flagged anchors stay correctness-pinned while re-measured
+        "sensor_rollup_1m", "zscore_anomalies",
     ]
     for name in required:
         assert name in registry.DRIVER_WINDOW, name
-    # the r9 window is ALL-oracle: every entry value-hash-checks
-    # (multimodal_features was upgraded rows-only -> oracle this round)
+    # the window is ALL-oracle: every entry value-hash-checks (the last
+    # rows-only queries were upgraded to envelope oracles this round)
     for name in registry.DRIVER_WINDOW:
         assert registry.QUERIES[name].oracle is not None, name
 
