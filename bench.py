@@ -154,10 +154,14 @@ EXTENDED = [
     "knn_label_eval",
     "rolling_slope_24h_per_user",
     "source_epoch_allocation",
-    # round-11 additions: the stored-index IVF-PQ serving path and the
-    # Arrow/GEMM ADC tier
+    # round-11 additions: the stored-index IVF-PQ serving path, the
+    # Arrow/GEMM ADC tier, KMV sketch set algebra, and the chained
+    # (window-on-window) streaming rollup
     "ivf_pq_topk_stored",
     "pq_adc_topk_gemm",
+    "kmv_user_overlap_event_types",
+    "stream_cascade_1m_to_5m",
+    "histogram_quantile_sketch",
 ]
 
 
@@ -247,17 +251,20 @@ def main() -> None:
     # Regression guard (r8 verdict ask #9): compare the frozen 19-query
     # headline set against a reference record and flag any query >25%
     # slower.  The reference defaults to the repo's last committed
-    # same-machine run (BENCH_local_r08.json); override with
+    # same-machine run (BENCH_local_r11.json; the r8/r9 records stay
+    # committed for cross-session ratio context); override with
     # SPARK_GRAFT_BENCH_BASELINE.  Flags go to stderr AND into the full
     # record — stdout's compact last line stays driver-contract-only.
-    # Cross-SESSION sandbox noise is a documented +-25-50% band, so a
-    # flag from a stale baseline is a prompt to re-baseline in the same
-    # session, not necessarily a regression.
+    # Cross-SESSION sandbox noise is a documented +-25-50% band (r10/r11
+    # evidence: byte-identical code measured 0.356 s vs 1.556 s on
+    # gapfill_locf_daily in sessions 4 h apart), so a flag from a stale
+    # baseline is a prompt to re-baseline in the same session, not
+    # necessarily a regression.
     regressions: dict[str, float] = {}
     base_path = os.environ.get(
         "SPARK_GRAFT_BENCH_BASELINE",
         os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r08.json"
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r11.json"
         ),
     )
     try:
