@@ -162,6 +162,8 @@ EXTENDED = [
     "kmv_user_overlap_event_types",
     "stream_cascade_1m_to_5m",
     "histogram_quantile_sketch",
+    "stream_kmv_distinct_store",
+    "collapse_repeated_runs",
 ]
 
 

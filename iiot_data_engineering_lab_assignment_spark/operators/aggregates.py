@@ -27,6 +27,7 @@ __all__ = [
     "rollup_partials",
     "merge_rollup_partials",
     "ewma_state_segmented",
+    "kmv_hash52",
 ]
 
 
@@ -106,6 +107,23 @@ def merge_rollup_partials(states: DataFrame, group_cols: list[str]) -> DataFrame
             "max_value",
             "count_readings",
         )
+    )
+
+
+def kmv_hash52(expr: str) -> Column:
+    """The KMV sketch family's 52-bit hash: fold the first 13 hex chars
+    of ``md5(CAST(expr AS STRING))`` into a BIGINT.  52 bits make
+    ``hv / 2**52`` an exactly-representable dyadic double, and the md5
+    family is reproducible in the DuckDB oracle (``list_reduce`` /
+    ``list_transform`` over the same digits), so every sketch value and
+    every estimate derived from it is bit-identical across engines.
+    Shared by the batch KMV set-algebra query and the streaming KMV
+    store; production deployments would swap xxhash64 exactly as the
+    MinHash pair (minhash_lsh_pairs vs _md5 twin) does."""
+    return F.expr(
+        "aggregate(transform(sequence(1, 13), i -> cast(locate(substr("
+        f"md5(cast(({expr}) as string)), i, 1), '0123456789abcdef') - 1 as bigint)), "
+        "0L, (a, x) -> a * 16 + x)"
     )
 
 

@@ -12158,16 +12158,9 @@ def debounce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-11 wave: KMV sketch set algebra, chained streaming windows
 # ===========================================================================
 
-#: md5-based uniform hash shared by the KMV queries: fold the first 13 hex
-#: chars (52 bits — a double-exact dyadic fraction) into a BIGINT.  The
-#: md5 family is the cross-engine-checkable tier (the production tier
-#: would swap in xxhash64, exactly as minhash_lsh_pairs_md5 vs the
-#: xxhash64 production path).
-_KMV_HASH = (
-    "aggregate(transform(sequence(1, 13), i -> cast(locate(substr({h}, i, 1), "
-    "'0123456789abcdef') - 1 as bigint)), 0L, (a, x) -> a * 16 + x)"
-)
-
+#: DuckDB mirror of operators.aggregates.kmv_hash52 — the md5 family is
+#: the cross-engine-checkable tier (the production tier would swap in
+#: xxhash64, exactly as minhash_lsh_pairs_md5 vs the xxhash64 path).
 _KMV_SQL_HASH = (
     "list_reduce(list_transform(range(1, 14), i -> CAST(strpos('0123456789abcdef', "
     "substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
@@ -12269,14 +12262,13 @@ def kmv_user_overlap_event_types_q(spark: SparkSession, sf_dir: str) -> DataFram
     partial-sketch store."""
     from pyspark.sql import Window
 
+    from .operators.aggregates import kmv_hash52
+
     K = 256
     two52 = 4503599627370496.0
     ev = load_table(spark, sf_dir, "events")
     du = ev.select("event_type", "user_id").distinct()
-    h = du.select(
-        "event_type",
-        F.expr(_KMV_HASH.format(h="md5(cast(user_id as string))")).alias("hv"),
-    )
+    h = du.select("event_type", kmv_hash52("user_id").alias("hv"))
     n = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     f = h.join(F.broadcast(n), "event_type").filter(
         (F.col("hv").cast("double") / two52)
@@ -12372,13 +12364,101 @@ def kmv_user_overlap_event_types_q(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "stream_kmv_distinct_store",
+    f"""
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), h AS (
+      SELECT DISTINCT event_type, {_KMV_SQL_HASH} AS hv FROM du
+    ), sk AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h QUALIFY rn <= 256
+    ), t AS (
+      SELECT event_type, COUNT(*) AS n_sk, MAX(hv) AS theta_int
+      FROM sk GROUP BY 1
+    )
+    SELECT event_type,
+           CASE WHEN n_sk < 256 THEN CAST(n_sk AS DOUBLE)
+                ELSE 255.0 / (CAST(theta_int AS DOUBLE) / 4503599627370496.0)
+           END AS est_distinct
+    FROM t
+    """,
+)
+def stream_kmv_distinct_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: the STREAMING form of the KMV sketch — a file-replay
+    stream maintains per-batch bottom-k partials in a batch_id-keyed
+    store (the ``run_stream_countmin`` discipline: retried batches
+    replace their own partition, exactly-once without transactions);
+    read-time merge = union -> dedup hash values -> keep k smallest.
+    Bottom-k over distinct hashes is a semilattice, so the merged sketch
+    is BIT-EQUAL to the batch-built one regardless of stream slicing —
+    an identity, not an approximation — which is why this row carries a
+    full value-hash oracle (the batch KMV estimate SQL) rather than an
+    envelope.  tests/test_r9_ops.py asserts the multi-batch merge equals
+    the single-batch sketch exactly."""
+    import tempfile as _tf
+
+    from .streaming.jobs import read_kmv_estimates, run_stream_kmv_store
+
+    store = _tf.mkdtemp(prefix="kmv_store_") + "/sk"
+    run_stream_kmv_store(spark, sf_dir, store)
+    return read_kmv_estimates(spark, store)
+
+
+@register(
+    "collapse_repeated_runs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
+    ), k AS (
+      SELECT doc_id, toks,
+             list_filter(toks, (x, i) -> i = 1 OR x <> toks[i - 1]) AS kept
+      FROM t
+    )
+    SELECT doc_id,
+           array_to_string(kept, ' ') AS clean_text,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    """,
+)
+def collapse_repeated_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: intra-document repetition CLEANING — collapse runs of
+    consecutively repeated tokens to a single occurrence ("batch batch
+    batch" -> "batch"), the transform counterpart of the Gopher-style
+    repetition SCORES (``ngram_repetition_stats`` flags repetitious docs;
+    this row repairs the common light case instead of dropping the doc —
+    the CCNet/RefinedWeb cleaning step).  Pure array expressions inside
+    one projection: ``filter(toks, (x, i) -> i == 0 OR x != toks[i-1])``
+    — a narrow map with NO shuffle, no explode, no Python; at 100 TB
+    this runs at parquet scan speed with full whole-stage codegen.
+    Extension to length-m phrase runs is the same filter with an
+    index-offset window; n_removed rides along for curation accounting."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    # previous token via 0-based get(): NULL at i=0 (no element_at(., 0)
+    # ANSI error), coalesced to keep — mirrors the oracle's 1-based
+    # `i = 1 OR x <> toks[i-1]` (toks[0] is NULL, OR absorbs it)
+    kept = F.filter(
+        toks,
+        lambda x, i: F.coalesce(x != F.get(toks, i - 1), F.lit(True)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
+@register(
     "histogram_quantile_sketch",
     """
     WITH ev AS (
       SELECT event_type, value FROM events WHERE value IS NOT NULL
     ), b AS (
       SELECT event_type,
-             CAST(LEAST(GREATEST(FLOOR(value / 0.1953125), 0), 1023) AS BIGINT)
+             CAST(LEAST(GREATEST(FLOOR(value / 0.5), 0), 1023) AS BIGINT)
                AS bin
       FROM ev
     ), m AS (
@@ -12397,8 +12477,8 @@ def kmv_user_overlap_event_types_q(spark: SparkSession, sf_dir: str) -> DataFram
       FROM cum c JOIN qs ON CAST(c.cum AS DOUBLE) >= qs.q * c.total
     ), est AS (
       SELECT event_type, q,
-             bin * 0.1953125
-               + 0.1953125 * ((q * total - (cum - c)) / c) AS est_value
+             bin * 0.5
+               + 0.5 * ((q * total - (cum - c)) / c) AS est_value
       FROM j WHERE rn = 1
     ), ex AS (
       SELECT event_type, CAST(0.5 AS DOUBLE) AS q,
@@ -12424,17 +12504,21 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin counts SUM associatively — the ``rollup_partials`` /
     ``incremental_rollup_merge`` store shape), so a nightly pipeline
     keeps O(groups x 1024) integers and answers any quantile with one
-    scan of the SKETCH, error bounded by the bin width (200/1024 ~ 0.2
-    here).  Estimation: first bin whose cumulative count reaches
-    q*total, linearly interpolated within the bin; ``exact_value``
-    (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    scan of the SKETCH, error bounded by the bin width (0.5 here —
+    domain [0, 512) sized to cover the fixture's heavy tail, max ~560
+    at sf0.1 with p99.9 ~ 342; values beyond the domain clamp into the
+    edge bins, the documented saturation tradeoff of any fixed-domain
+    histogram — production would log-scale or widen the domain).
+    Estimation: first bin whose cumulative count reaches q*total,
+    linearly interpolated within the bin; ``exact_value`` (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, the
     ``percentile_order_value`` pattern) rides along as ground truth.
-    The bin width 0.1953125 = 200/1024 is an exact dyadic, every
-    intermediate is integer or a deterministic double expression, so
-    est_value is bit-identical across engines with no rounding."""
+    The bin width 0.5 is an exact dyadic, every intermediate is integer
+    or a deterministic double expression, so est_value is bit-identical
+    across engines with no rounding."""
     from pyspark.sql import Window
 
-    W_BIN = 0.1953125  # 200/1024 — exact dyadic, representable in double
+    W_BIN = 0.5  # domain [0, 512) over 1024 bins — exact dyadic width
     NB = 1024
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = ev.select(

@@ -51,6 +51,10 @@ __all__ = [
     "cms_bucket_tags",
     "run_stream_countmin",
     "read_countmin_estimates",
+    "run_stream_cascade_rollup",
+    "kmv_batch_bottomk",
+    "run_stream_kmv_store",
+    "read_kmv_estimates",
 ]
 
 
@@ -1337,4 +1341,106 @@ def read_countmin_estimates(
         probes.join(F.broadcast(merged), ["j", "b"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0).cast("long"))).alias("cms_est"))
+    )
+
+
+def kmv_batch_bottomk(
+    df: DataFrame,
+    k: int = 256,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """One micro-batch's KMV partial: distinct (group, 52-bit hash) pairs
+    reduced to the k smallest hashes per group — the unit the streaming
+    store persists per batch_id.  Public so the merge identity (bottom-k
+    of unioned bottom-ks == bottom-k of the union) is directly testable
+    against arbitrary slicings."""
+    from pyspark.sql import Window
+
+    from ..operators.aggregates import kmv_hash52
+
+    cand = df.select(group_col, kmv_hash52(key_col).alias("hv")).distinct()
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def run_stream_kmv_store(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    k: int = 256,
+) -> None:
+    """Streaming KMV (bottom-k) distinct sketch maintenance — the
+    fixed-memory running DISTINCT counter for an unbounded stream, the
+    set-cardinality sibling of :func:`run_stream_countmin`: each
+    micro-batch reduces to its own per-group bottom-k hash sample
+    (<= k x groups rows) and lands in a ``batch_id=``-keyed partition
+    (idempotent_batch_writer discipline — a retried batch REPLACES its
+    own partial, exactly-once without a transactional store).  Bottom-k
+    over distinct hash values is a SEMILATTICE (idempotent, commutative,
+    associative merge: union then keep the k smallest), so the read-time
+    merge is bit-equal to the batch-built sketch no matter how the
+    stream was sliced — an identity, not an approximation, which is why
+    the registry row carries a full value-hash oracle rather than an
+    envelope.
+
+    At 100 TB/day this is the difference between answering "how many
+    distinct users this quarter" with one scan of O(k x groups x days)
+    integers and re-scanning a quarter of raw events; the same store
+    supports union/intersection estimates across groups
+    (``kmv_user_overlap_event_types``) because bottom-k samples compose.
+    """
+    stream = events_file_stream(spark, sf_dir)
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        kmv_batch_bottomk(df, k).write.mode("overwrite").parquet(
+            f"{store_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", f"{store_dir}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_kmv_estimates(
+    spark: SparkSession,
+    store_dir: str,
+    k: int = 256,
+) -> DataFrame:
+    """Merge the per-batch bottom-k partials and estimate distinct counts:
+    union -> dedup hash values -> keep the k smallest per group ->
+    (k-1)/theta_k (exact count when fewer than k values survive).  The
+    merged sample is <= k rows per group regardless of stream volume, so
+    every step after the store scan is broadcast-sized."""
+    from pyspark.sql import Window
+
+    merged = (
+        spark.read.parquet(f"{store_dir}/batch_id=*")
+        .select("event_type", "hv")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    two52 = 4503599627370496.0
+    t = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sk"), F.max("hv").alias("theta_int")
+    )
+    return t.select(
+        "event_type",
+        F.when(F.col("n_sk") < k, F.col("n_sk").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) / (F.col("theta_int").cast("double") / two52)
+        )
+        .alias("est_distinct"),
     )

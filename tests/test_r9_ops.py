@@ -18,6 +18,7 @@ from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
 from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_01 = "/root/testdata/sf0.01"
 
 
 # ---------------------------------------------------------------------------
@@ -1082,3 +1083,119 @@ def test_source_epoch_allocation_caps_and_shares(spark, documents):
     by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
     if by_tokens[0]["n_tokens"] < by_tokens[-1]["n_tokens"]:
         assert by_tokens[0]["epochs"] >= by_tokens[-1]["epochs"]
+
+
+def test_kmv_merge_identity_any_slicing(spark, tmp_path):
+    """Bottom-k over distinct hashes is a semilattice: merging per-slice
+    bottom-k partials (any slicing) then re-taking the bottom-k must
+    equal the sketch built from the whole table in one pass — BIT-exact,
+    estimates included (an identity, not an approximation).  This is the
+    property that makes the streaming KMV store's read-time merge equal
+    the batch sketch regardless of micro-batch boundaries."""
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        kmv_batch_bottomk,
+        read_kmv_estimates,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    store = str(tmp_path / "kmv_store")
+    # three arbitrary, overlapping slices (overlap exercises idempotence)
+    slices = [
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 3 == 1),
+        ev.filter((F.col("event_id") % 3 == 2) | (F.col("event_id") % 7 == 0)),
+    ]
+    for i, sl in enumerate(slices):
+        kmv_batch_bottomk(sl, k=64).write.mode("overwrite").parquet(
+            f"{store}/batch_id={i}"
+        )
+    merged = {
+        r["event_type"]: r["est_distinct"]
+        for r in read_kmv_estimates(spark, store, k=64).collect()
+    }
+    single = str(tmp_path / "kmv_single")
+    kmv_batch_bottomk(ev, k=64).write.mode("overwrite").parquet(
+        f"{single}/batch_id=0"
+    )
+    direct = {
+        r["event_type"]: r["est_distinct"]
+        for r in read_kmv_estimates(spark, single, k=64).collect()
+    }
+    assert merged == direct and len(merged) > 0
+
+
+def test_kmv_estimate_within_expected_error(spark):
+    """KMV distinct estimate accuracy: with k=256 the relative standard
+    error is ~1/sqrt(k) = 6.3%; assert the per-type estimate lands
+    within 4 sigma of the exact distinct count on the fixture."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    ev = load_table(spark, SF_DIR_01, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = QUERIES["kmv_user_overlap_event_types"].fn(spark, SF_DIR_01).collect()
+    for r in rows:
+        for side in ("a", "b"):
+            t = r[f"type_{side}"]
+            est = r[f"est_distinct_{side}"]
+            n = exact[t]
+            assert abs(est - n) <= max(4 * n / 16.0, 2.0), (t, est, n)
+
+
+def test_collapse_repeated_runs_planted(spark, tmp_path):
+    """Run collapse on planted repetition: consecutive duplicates fold to
+    one occurrence, non-adjacent repeats survive, singleton and
+    repeat-free docs pass through unchanged."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = [
+        (0, "a a a b c c b", "en", "s", 13),
+        (1, "only", "en", "s", 4),
+        (2, "no repeats here", "en", "s", 15),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in QUERIES["collapse_repeated_runs"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == ("a b c b", 3)
+    assert got[1] == ("only", 0)
+    assert got[2] == ("no repeats here", 0)
+
+
+def test_histogram_quantile_sketch_bounded_error(spark):
+    """The histogram estimate's guarantee is BIN containment: the chosen
+    bin is the one holding the value at rank ceil(q*n) (cumulative mass
+    reaches q*total there), and interpolation stays inside the bin — so
+    |est - v*| <= one bin width (0.5) where v* is that discrete
+    order statistic.  (Comparing against the INTERPOLATED q*(n-1)
+    percentile has no such bound in a sparse tail, where one rank step
+    can jump several units — the exact_value column is context, not the
+    theorem.)"""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+
+    rows = QUERIES["histogram_quantile_sketch"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 15
+    ev = load_table(spark, SF_DIR, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    vstar = {}
+    for q in (0.5, 0.95, 0.99):
+        for r in ranked.filter(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n"))
+        ).collect():
+            vstar[(r["event_type"], q)] = r["value"]
+    for r in rows:
+        v = vstar[(r["event_type"], r["q"])]
+        assert abs(r["est_value"] - v) <= 0.5 + 1e-9, (tuple(r), v)
