@@ -164,6 +164,7 @@ EXTENDED = [
     "histogram_quantile_sketch",
     "stream_kmv_distinct_store",
     "collapse_repeated_runs",
+    "cdc_apply_orders",
 ]
 
 

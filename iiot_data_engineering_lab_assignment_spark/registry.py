@@ -12407,6 +12407,83 @@ def stream_kmv_distinct_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 1.1
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+    FROM base WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 1000000000, o_custkey,
+           CAST(0.0 AS DOUBLE), 'I'
+    FROM base WHERE o_orderkey % 100 = 1
+    """,
+)
+def cdc_apply_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11: CDC changeset APPLY — the warehouse maintenance operator
+    the SCD2/upsert family (plans/lifecycle.py:336 merge_upsert) was
+    missing the DELETE leg of: a full-row-image change feed with
+    op IN ('U','I','D') merges into a snapshot via ONE full-outer join
+    on the key — updates replace, inserts append, deletes drop, rows
+    the feed never mentions pass through.  The changeset here is
+    deterministically derived from orders (keys %10==3 update price
+    *1.1, %10==7 delete, %100==1 insert a new key +1e9) so the oracle
+    can state the applied result closed-form; the ENGINE path is the
+    real merge join, not the oracle's CASE shortcut.
+
+    Scale shape: a daily CDC feed is orders-of-magnitude smaller than
+    the snapshot, so the join broadcasts the feed (AQE picks it up
+    here); at 100 TB the snapshot side stays bucketed on the key
+    (write_bucketed) so repeated nightly applies never re-shuffle the
+    big side — the same co-location discipline as
+    test_bucketed_join_removes_exchange."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        (F.col("o_totalprice") * 1.1).alias("c_totalprice"),
+        F.col("o_orderstatus").alias("c_orderstatus"),
+        F.lit("U").alias("op"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        F.lit(None).cast("long").alias("c_custkey"),
+        F.lit(None).cast("double").alias("c_totalprice"),
+        F.lit(None).cast("string").alias("c_orderstatus"),
+        F.lit("D").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 100 == 1).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        F.col("o_custkey").alias("c_custkey"),
+        F.lit(0.0).alias("c_totalprice"),
+        F.lit("I").alias("c_orderstatus"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    applied = (
+        o.join(changes, "o_orderkey", "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("o_custkey"),
+            F.coalesce(F.col("c_totalprice"), F.col("o_totalprice")).alias(
+                "o_totalprice"
+            ),
+            F.coalesce(F.col("c_orderstatus"), F.col("o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+        )
+    )
+    return applied
+
+
+@register(
     "collapse_repeated_runs",
     """
     WITH t AS (

@@ -529,3 +529,27 @@ def test_pagerank_bucketed_edges_no_src_exchange(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_collapse_repeated_runs_is_shuffle_free(spark):
+    """r11: the repetition cleaner must be ONE narrow projection — no
+    Exchange, no generator/explode, no Python eval — so it runs at
+    parquet scan speed at any corpus size."""
+    plan = plan_of(spark, "collapse_repeated_runs")
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode-based detour
+    assert "EvalPython" not in plan
+
+
+def test_kmv_prefilter_reaches_before_window_sort(spark):
+    """r11: the KMV sketch must rank only the deterministic pre-filter's
+    survivors (~2048 rows/group), never window-sort the full distinct
+    set: the plan's Window/Sort must sit above a Filter on the hash
+    fraction, and the dimension-sized joins must broadcast."""
+    plan = plan_of(spark, "kmv_user_overlap_event_types")
+    assert "BroadcastHashJoin" in plan
+    # the pre-filter predicate on the 2^52-normalized hash fraction is
+    # the broadcast join's condition (counts joined back, then hv < 8k/n)
+    assert "4.503599627370496E15" in plan and "least(1.0, (2048.0" in plan
+    # Spark 4 pushes the rank<=k limit into the window sort
+    assert "WindowGroupLimit" in plan
