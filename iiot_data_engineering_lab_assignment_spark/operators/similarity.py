@@ -837,6 +837,7 @@ def pq_codebook(
     m: int = 4,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    seeds: dict[int, list[float]] | None = None,
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Fixed product-quantization codebook: the d-dim space splits into
     ``m`` contiguous subspaces and each subspace's code vectors are the
@@ -848,26 +849,30 @@ def pq_codebook(
     encode/ADC plumbing below).
 
     Returns {sub_idx: [(code, subvector), ...]} — a k x d parameter
-    object (collects n_codes rows, never data)."""
-    rows = sorted(
-        embeddings.filter(F.col(id_col) < n_codes)
-        .select(id_col, emb_col)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
-    if len(rows) < n_codes:
-        raise ValueError(
-            f"codebook needs vectors with {id_col} < {n_codes}; found {len(rows)}"
+    object (collects n_codes rows, never data; pass ``seeds`` — the
+    :func:`_pinned_seeds` dict — to reuse an already-collected set and
+    skip the collect, the IVF-PQ paths' case where cells and codes pin
+    the same vectors)."""
+    if seeds is not None:
+        pairs = sorted((i, v) for i, v in seeds.items() if i < n_codes)
+    else:
+        rows = sorted(
+            embeddings.filter(F.col(id_col) < n_codes)
+            .select(id_col, emb_col)
+            .collect(),
+            key=lambda r: r[id_col],
         )
-    d = len(rows[0][emb_col])
+        pairs = [(int(r[id_col]), [float(x) for x in r[emb_col]]) for r in rows]
+    if len(pairs) < n_codes:
+        raise ValueError(
+            f"codebook needs vectors with {id_col} < {n_codes}; found {len(pairs)}"
+        )
+    d = len(pairs[0][1])
     if d % m:
         raise ValueError(f"dim {d} not divisible into {m} subspaces")
     dsub = d // m
     return {
-        s: [
-            (int(r[id_col]), [float(x) for x in r[emb_col]][s * dsub : (s + 1) * dsub])
-            for r in rows
-        ]
+        s: [(code, vec[s * dsub : (s + 1) * dsub]) for code, vec in pairs]
         for s in range(m)
     }
 
@@ -1026,30 +1031,17 @@ def ivf_pq_topk(
     (adc, id) are re-ranked by exact squared L2, and the (d2, id)
     top-k emits.  Only the codes table (m bytes/vector) is touched at
     corpus scale until the final shortlist-sized exact pass."""
-    cents_rows = sorted(
-        embeddings.filter(F.col(id_col) < n_cells)
-        .select(id_col, emb_col)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
-    if len(cents_rows) < n_cells:
-        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
-    cents = {int(r[id_col]): [float(x) for x in r[emb_col]] for r in cents_rows}
-    qrow = embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
-    if qrow is None:
-        raise ValueError(f"query vector {id_col}={query_id} not found")
-    q = [float(x) for x in qrow[emb_col]]
-
-    probed = sorted(
-        ((_d2_fold(q, c), cell) for cell, c in cents.items())
-    )[:nprobe]
-    probe_cells = [cell for _, cell in probed]
+    cents = _pinned_seeds(embeddings, n_cells, id_col, emb_col)
+    q = _query_vec(embeddings, query_id, id_col, emb_col)
+    probe_cells = _probe_cells(q, cents, nprobe)
 
     assigned = assign_cells(embeddings, cents, id_col, emb_col).select(
         id_col, "cell"
     )
     cand = assigned.filter(F.col("cell").isin(probe_cells)).select(id_col)
-    book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
+    book = pq_codebook(
+        embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col, seeds=cents
+    )
     # semi-filter to the probed cells BEFORE encoding (review catch: a
     # join on the encoded output cannot be pushed below the per-row
     # encode by Catalyst, so the whole corpus paid the m*k argmin) —
@@ -1057,27 +1049,8 @@ def ivf_pq_topk(
     codes = pq_encode(
         embeddings.join(cand, id_col, "left_semi"), book, id_col, emb_col
     )
-    lut, adc_raw = _adc_parts(embeddings.sparkSession, q, book)
-    short = (
-        codes.join(F.broadcast(lut), ["sub_idx", "code"])
-        .groupBy(id_col)
-        .agg(adc_raw.alias("adc_raw"))
-        .orderBy(F.asc("adc_raw"), F.asc(id_col))
-        .limit(shortlist)
-    )
-    e = _as_double(F.col(emb_col))
-    qarr = F.array(*[F.lit(x) for x in q])
-    exact = (
-        short.join(embeddings.select(id_col, emb_col), id_col)
-        .select(
-            id_col,
-            (dot(e, e) - F.lit(2.0) * dot(e, qarr) + dot(qarr, qarr)).alias("d2_raw"),
-        )
-    )
-    return (
-        exact.orderBy(F.asc("d2_raw"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, F.round("d2_raw", 6).alias("d2"))
+    return _adc_shortlist_rerank(
+        embeddings, codes, q, book, shortlist, k, id_col, emb_col
     )
 
 
@@ -1095,6 +1068,80 @@ def _d2_fold(a: list[float], b: list[float]) -> float:
     for y in b:
         bb = bb + y * y
     return aa - 2.0 * ab + bb
+
+
+def _pinned_seeds(
+    embeddings: DataFrame, n_cells: int, id_col: str, emb_col: str
+) -> dict[int, list[float]]:
+    """The pinned-seed coarse centroids (``id < n_cells``) as one k-row
+    parameter collect — shared by the IVF-PQ build, inline, and stored
+    serving paths (r11 code-review: three drifting copies, and the
+    build/serve paths each paid the collect twice)."""
+    rows = sorted(
+        embeddings.filter(F.col(id_col) < n_cells)
+        .select(id_col, emb_col)
+        .collect(),
+        key=lambda r: r[id_col],
+    )
+    if len(rows) < n_cells:
+        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
+    return {int(r[id_col]): [float(x) for x in r[emb_col]] for r in rows}
+
+
+def _query_vec(
+    embeddings: DataFrame, query_id: int, id_col: str, emb_col: str
+) -> list[float]:
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
+    if qrow is None:
+        raise ValueError(f"query vector {id_col}={query_id} not found")
+    return [float(x) for x in qrow[emb_col]]
+
+
+def _probe_cells(
+    q: list[float], cents: dict[int, list[float]], nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest coarse cells — k-row driver-side
+    parameter math in the data path's exact fold order."""
+    return [
+        cell
+        for _, cell in sorted(((_d2_fold(q, c), cell) for cell, c in cents.items()))[
+            :nprobe
+        ]
+    ]
+
+
+def _adc_shortlist_rerank(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    q: list[float],
+    book: dict[int, list[tuple[int, list[float]]]],
+    shortlist: int,
+    k: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """Shared serving tail of the inline and stored IVF-PQ paths: ADC
+    shortlist over the candidate codes (broadcast m x n_codes LUT), then
+    exact squared-L2 re-rank of the survivors, (d2, id) top-k."""
+    lut, adc_raw = _adc_parts(embeddings.sparkSession, q, book)
+    short = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy(id_col)
+        .agg(adc_raw.alias("adc_raw"))
+        .orderBy(F.asc("adc_raw"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    e = _as_double(F.col(emb_col))
+    qarr = F.array(*[F.lit(x) for x in q])
+    exact = short.join(embeddings.select(id_col, emb_col), id_col).select(
+        id_col,
+        (dot(e, e) - F.lit(2.0) * dot(e, qarr) + dot(qarr, qarr)).alias("d2_raw"),
+    )
+    return (
+        exact.orderBy(F.asc("d2_raw"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("d2_raw", 6).alias("d2"))
+    )
 
 
 def build_ivfpq_store(
@@ -1117,19 +1164,13 @@ def build_ivfpq_store(
     deterministic and a serving query over the store is value-identical
     to the inline plan (r10 verdict: probe measured 0.84 s/query stored
     vs 34.1 s inline at 1M vectors, SCALE.md r9)."""
-    cents_rows = sorted(
-        embeddings.filter(F.col(id_col) < n_cells)
-        .select(id_col, emb_col)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
-    if len(cents_rows) < n_cells:
-        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
-    cents = {int(r[id_col]): [float(x) for x in r[emb_col]] for r in cents_rows}
+    cents = _pinned_seeds(embeddings, n_cells, id_col, emb_col)
     assigned = assign_cells(embeddings, cents, id_col, emb_col).select(
         id_col, F.col("cell").cast("int").alias("cell")
     )
-    book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
+    book = pq_codebook(
+        embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col, seeds=cents
+    )
     codes = pq_encode(embeddings, book, id_col, emb_col)
     (
         codes.join(assigned, id_col)
@@ -1168,47 +1209,17 @@ def ivf_pq_topk_stored(
     centroids/codebook, same fixed-subspace-order ADC sums), so it
     shares its value-hash oracle."""
     spark = embeddings.sparkSession
-    cents_rows = sorted(
-        embeddings.filter(F.col(id_col) < n_cells)
-        .select(id_col, emb_col)
-        .collect(),
-        key=lambda r: r[id_col],
-    )
-    if len(cents_rows) < n_cells:
-        raise ValueError(f"need {n_cells} seed vectors with {id_col} < {n_cells}")
-    cents = {int(r[id_col]): [float(x) for x in r[emb_col]] for r in cents_rows}
-    qrow = embeddings.filter(F.col(id_col) == query_id).select(emb_col).head()
-    if qrow is None:
-        raise ValueError(f"query vector {id_col}={query_id} not found")
-    q = [float(x) for x in qrow[emb_col]]
-    probe_cells = [
-        cell
-        for _, cell in sorted(
-            ((_d2_fold(q, c), cell) for cell, c in cents.items())
-        )[:nprobe]
-    ]
+    cents = _pinned_seeds(embeddings, n_cells, id_col, emb_col)
+    q = _query_vec(embeddings, query_id, id_col, emb_col)
+    probe_cells = _probe_cells(q, cents, nprobe)
     codes = spark.read.parquet(store_path).filter(
         F.col("cell").isin(probe_cells)
     )
-    book = pq_codebook(embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col)
-    lut, adc_raw = _adc_parts(spark, q, book)
-    short = (
-        codes.join(F.broadcast(lut), ["sub_idx", "code"])
-        .groupBy(id_col)
-        .agg(adc_raw.alias("adc_raw"))
-        .orderBy(F.asc("adc_raw"), F.asc(id_col))
-        .limit(shortlist)
+    book = pq_codebook(
+        embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col, seeds=cents
     )
-    e = _as_double(F.col(emb_col))
-    qarr = F.array(*[F.lit(x) for x in q])
-    exact = short.join(embeddings.select(id_col, emb_col), id_col).select(
-        id_col,
-        (dot(e, e) - F.lit(2.0) * dot(e, qarr) + dot(qarr, qarr)).alias("d2_raw"),
-    )
-    return (
-        exact.orderBy(F.asc("d2_raw"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, F.round("d2_raw", 6).alias("d2"))
+    return _adc_shortlist_rerank(
+        embeddings, codes, q, book, shortlist, k, id_col, emb_col
     )
 
 
@@ -1242,14 +1253,19 @@ def pq_encode_gemm(
     )
 
     subs = sorted(codebook.items())
-    mats = []  # (sub_idx, start, dsub, C (k x dsub), cnorm (k,))
+    # Per-subspace CODE-SORTED centroid matrix (r11 code-review family
+    # fix, same as pq_adc_topk_gemm): argmin's first-index tie rule then
+    # equals the fold form's lowest-code tiebreak, and each subspace's
+    # own code labels map its own argmin indexes — a per-subspace
+    # reordering or non-dense relabeling scores identically.
+    mats = []  # (sub_idx, start, dsub, C (k x dsub), cnorm (k,), codes)
     start = 0
     for s, cents in subs:
-        C = np.array([c for _, c in cents], dtype=np.float64)
-        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1)))
+        ordered = sorted(cents)
+        C = np.array([c for _, c in ordered], dtype=np.float64)
+        codes_s = np.array([code for code, _ in ordered], dtype=np.int32)
+        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1), codes_s))
         start += C.shape[1]
-    codes_order = [code for code, _ in subs[0][1]]
-    assert codes_order == sorted(codes_order), "codebook must be code-sorted"
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -1267,7 +1283,7 @@ def pq_encode_gemm(
             X = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             frames = []
-            for s, st, dsub, C, cnorm in mats:
+            for s, st, dsub, C, cnorm, codes_s in mats:
                 Xs = X[:, st : st + dsub]
                 D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
                 best = D.argmin(axis=1)  # first min == lowest code
@@ -1276,9 +1292,7 @@ def pq_encode_gemm(
                         {
                             id_col: ids,
                             "sub_idx": np.full(len(ids), s, dtype=np.int32),
-                            "code": np.array(
-                                [codes_order[b] for b in best], dtype=np.int32
-                            ),
+                            "code": codes_s[best],
                         }
                     )
                 )
@@ -1319,19 +1333,26 @@ def pq_adc_topk_gemm(
     q = [float(x) for x in qrow[emb_col]]
     lut_df, _ = _adc_parts(embeddings.sparkSession, q, codebook)
     subs = sorted(codebook.items())
-    n_codes = len(subs[0][1])
-    lutmat = np.zeros((len(subs), n_codes), dtype=np.float64)
-    for r in lut_df.collect():  # m x n_codes parameter rows, never data
-        lutmat[r["sub_idx"], r["code"]] = r["dist"]
-    mats = []  # (sub_idx, start, dsub, C (k x dsub), cnorm (k,))
+    lut = {  # m x n_codes parameter rows, never data
+        (r["sub_idx"], r["code"]): r["dist"] for r in lut_df.collect()
+    }
+    # Per-subspace centroid matrix in CODE-SORTED order: argmin's
+    # first-index tie rule then equals the fold form's (d2, code)
+    # tiebreak, and the LUT vector is aligned by POSITION, so arbitrary
+    # per-subspace orderings and non-dense code labels — both accepted
+    # by pq_adc_topk — score identically here (r11 code-review catch:
+    # the previous code applied subspace 0's ordering to every subspace
+    # and indexed the LUT by raw label).
+    mats = []  # (start, dsub, C (k x dsub), cnorm (k,), termvec (k,))
     start = 0
     for s, cents in subs:
-        C = np.array([c for _, c in cents], dtype=np.float64)
-        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1)))
+        ordered = sorted(cents)
+        C = np.array([c for _, c in ordered], dtype=np.float64)
+        termvec = np.array(
+            [lut[(s, code)] for code, _ in ordered], dtype=np.float64
+        )
+        mats.append((start, C.shape[1], C, (C * C).sum(axis=1), termvec))
         start += C.shape[1]
-    codes_order = [code for code, _ in subs[0][1]]
-    assert codes_order == sorted(codes_order), "codebook must be code-sorted"
-    code_arr = np.array(codes_order, dtype=np.int64)
     out_schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -1348,11 +1369,10 @@ def pq_adc_topk_gemm(
             X = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
             ids = pdf[id_col].to_numpy()
             adc = None
-            for s, st, dsub, C, cnorm in mats:
+            for st, dsub, C, cnorm, termvec in mats:
                 Xs = X[:, st : st + dsub]
                 D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
-                codes = code_arr[D.argmin(axis=1)]
-                term = lutmat[s, codes]
+                term = termvec[D.argmin(axis=1)]
                 adc = term if adc is None else adc + term
             out = pd.DataFrame({id_col: ids, "adc_raw": adc})
             yield out.sort_values([ "adc_raw", id_col]).head(k)

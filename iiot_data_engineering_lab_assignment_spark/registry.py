@@ -916,6 +916,44 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, n=3, threshold=0.4)
 
 
+def _dup_envelope(
+    total: DataFrame,
+    n_alias: str,
+    elig: DataFrame,
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    checks: list[Column],
+) -> DataFrame:
+    """Shared scaffolding for the rows-only -> envelope upgrades
+    (minhash / simhash / semantic-dedup): exact-dup pair accounting over
+    an ELIGIBLE fingerprint frame plus oracle-TRUE theorem booleans.
+
+    ``elig`` must carry exactly (fp, id): rows whose identical ``fp``
+    values the pipeline GUARANTEES to pair (so the eligibility filter —
+    >= n tokens, non-NULL text, non-zero norm — must already be applied,
+    identically to the oracle's WHERE).  Emits n_alias (count of
+    ``total``), n_exact_dup_pairs (sum over fp groups of C(c,2), via the
+    canonical self-join), exact_dups_recalled (left-anti against the
+    emitted ``pairs``), and the caller's aggregated ``checks`` over the
+    pairs frame.  One definition instead of three drifting copies — a
+    r11 code-review catch: the simhash copy had dropped the eligibility
+    guard the minhash copy carried."""
+    a, b = elig.alias("a"), elig.alias("b")
+    exact_pairs = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias(id_a), F.col("b.id").alias(id_b))
+    n = total.agg(F.count(F.lit(1)).cast("long").alias(n_alias))
+    dup = exact_pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
+    )
+    recalled = exact_pairs.join(
+        pairs.select(id_a, id_b), [id_a, id_b], "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
+    return n.crossJoin(dup).crossJoin(recalled).crossJoin(pairs.agg(*checks))
+
+
 @register(
     "minhash_lsh_pairs",
     """
@@ -956,42 +994,29 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8, n=3, threshold=0.4)
     elig = docs.filter(F.size(F.split("text", " ")) >= 3).select(
-        F.md5("text").alias("fp"), "doc_id"
+        F.md5("text").alias("fp"), F.col("doc_id").alias("id")
     )
-    a, b = elig.alias("a"), elig.alias("b")
-    exact_pairs = a.join(
-        b,
-        (F.col("a.fp") == F.col("b.fp"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    return _dup_envelope(
+        docs,
+        "n_docs",
+        elig,
+        pairs,
+        "doc_a",
+        "doc_b",
+        [
+            F.coalesce(
+                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+            ).alias("pairs_canonical"),
+            F.coalesce(F.bool_and(F.col("jaccard") >= 0.4), F.lit(True)).alias(
+                "pairs_verified_ge_threshold"
+            ),
+        ],
     ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    n_dup = exact_pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
-    )
-    recalled = exact_pairs.join(
-        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
-    checks = pairs.agg(
-        F.coalesce(
-            F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
-        ).alias("pairs_canonical"),
-        F.coalesce(F.bool_and(F.col("jaccard") >= 0.4), F.lit(True)).alias(
-            "pairs_verified_ge_threshold"
-        ),
-    )
-    return (
-        n_docs.crossJoin(n_dup)
-        .crossJoin(recalled)
-        .crossJoin(checks)
-        .select(
-            "n_docs",
-            "n_exact_dup_pairs",
-            "exact_dups_recalled",
-            "pairs_canonical",
-            "pairs_verified_ge_threshold",
-        )
+        "n_docs",
+        "n_exact_dup_pairs",
+        "exact_dups_recalled",
+        "pairs_canonical",
+        "pairs_verified_ge_threshold",
     )
 
 
@@ -1141,7 +1166,8 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_pairs",
     """
     WITH g AS (
-      SELECT md5(text) AS fp, COUNT(*) AS c FROM documents GROUP BY 1
+      SELECT md5(text) AS fp, COUNT(*) AS c FROM documents
+      WHERE text IS NOT NULL GROUP BY 1
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
            CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
@@ -1164,44 +1190,38 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands) GUARANTEES a shared band bucket — every exact-dup pair must
     be emitted; (2) every emitted pair is canonical and within the
     Hamming budget.  n_docs / n_exact_dup_pairs are exact integers both
-    engines derive independently."""
+    engines derive independently.  Eligibility = text IS NOT NULL on
+    BOTH sides (r11 code-review catch: the oracle's GROUP BY md5(text)
+    groups NULLs together while the engine's fp-equality join excludes
+    them, and a NULL-text doc gets no signature at all — so NULL texts
+    must be outside the recall contract, exactly as sub-3-token docs are
+    for MinHash)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = simhash_pairs(docs, max_hamming=3)
-    fp = docs.select(F.md5("text").alias("fp"), "doc_id")
-    a, b = fp.alias("a"), fp.alias("b")
-    exact_pairs = a.join(
-        b,
-        (F.col("a.fp") == F.col("b.fp"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    elig = docs.filter(F.col("text").isNotNull()).select(
+        F.md5("text").alias("fp"), F.col("doc_id").alias("id")
+    )
+    return _dup_envelope(
+        docs,
+        "n_docs",
+        elig,
+        pairs,
+        "doc_a",
+        "doc_b",
+        [
+            F.coalesce(
+                F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
+            ).alias("pairs_canonical"),
+            F.coalesce(F.bool_and(F.col("hamming") <= 3), F.lit(True)).alias(
+                "pairs_within_budget"
+            ),
+        ],
     ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    n_dup = exact_pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
-    )
-    recalled = exact_pairs.join(
-        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
-    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
-    checks = pairs.agg(
-        F.coalesce(
-            F.bool_and(F.col("doc_a") < F.col("doc_b")), F.lit(True)
-        ).alias("pairs_canonical"),
-        F.coalesce(F.bool_and(F.col("hamming") <= 3), F.lit(True)).alias(
-            "pairs_within_budget"
-        ),
-    )
-    return (
-        n_docs.crossJoin(n_dup)
-        .crossJoin(recalled)
-        .crossJoin(checks)
-        .select(
-            "n_docs",
-            "n_exact_dup_pairs",
-            "exact_dups_recalled",
-            "pairs_canonical",
-            "pairs_within_budget",
-        )
+        "n_docs",
+        "n_exact_dup_pairs",
+        "exact_dups_recalled",
+        "pairs_canonical",
+        "pairs_within_budget",
     )
 
 
@@ -6432,13 +6452,6 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x * x,
     )
     nz = emb.filter(sq_norm > 0).select("vec_id", "embedding")
-    a, b = nz.alias("a"), nz.alias("b")
-    exact_pairs = a.join(
-        b,
-        (F.col("a.embedding") == F.col("b.embedding"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-
     ev = nz.select("vec_id", _as_double(F.col("embedding")).alias("ev"))
     ea, eb = ev.alias("ea"), ev.alias("eb")
     dot_ab = F.aggregate(
@@ -6455,27 +6468,26 @@ def semantic_dedup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((dot_ab / (F.sqrt(n2("ea")) * F.sqrt(n2("eb")))).alias("cos_exact"))
     )
 
-    n_vecs = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    n_dup = exact_pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs")
-    )
-    recalled = exact_pairs.join(
-        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).agg((F.count(F.lit(1)) == 0).alias("exact_dups_recalled"))
-    canonical = pairs.agg(
-        F.coalesce(
-            F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)
-        ).alias("pairs_canonical")
-    )
     within = recomputed.agg(
         F.coalesce(
             F.bool_and(F.col("cos_exact") >= threshold - 1e-6), F.lit(True)
         ).alias("pairs_cos_ge_threshold")
     )
+    elig = nz.select(F.col("embedding").alias("fp"), F.col("vec_id").alias("id"))
     return (
-        n_vecs.crossJoin(n_dup)
-        .crossJoin(recalled)
-        .crossJoin(canonical)
+        _dup_envelope(
+            emb,
+            "n_vecs",
+            elig,
+            pairs,
+            "id_a",
+            "id_b",
+            [
+                F.coalesce(
+                    F.bool_and(F.col("id_a") < F.col("id_b")), F.lit(True)
+                ).alias("pairs_canonical")
+            ],
+        )
         .crossJoin(within)
         .select(
             "n_vecs",
@@ -8316,34 +8328,43 @@ def _pagerank_bucketed_edges(
     spark: SparkSession, sf_dir: str, edges_src: DataFrame
 ) -> DataFrame:
     """Build-or-reuse the bucketed edge catalog table (r10 verdict ask
-    #5): bucketed + sorted on src, keyed on the source-fixture mtime so
-    regenerated fixtures rebuild instead of serving stale edges.  Falls
-    back to repartition+localCheckpoint pinning when the catalog isn't
-    writable — identical values either way."""
+    #5): bucketed + sorted on src, keyed on BOTH source fixtures'
+    mtimes (the edges are lineitem JOIN orders — r11 code-review catch:
+    a lineitem-only key served stale edges after an orders-only fixture
+    refresh; ns-resolution mtimes also distinguish same-second
+    regenerations).  Falls back to repartition+localCheckpoint pinning
+    when the catalog isn't writable, when a concurrent session owns the
+    build, or when the reclaim of an orphaned table dir fails —
+    identical values either way."""
     import hashlib
     import os
 
-    try:
-        mtime = int(os.path.getmtime(os.path.join(sf_dir, "lineitem.parquet")))
-    except OSError:
-        mtime = 0
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    table = f"pr_edges_{tag}_{mtime}"
+    key = os.path.abspath(sf_dir)
+    for t in ("lineitem", "orders"):
+        try:
+            key += f":{os.stat(os.path.join(sf_dir, f'{t}.parquet')).st_mtime_ns}"
+        except OSError:
+            key += ":0"
+    table = f"pr_edges_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     try:
         if not spark.catalog.tableExists(table):
             from .plans.lifecycle import write_bucketed
 
-            # a table dir can outlive its (per-session, in-memory)
+            # A table dir can outlive its (per-session, in-memory)
             # catalog entry — e.g. a prior process built it; managed-
-            # table protection then refuses the location.  It's ours
-            # (mtime-tagged name), so reclaim it.
+            # table protection then refuses the location.  Reclaim it,
+            # but WITHOUT ignore_errors: if another live session holds
+            # the same content-keyed table (rmtree fails or the write
+            # races), fall through to the checkpoint path rather than
+            # scanning a half-rewritten table — the values are
+            # identical either way, only the co-location is lost.
             import shutil
             from urllib.parse import urlparse
 
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
             loc = os.path.join(wh, table)
             if os.path.exists(loc):
-                shutil.rmtree(loc, ignore_errors=True)
+                shutil.rmtree(loc)
             write_bucketed(edges_src, table, "src", num_buckets=32, sort_col="src")
         return spark.table(table)
     except Exception:
@@ -12769,7 +12790,11 @@ DRIVER_WINDOW: list[str] = [
     "winnowing_fingerprints",
     "iiot_backfill_rollup",
     "semantic_dedup_pairs",
-    # r11 NEW registrations — first driver check this round
+    # r11 NEW registrations (first-ever driver check): ivf_pq_topk_stored
+    # and pq_adc_topk_gemm.  The rest are driver-green anchors from
+    # earlier rounds — the fixed-quantizer twins (r7/r4) whose adaptive
+    # siblings were envelope-upgraded this round, and TPC-H / as-of /
+    # range / lateral family representatives.
     "ivf_pq_topk_stored",
     "pq_adc_topk_gemm",
     "semantic_dedup_pairs_fixed",

@@ -1063,7 +1063,22 @@ def test_pq_adc_gemm_matches_fold_topk(spark, embeddings):
     )
 
     book = pq_codebook(embeddings, n_codes=8, m=4)
-    for b in (book, {s: [(c, [x + 1.5 for x in v]) for c, v in cents] for s, cents in book.items()}):
+    variants = (
+        book,
+        # translated centroids
+        {s: [(c, [x + 1.5 for x in v]) for c, v in cents] for s, cents in book.items()},
+        # r11 code-review regression: per-subspace ORDER shuffled (odd
+        # subspaces reversed) and labels relabeled non-densely (code*3)
+        # — both accepted by the fold form; the GEMM tier previously
+        # applied subspace 0's ordering to every subspace and indexed
+        # its LUT by raw label
+        {
+            s: (list(reversed(cents)) if s % 2 else list(cents))
+            for s, cents in book.items()
+        },
+        {s: [(c * 3, v) for c, v in cents] for s, cents in book.items()},
+    )
+    for b in variants:
         fold = [tuple(r) for r in pq_adc_topk(embeddings, b, query_id=0, k=10).collect()]
         gemm = [tuple(r) for r in pq_adc_topk_gemm(embeddings, b, query_id=0, k=10).collect()]
         assert gemm == fold
