@@ -52,8 +52,13 @@ def test_oracle_match(spark, duck, name):
     assert _sig(sdf.columns, srows) == _sig(ores.columns, orows)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_runs(spark, name):
-    spec = registry.QUERIES[name]
-    out = spec.fn(spark, SF_DIR)
-    assert out.count() > 0, f"{name} returned no rows"
+# Empty since r11 (every registered query carries an oracle); the guard
+# stays defined conditionally so a future rows-only registration gets a
+# smoke test again without emitting an empty-parameter-set skip today.
+if ROWS_ONLY_QUERIES:
+
+    @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+    def test_rows_only_runs(spark, name):
+        spec = registry.QUERIES[name]
+        out = spec.fn(spark, SF_DIR)
+        assert out.count() > 0, f"{name} returned no rows"
