@@ -12790,21 +12790,25 @@ DRIVER_WINDOW: list[str] = [
     "winnowing_fingerprints",
     "iiot_backfill_rollup",
     "semantic_dedup_pairs",
-    # r11 NEW registrations (first-ever driver check): ivf_pq_topk_stored
-    # and pq_adc_topk_gemm.  The rest are driver-green anchors from
-    # earlier rounds — the fixed-quantizer twins (r7/r4) whose adaptive
-    # siblings were envelope-upgraded this round, and TPC-H / as-of /
-    # range / lateral family representatives.
+    # r11 NEW registrations — first-ever driver check this round: the
+    # stored-index ANN serving path, the GEMM ADC tier, and the round's
+    # new operator wave (KMV set algebra + its streaming store, the
+    # chained window-on-window streaming rollup, mergeable histogram
+    # quantiles, the repetition cleaner, CDC apply).  Each is
+    # locally gate-green at sf0.001 AND sf0.01.  q1/q18 stay as TPC-H
+    # anchors (also bench-headline-pinned); the evicted multi-round
+    # driver-green anchors (q3, asof/range/lateral joins, the two
+    # fixed-quantizer twins) remain in the full local gate.
     "ivf_pq_topk_stored",
     "pq_adc_topk_gemm",
-    "semantic_dedup_pairs_fixed",
-    "kmeans_assignments_fixed",
+    "kmv_user_overlap_event_types",
+    "stream_kmv_distinct_store",
+    "stream_cascade_1m_to_5m",
+    "histogram_quantile_sketch",
+    "collapse_repeated_runs",
+    "cdc_apply_orders",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q18_large_volume_customers",
-    "asof_join_purchase_click",
-    "range_join_purchase_click",
-    "lateral_top3_customers_per_nation",
 ]
 
 

@@ -132,6 +132,9 @@ def test_driver_window_is_first_50_and_family_complete():
         "kcore_peeling_rounds", "mmr_diversified_topk",
         # r11 new registrations under first driver check
         "ivf_pq_topk_stored", "pq_adc_topk_gemm",
+        "kmv_user_overlap_event_types", "stream_kmv_distinct_store",
+        "stream_cascade_1m_to_5m", "histogram_quantile_sketch",
+        "collapse_repeated_runs", "cdc_apply_orders",
         # r11 rows-only -> envelope upgrades (first value-hash rows)
         "minhash_lsh_pairs", "simhash_pairs", "cosine_dup_pairs_blocked",
         "winnowing_fingerprints", "iiot_backfill_rollup",
