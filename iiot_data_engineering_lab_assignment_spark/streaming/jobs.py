@@ -51,6 +51,7 @@ __all__ = [
     "cms_bucket_tags",
     "run_stream_countmin",
     "read_countmin_estimates",
+    "cascade_1m_to_5m",
     "run_stream_cascade_rollup",
     "kmv_batch_bottomk",
     "run_stream_kmv_store",
@@ -358,6 +359,45 @@ def run_events_stream_rollup(
     )
 
 
+def cascade_1m_to_5m(src: DataFrame) -> DataFrame:
+    """The chained window-on-window plan itself (shared by the fixture
+    runner and the multi-batch replay test): watermarked input ->
+    1-minute mergeable partials (decimal sum / min / max / count) ->
+    5-minute finals via window_time, average derived LAST from the
+    exact merged decimal total.  ``src`` must already carry its
+    watermark."""
+    minute = src.groupBy(
+        F.window("ts", "1 minute").alias("w1"), "event_type"
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("count_readings"),
+    )
+    return (
+        minute.groupBy(
+            F.window(F.window_time("w1"), "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.sum("count_readings").alias("count_readings"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            (F.col("sum_value").cast("double") / F.col("count_readings")).alias(
+                "avg_value"
+            ),
+            "min_value",
+            "max_value",
+            F.col("count_readings").cast("long").alias("count_readings"),
+        )
+    )
+
+
 def run_stream_cascade_rollup(
     spark: SparkSession,
     sf_dir: str,
@@ -397,37 +437,9 @@ def run_stream_cascade_rollup(
     s2 = spark.readStream.schema(stream.schema).parquet(sentinel_dir)
 
     src = stream.unionByName(s2).withWatermark("ts", watermark)
-    minute = src.groupBy(
-        F.window("ts", "1 minute").alias("w1"), "event_type"
-    ).agg(
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
-        F.count(F.lit(1)).alias("count_readings"),
+    out = _run_to_memory(
+        cascade_1m_to_5m(src), "cascade", output_mode="append"
     )
-    five = (
-        minute.groupBy(
-            F.window(F.window_time("w1"), "5 minutes").alias("w"), "event_type"
-        )
-        .agg(
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-            F.sum("count_readings").alias("count_readings"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            (F.col("sum_value").cast("double") / F.col("count_readings")).alias(
-                "avg_value"
-            ),
-            "min_value",
-            "max_value",
-            F.col("count_readings").cast("long").alias("count_readings"),
-        )
-    )
-    out = _run_to_memory(five, "cascade", output_mode="append")
     # The sentinel exclusion must happen on the MATERIALIZED batch, not
     # inside the streaming plan: Catalyst pushes an event_type predicate
     # through both aggregations down BELOW the watermark operator, so the

@@ -223,3 +223,98 @@ def test_restart_from_checkpoint_exactly_once(spark, tmp_path):
     out = spark.read.parquet(f"{sink}/batch_id=*")
     ids = sorted(r["event_id"] for r in out.collect())
     assert ids == list(range(20))  # nothing lost, nothing duplicated
+
+
+def test_cascade_multibatch_equals_batch_rollup(spark, tmp_path):
+    """Chained window-on-window aggregation across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over three time-ordered files + a sentinel
+    file): watermark and both stateful operators' state must progress
+    across batches such that the appended output equals the direct batch
+    5-minute rollup exactly — the cross-batch form of the single-batch
+    parity the registry oracle checks."""
+    from datetime import timedelta
+
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        _run_to_memory,
+        cascade_1m_to_5m,
+    )
+
+    base = datetime(2024, 3, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [
+        (i, base + timedelta(seconds=20 * i), i % 3, ["click", "view"][i % 2], float(i), None)
+        for i in range(90)  # 30 minutes of events at 20 s cadence
+    ]
+    src_dir = str(tmp_path / "stream_src")
+    # three time-ordered slices, one FILE each, plus the sentinel as a
+    # fourth file => four micro-batches under maxFilesPerTrigger=1
+    # (file order = listing order; names are zero-padded to sort by time)
+    slices = [rows[:30], rows[30:60], rows[60:]]
+    for i, sl in enumerate(slices):
+        spark.createDataFrame(sl, schema).coalesce(1).write.parquet(
+            f"{src_dir}/tmp{i}"
+        )
+    import glob
+    import os
+    import shutil
+    import time as _time
+
+    os.makedirs(f"{src_dir}/in")
+    sentinel = [(999, rows[-1][1] + timedelta(hours=1), -1, "__sentinel__", 0.0, None)]
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(
+        f"{src_dir}/tmps"
+    )
+    # FileStreamSource orders same-batch backlog by modification time;
+    # rapid copies can tie at its resolution and then the SENTINEL may
+    # process before a data slice — its +1h event time drags the
+    # watermark past the slice, whose rows all drop as late (observed
+    # flake).  Pin strictly-increasing mtimes: slices in time order,
+    # sentinel strictly last.
+    now = _time.time()
+    for i in range(3):
+        (part,) = glob.glob(f"{src_dir}/tmp{i}/part-*.parquet")
+        dst = f"{src_dir}/in/{i:02d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (now + i, now + i))
+    (part,) = glob.glob(f"{src_dir}/tmps/part-*.parquet")
+    dst = f"{src_dir}/in/99.parquet"
+    shutil.copy(part, dst)
+    os.utime(dst, (now + 10, now + 10))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/in")
+        .withWatermark("ts", "5 seconds")
+    )
+    got = (
+        _run_to_memory(cascade_1m_to_5m(stream), "casc_mb", output_mode="append")
+        .filter(F.col("event_type") != "__sentinel__")
+        .collect()
+    )
+    events = spark.createDataFrame(rows, schema)
+    expect = (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).cast("long").alias("count_readings"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "min_value",
+            "max_value",
+            "count_readings",
+        )
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])  # noqa: E731
+    assert {key(r): tuple(r) for r in got} == {key(r): tuple(r) for r in expect}
+    assert len(got) == len(expect) > 0
