@@ -12198,7 +12198,7 @@ _KMV_SQL_HASH = (
     ), n AS (
       SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1
     ), f AS (
-      SELECT h.event_type, hv FROM h JOIN n USING (event_type)
+      SELECT DISTINCT h.event_type, hv FROM h JOIN n USING (event_type)
       WHERE CAST(hv AS DOUBLE) / 4503599627370496.0
             < LEAST(1.0, 2048.0 / n.n)
     ), sk AS (
@@ -12296,8 +12296,14 @@ def kmv_user_overlap_event_types_q(spark: SparkSession, sf_dir: str) -> DataFram
         < F.least(F.lit(1.0), F.lit(8.0 * K) / F.col("n"))
     )
     wt = Window.partitionBy("event_type").orderBy("hv")
+    # r12 (r11 ADVICE): dedup hash VALUES before the bottom-k so a 52-bit
+    # collision cannot make this row's est_distinct disagree with
+    # stream_kmv_distinct_store's (which dedups), and duplicate hv values
+    # never waste sketch slots; distinct-after-filter equals
+    # filter-after-distinct because the predicate depends only on (type, hv)
     sk = (
         f.select("event_type", "hv")
+        .distinct()
         .withColumn("rn", F.row_number().over(wt))
         .filter(F.col("rn") <= K)
     )
@@ -12418,11 +12424,10 @@ def stream_kmv_distinct_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     full value-hash oracle (the batch KMV estimate SQL) rather than an
     envelope.  tests/test_r9_ops.py asserts the multi-batch merge equals
     the single-batch sketch exactly."""
-    import tempfile as _tf
-
+    from .session import scratch_dir
     from .streaming.jobs import read_kmv_estimates, run_stream_kmv_store
 
-    store = _tf.mkdtemp(prefix="kmv_store_") + "/sk"
+    store = scratch_dir("kmv_store_") + "/sk"
     run_stream_kmv_store(spark, sf_dir, store)
     return read_kmv_estimates(spark, store)
 
@@ -12454,7 +12459,11 @@ def cdc_apply_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically derived from orders (keys %10==3 update price
     *1.1, %10==7 delete, %100==1 insert a new key +1e9) so the oracle
     can state the applied result closed-form; the ENGINE path is the
-    real merge join, not the oracle's CASE shortcut.
+    real merge join, not the oracle's CASE shortcut.  Change-row values
+    are selected GATED ON op — 'U'/'I' rows take the feed's columns
+    verbatim, so an update-to-NULL is representable (r11 ADVICE: the
+    previous per-column coalesce silently retained the old value for a
+    NULL-carrying update).
 
     Scale shape: a daily CDC feed is orders-of-magnitude smaller than
     the snapshot, so the join broadcasts the feed (AQE picks it up
@@ -12487,18 +12496,28 @@ def cdc_apply_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("I").alias("op"),
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
+
+    # r12 (r11 ADVICE): select change-row values GATED ON op, not
+    # per-column coalesce — a full-row-image 'U' row takes c_* VERBATIM
+    # (including an update-to-NULL, which coalesce would silently revert
+    # to the old value), unmatched snapshot rows (op IS NULL) pass
+    # through o_*.  Identical output on this feed (its updates carry no
+    # NULLs), but now the genuinely general CDC apply pattern.
+    def _pick(c_col: str, o_col: str) -> Column:
+        return (
+            F.when(F.col("op").isin("U", "I"), F.col(c_col))
+            .otherwise(F.col(o_col))
+            .alias(o_col)
+        )
+
     applied = (
         o.join(changes, "o_orderkey", "full_outer")
         .filter(F.col("op").isNull() | (F.col("op") != "D"))
         .select(
             "o_orderkey",
-            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("o_custkey"),
-            F.coalesce(F.col("c_totalprice"), F.col("o_totalprice")).alias(
-                "o_totalprice"
-            ),
-            F.coalesce(F.col("c_orderstatus"), F.col("o_orderstatus")).alias(
-                "o_orderstatus"
-            ),
+            _pick("c_custkey", "o_custkey"),
+            _pick("c_totalprice", "o_totalprice"),
+            _pick("c_orderstatus", "o_orderstatus"),
         )
     )
     return applied

@@ -29,11 +29,30 @@ transparently when the package is importable.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
-__all__ = ["get_spark", "stop_spark"]
+__all__ = ["get_spark", "stop_spark", "scratch_dir"]
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Per-process scratch allocator for streaming checkpoints / stores /
+    sentinel dirs: every dir lives under ONE root that is removed at
+    interpreter exit, so repeated bench/driver invocations of the
+    streaming-replay queries no longer accumulate temp directories
+    (r11 ADVICE).  Same contract as ``tempfile.mkdtemp`` — a fresh,
+    private directory per call."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
 
 
 def _delta_available() -> bool:

@@ -24,7 +24,6 @@ volumes use the RocksDB state store provider; the logic is unchanged.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 from datetime import timedelta
 from pathlib import Path
@@ -33,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import ROLLUP_AGGS
+from ..session import scratch_dir
 from ..sources.readers import _ensure_session_confs
 
 __all__ = [
@@ -69,7 +69,7 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     # The file-stream source needs a directory to monitor; the fixture is a
     # single file, so stage a symlink under a temp dir (zero copy).
-    stage = Path(tempfile.mkdtemp(prefix="events_stream_"))
+    stage = Path(scratch_dir("events_stream_"))
     link = stage / "events.parquet"
     if not link.exists():
         link.symlink_to(Path(path).resolve())
@@ -211,7 +211,7 @@ def run_events_stream_enriched_rollup(
         enriched, "ts", duration, "5 seconds", ["segment", "nation", "event_type"]
     )
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = scratch_dir("ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -278,7 +278,7 @@ def _run_to_memory(
     replay); the session value is restored afterwards."""
     spark = df.sparkSession
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    ckpt = scratch_dir(f"{prefix}_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -428,7 +428,7 @@ def run_stream_cascade_rollup(
     from ..sources.readers import load_table
 
     max_ts = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    sentinel_dir = tempfile.mkdtemp(prefix="cascade_sentinel_")
+    sentinel_dir = scratch_dir("cascade_sentinel_")
     sentinel = spark.createDataFrame(
         [(-1, max_ts + timedelta(hours=1), -1, "__sentinel__", 0.0, None)],
         stream.schema,
@@ -1208,7 +1208,7 @@ def fan_out_two_sinks(
     the source (Spark dedupes the scan per query; Kafka re-serves both).
     """
     group_cols = group_cols if group_cols is not None else ["user_id", "event_type"]
-    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_fanout_")
+    ckpt = checkpoint_dir or scratch_dir("ckpt_fanout_")
 
     import inspect
 

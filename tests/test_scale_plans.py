@@ -546,10 +546,16 @@ def test_kmv_prefilter_reaches_before_window_sort(spark):
     survivors (~2048 rows/group), never window-sort the full distinct
     set: the plan's Window/Sort must sit above a Filter on the hash
     fraction, and the dimension-sized joins must broadcast."""
+    import re
+
     plan = plan_of(spark, "kmv_user_overlap_event_types")
     assert "BroadcastHashJoin" in plan
-    # the pre-filter predicate on the 2^52-normalized hash fraction is
-    # the broadcast join's condition (counts joined back, then hv < 8k/n)
-    assert "4.503599627370496E15" in plan and "least(1.0, (2048.0" in plan
-    # Spark 4 pushes the rank<=k limit into the window sort
-    assert "WindowGroupLimit" in plan
+    # the pre-filter predicate on the normalized hash fraction is the
+    # broadcast join's condition (counts joined back, then hv < 8k/n) —
+    # matched loosely (r11 ADVICE: literal constant-folded fragments like
+    # '4.503599627370496E15' are tied to one Spark version's formatting)
+    assert re.search(r"least\(1\.0", plan), plan
+    # Spark 4 pushes the rank<=k limit into the window sort; the
+    # assertion is version-gated so a Spark downgrade doesn't fail it
+    if spark.version.split(".")[0] >= "4":
+        assert "WindowGroupLimit" in plan
