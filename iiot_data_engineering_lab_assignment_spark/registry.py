@@ -5810,9 +5810,12 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_assignments_fixed",
-    """
+# the pinned 2-iteration Lloyd trainer as shared CTEs (seeds = embeddings
+# of vec_id 0..7, two exact-decimal centroid updates with previous-centroid
+# fallback for emptied cells) — the prefix of both the assignment twin
+# (kmeans_assignments_fixed) and the centroid-matrix twin
+# (kmeans_centroids_fixed), so the two oracles cannot drift
+_KMEANS2_CTES = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
     ), cents0 AS (
@@ -5860,6 +5863,13 @@ def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS cv FROM u2 GROUP BY cell) u
         USING (cell)
     )
+"""
+
+
+@register(
+    "kmeans_assignments_fixed",
+    _KMEANS2_CTES
+    + """
     SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
       SELECT e.vec_id, c.cell,
              row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -5887,10 +5897,25 @@ def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     production trainer: per iteration one assignment scan (centroids
     broadcast as literals) + one scalar (cell, pos) shuffle; only the
     k x d parameter table ever collects."""
+    from .operators.similarity import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _kmeans2_cents(emb, k=8, iters=2)
+    return assign_cells(emb, cents).select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+
+
+def _kmeans2_cents(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> dict[int, list[float]]:
+    """The pinned-seed fixed-iteration Lloyd trainer shared by the two
+    hash-checked k-means twins: seeds = embeddings of vec_id < k, each
+    iteration one distributed assignment scan (centroids broadcast as
+    literals) + one exact-decimal centroid aggregate; an emptied cell
+    keeps its previous centroid.  Returns the k x d parameter dict."""
     from .operators.similarity import assign_cells, centroids
 
-    k, iters = 8, 2
-    emb = load_table(spark, sf_dir, "embeddings")
     cents = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < k).collect()
@@ -5901,9 +5926,44 @@ def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in centroids(assigned, "cell").collect():
             new[r["cell"]][r["pos"]] = r["centroid_v"]
         cents = new
-    return assign_cells(emb, cents).select(
-        "vec_id", F.col("cell").cast("int").alias("cell")
-    )
+    return cents
+
+
+@register(
+    "kmeans_centroids_fixed",
+    _KMEANS2_CTES
+    + """
+    SELECT cell, i - 1 AS pos,
+           ROUND(v, 6) AS centroid
+    FROM (SELECT CAST(cell AS INTEGER) AS cell, unnest(cv) AS v,
+                 generate_subscripts(cv, 1) AS i
+          FROM c2)
+    """,
+)
+def kmeans_centroids_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12 (r11 verdict ask #7): value-hash coverage for the Lloyd
+    TRAINER's output itself — ``kmeans_assignments_fixed`` hashes the
+    final ASSIGNMENTS, which could mask a centroid error that doesn't
+    flip any argmin; this twin emits the trained k x d centroid MATRIX
+    (cell, pos, centroid) after the same pinned two iterations, so the
+    update arithmetic (exact-decimal per-dimension means, previous-
+    centroid fallback for emptied cells) is hashed directly.  The
+    matrix is the trainer's parameter object (k x d = 512 values), so
+    emitting it from the driver-side dict is the parameter-server
+    convention, not a data collect; both engines round to 6 dp (the
+    engine's update values are already micro-unit rounded by the
+    shared centroid aggregate; seed-fallback float32 values are dyadic,
+    so the rounding boundary is unreachable and HALF_UP vs
+    away-from-zero cannot diverge)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _kmeans2_cents(emb, k=8, iters=2)
+    rows = [
+        (int(cell), int(pos), float(v))
+        for cell, vec in sorted(cents.items())
+        for pos, v in enumerate(vec)
+    ]
+    out = spark.createDataFrame(rows, "cell int, pos int, centroid double")
+    return out.select("cell", "pos", F.round("centroid", 6).alias("centroid"))
 
 
 @register(
