@@ -43,6 +43,9 @@ __all__ = [
     "assign_canonical",
     "keep_best",
     "duplicated_span_coverage",
+    "kgram_fingerprints",
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "incremental_dedup",
     "build_history_signature_store",
     "persist_history_signature_store",
@@ -1138,4 +1141,165 @@ def jaccard_pairs_prefix(
             >= F.lit(theta)
         )
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Exact substring span dedup (Lee et al. 2107.06499, span-removal tier)
+# ---------------------------------------------------------------------------
+
+
+def kgram_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional k-gram fingerprints (id, pos, fp): every word k-gram of
+    every document, hashed to a 16-hex-char md5 prefix BEFORE any
+    shuffle (the raw gram text never moves — the
+    :func:`duplicated_span_coverage` posting discipline).  ``pos`` is
+    the 0-based token index of the gram's first token.  Docs shorter
+    than ``k`` tokens (or NULL) contribute nothing."""
+    toks = tokenize(text_col)
+    grams = _gram_array(text_col, k)
+    return (
+        docs.filter(F.col(text_col).isNotNull() & (F.size(toks) >= k))
+        .select(F.col(id_col), F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            id_col,
+            F.col("pos0").cast("long").alias("pos"),
+            F.substring(F.md5("gram"), 1, 16).alias("fp"),
+        )
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 50,
+    gap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring SPANS via positional fingerprint chains
+    — the practical distributed tier of Lee et al.'s suffix-array
+    substring dedup (arXiv:2107.06499).  A k-gram occurrence is
+    REDUNDANT when it is not the corpus-wide first occurrence of its
+    fingerprint (first = min (doc, pos) order, so exactly one copy of
+    any duplicated substring survives — the suffix array's keep-one
+    semantic).  Per document, redundant positions chain into spans:
+    consecutive redundant k-grams whose starts are within ``k + gap``
+    tokens merge (CHAIN STITCHING — a long duplicated span with an
+    internal edit of <= ``gap`` tokens breaks the k-gram chain locally
+    but still merges into ONE span, which the plain 5-gram coverage
+    form ``duplicated_span_coverage`` cannot do), and merged spans
+    shorter than ``min_span`` tokens are dropped.
+
+    Returns (id, span_start, span_end, span_len) in token units,
+    span_end exclusive.
+
+    Scale shape — everything linear in corpus size, no pair generation:
+    fingerprint first-occurrence via one hash aggregate of
+    min(doc * 2^20 + pos) (map-side partial, skew-immune: a
+    boilerplate gram occurring millions of times still folds to one
+    row — where a row_number-over-fp window would put every occurrence
+    of the hottest gram in one task); the join back on the 16-byte fp
+    is sort-merge at worst with AQE skew-splitting; the island merge is
+    a doc-keyed window whose partitions are bounded by document length.
+    Requires pos < 2^20 (documents of < ~1M tokens — chunk first above
+    that, operators.text.chunk_documents)."""
+    g = kgram_fingerprints(docs, k=k, text_col=text_col, id_col=id_col)
+    occ = g.select(
+        id_col,
+        "pos",
+        "fp",
+        (F.col(id_col) * F.lit(1 << 20) + F.col("pos")).alias("ord"),
+    )
+    # only fingerprints occurring MORE than once can mark an occurrence
+    # redundant, so the firsts table keeps just those — the join's build
+    # side shrinks from all-distinct-grams to the (typically few-%)
+    # duplicated subset, and singleton occurrences drop at the inner
+    # join instead of surviving to the ord filter; result identical
+    firsts = (
+        occ.groupBy("fp")
+        .agg(F.min("ord").alias("min_ord"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .drop("c")
+    )
+    red = (
+        occ.join(firsts, "fp")
+        .filter(F.col("ord") > F.col("min_ord"))
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") - F.lag("pos").over(w) > k + gap),
+        1,
+    ).otherwise(0)
+    grp = red.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = grp.groupBy(id_col, "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k).alias("span_end"),
+    )
+    return spans.filter(
+        F.col("span_end") - F.col("span_start") >= min_span
+    ).select(
+        id_col,
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        (F.col("span_end") - F.col("span_start")).cast("long").alias("span_len"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 50,
+    gap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span REMOVAL over :func:`duplicate_spans`: every token covered by
+    a qualifying duplicated span is dropped from the document; the
+    corpus-wide first occurrence of each duplicated substring survives
+    (keep-one, not remove-all).  Returns (id, clean_text, n_removed)
+    for every non-NULL-text document — untouched docs pass through with
+    n_removed = 0, a doc that was a pure duplicate comes back as the
+    empty string (downstream length filters prune it).
+
+    The removal itself is a narrow projection: spans arrive as a
+    per-doc array via one aggregate + left join, and token filtering is
+    a nested higher-order ``filter(toks, (x, i) -> !exists(spans, ...))``
+    — no explode of the token array, no Python."""
+    spans = duplicate_spans(
+        docs, k=k, min_span=min_span, gap=gap, text_col=text_col, id_col=id_col
+    )
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).join(sp, id_col, "left")
+    toks = tokenize(text_col)
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.coalesce(
+            F.exists(
+                F.col("spans"),
+                lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return base.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
     )

@@ -38,6 +38,8 @@ __all__ = [
     "ivf_pq_topk",
     "build_ivfpq_store",
     "ivf_pq_topk_stored",
+    "ivfpq_store_upsert",
+    "ivf_pq_topk_upsert",
 ]
 
 
@@ -1215,6 +1217,101 @@ def ivf_pq_topk_stored(
     codes = spark.read.parquet(store_path).filter(
         F.col("cell").isin(probe_cells)
     )
+    book = pq_codebook(
+        embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col, seeds=cents
+    )
+    return _adc_shortlist_rerank(
+        embeddings, codes, q, book, shortlist, k, id_col, emb_col
+    )
+
+
+def ivfpq_store_upsert(
+    new_vectors: DataFrame,
+    store_path: str,
+    cents: dict[int, list[float]],
+    book: dict[int, list[tuple[int, list[float]]]],
+    batch_id: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    delta_root: str | None = None,
+) -> None:
+    """UPSERT one batch of new vectors into a :func:`build_ivfpq_store`
+    index (r11 verdict ask #5 — the index-maintenance path the offline
+    build lacks): the batch is coarse-assigned and PQ-encoded against
+    the FIXED quantizer captured at build time (``cents``/``book`` are
+    parameters, never re-derived from data — re-deriving would silently
+    re-key every existing cell), and lands under
+    ``<store>/delta/batch_id=N`` partitioned by cell.
+
+    Exactly-once under retry: the write is mode=overwrite into the
+    batch's OWN ``batch_id=N`` directory (the
+    ``incremental_dedup_stream_writer`` / ``run_stream_kmv_store``
+    discipline), so a crashed-and-replayed micro-batch replaces its
+    partial rather than appending twice; encoding is per-vector
+    deterministic arithmetic, so the rerun is bit-identical.  Because
+    every vector's (cell, codes) depend only on the vector and the
+    fixed quantizer, base + delta together are CONTENT-IDENTICAL to a
+    full offline rebuild over the grown corpus — serving recall cannot
+    drift from the rebuild (pytest-pinned); with a TRAINED quantizer
+    the same layout applies and drift is bounded by re-training
+    cadence instead.
+
+    At 10^9 vectors this is the nightly shape: per batch one
+    O(batch x k_cells) assignment scan and an m-bytes/vector append;
+    the base cells are never rewritten."""
+    root = delta_root or f"{store_path}_delta"
+    assigned = assign_cells(new_vectors, cents, id_col, emb_col).select(
+        id_col, F.col("cell").cast("int").alias("cell")
+    )
+    codes = pq_encode(new_vectors, book, id_col, emb_col)
+    (
+        codes.join(assigned, id_col)
+        .repartition("cell")  # one writer task per cell dir, no tiny files
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{root}/batch_id={batch_id}")
+    )
+
+
+def ivf_pq_topk_upsert(
+    embeddings: DataFrame,
+    store_path: str,
+    query_id: int = 0,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    n_cells: int = 8,
+    m: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    delta_root: str | None = None,
+) -> DataFrame:
+    """Serve IVF-PQ top-k over BASE + DELTA cells: the offline
+    :func:`build_ivfpq_store` index under ``store_path`` plus every
+    :func:`ivfpq_store_upsert` batch under ``store_path_delta``.  Both
+    scans carry ``cell IN (probed)`` on their partition column, so
+    pruning happens at file listing for the base directories AND each
+    delta batch's cell directories (plan-asserted in
+    tests/test_scale_plans.py); the union feeds the shared ADC
+    shortlist + exact re-rank tail, value-identical to serving a full
+    rebuild (same fixed quantizer, same fixed-subspace-order sums)."""
+    import os
+
+    spark = embeddings.sparkSession
+    cents = _pinned_seeds(embeddings, n_cells, id_col, emb_col)
+    q = _query_vec(embeddings, query_id, id_col, emb_col)
+    probe_cells = _probe_cells(q, cents, nprobe)
+    codes = spark.read.parquet(store_path).filter(
+        F.col("cell").isin(probe_cells)
+    ).select(id_col, "sub_idx", "code")
+    delta_root = delta_root or f"{store_path}_delta"
+    if os.path.exists(delta_root):
+        delta = (
+            spark.read.parquet(delta_root)
+            .filter(F.col("cell").isin(probe_cells))
+            .select(id_col, "sub_idx", "code")
+        )
+        codes = codes.unionByName(delta)
     book = pq_codebook(
         embeddings, n_codes=n_cells, m=m, id_col=id_col, emb_col=emb_col, seeds=cents
     )

@@ -765,3 +765,118 @@ def test_iiot_backfill_envelope_matches_volume_contract(spark):
     for r in out:
         assert r["count_readings"] == 168
         assert r["min_le_avg"] is True and r["avg_le_max"] is True
+
+
+# ---------------------------------------------------------------------------
+# r12: exact substring span dedup (Lee et al. tier)
+# ---------------------------------------------------------------------------
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_duplicate_spans_planted_exact_copy(spark):
+    """A >=50-token span duplicated verbatim across two docs: the later
+    doc carries exactly one merged span covering the copy; the first
+    occurrence is NOT flagged (keep-one)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import duplicate_spans
+
+    span = " ".join(f"w{i}" for i in range(60))
+    a = "alpha unique tokens here " + span + " tail0 tail1"
+    b = "totally different prefix words " + span + " other end"
+    docs = _mkdocs(spark, [a, b])
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, k=8, min_span=50, gap=8).collect()
+    }
+    # doc 1's copy starts after its 4 prefix tokens and runs 60 tokens
+    assert got == {(1, 4, 64)}
+
+
+def test_duplicate_spans_stitches_across_internal_edit(spark):
+    """A 70-token duplicated span whose COPY has a 3-token internal edit:
+    the k-gram chain breaks around the edit, but gap stitching (<= 8
+    tokens) merges the two halves into ONE span — the capability the
+    fixed-n-gram coverage form lacks."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import duplicate_spans
+
+    words = [f"w{i}" for i in range(70)]
+    orig = "lead in tokens " + " ".join(words) + " done"
+    edited = list(words)
+    edited[35:38] = ["EDIT1", "EDIT2", "EDIT3"]  # 3-token edit mid-span
+    copy = "completely other starter " + " ".join(edited) + " finale"
+    docs = _mkdocs(spark, [orig, copy])
+    spans = duplicate_spans(docs, k=8, min_span=50, gap=8).collect()
+    assert len(spans) == 1
+    r = spans[0]
+    # one stitched span in the copy (doc 1, 3 prefix tokens), covering
+    # both halves of the edited duplicate
+    assert r["doc_id"] == 1
+    assert r["span_start"] == 3
+    assert r["span_end"] == 3 + 70
+    assert r["span_len"] == 70
+
+
+def test_duplicate_spans_respects_min_span_and_break(spark):
+    """A 20-token duplicated run stays below min_span=50 and emits
+    nothing; two duplicated runs separated by MORE than gap tokens do
+    not stitch."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import duplicate_spans
+
+    run1 = " ".join(f"a{i}" for i in range(30))
+    run2 = " ".join(f"b{i}" for i in range(30))
+    fill0 = " ".join(f"p{i}" for i in range(25))  # per-doc unique prefixes
+    fill1 = " ".join(f"q{i}" for i in range(25))
+    sep = " ".join(f"x{i}" for i in range(20))  # 20 > k + gap = 16
+    sep2 = " ".join(f"y{i}" for i in range(20))
+    docs = _mkdocs(
+        spark,
+        [
+            fill0 + " " + run1 + " " + sep + " " + run2,
+            fill1 + " " + run1 + " " + sep2 + " " + run2,
+        ],
+    )
+    # run1/run2 (30 each) separated by 20 unshared tokens -> two
+    # 30-token islands in doc 1, both < 50 -> nothing qualifies
+    assert duplicate_spans(docs, k=8, min_span=50, gap=8).count() == 0
+    # with min_span=25 the two runs emit as SEPARATE spans (no stitch)
+    spans = duplicate_spans(docs, k=8, min_span=25, gap=8).collect()
+    lens = sorted(r["span_len"] for r in spans)
+    assert lens == [30, 30]
+
+
+def test_remove_duplicate_spans_drops_planted_copy(spark):
+    """Removal: the copy's span tokens vanish, the original doc is
+    untouched, counts reconcile."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(55))
+    a = "keep these four tokens " + span
+    b = "other doc starts differently " + span + " trailing bits"
+    docs = _mkdocs(spark, [a, b])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8, min_span=50, gap=8).collect()}
+    assert out[0]["n_removed"] == 0 and out[0]["clean_text"] == a
+    assert out[1]["n_removed"] == 55
+    assert "w0" not in out[1]["clean_text"].split()
+    assert out[1]["clean_text"].split() == (
+        "other doc starts differently".split() + "trailing bits".split()
+    )
+
+
+def test_remove_duplicate_spans_full_duplicate_doc_empties(spark):
+    """A doc that is one whole duplicated span comes back as the empty
+    string with every token counted removed."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    span = " ".join(f"w{i}" for i in range(52))
+    docs = _mkdocs(spark, ["intro words here " + span + " outro", span])
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8, min_span=50, gap=8).collect()}
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_removed"] == 52

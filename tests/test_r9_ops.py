@@ -1214,3 +1214,152 @@ def test_histogram_quantile_sketch_bounded_error(spark):
     for r in rows:
         v = vstar[(r["event_type"], r["q"])]
         assert abs(r["est_value"] - v) <= 0.5 + 1e-9, (tuple(r), v)
+
+
+# ---------------------------------------------------------------------------
+# r12: IVF-PQ incremental index maintenance (upsert path)
+# ---------------------------------------------------------------------------
+
+
+def _upsert_quantizer(embeddings):
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        _pinned_seeds,
+        pq_codebook,
+    )
+
+    cents = _pinned_seeds(embeddings, 8, "vec_id", "embedding")
+    book = pq_codebook(embeddings, n_codes=8, m=4, seeds=cents)
+    return cents, book
+
+
+def test_ivfpq_upsert_serving_equals_full_rebuild(spark, embeddings, tmp_path):
+    """Base (first half) + streamed delta (second half, multiple
+    micro-batches) must serve a top-k VALUE-IDENTICAL to a full offline
+    rebuild and to the inline plan — zero recall drift under the fixed
+    quantizer."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        build_ivfpq_store,
+        ivf_pq_topk,
+        ivf_pq_topk_stored,
+        ivf_pq_topk_upsert,
+    )
+    from iiot_data_engineering_lab_assignment_spark.streaming.jobs import (
+        run_stream_ivfpq_upsert,
+    )
+
+    n = embeddings.count()
+    cut = n // 2
+    base = str(tmp_path / "base")
+    build_ivfpq_store(
+        embeddings.filter(F.col("vec_id") < cut), base, n_cells=8, m=4
+    )
+    run_stream_ivfpq_upsert(spark, SF_DIR, base, cut, n_cells=8, m=4, n_files=3)
+
+    served = [
+        tuple(r)
+        for r in ivf_pq_topk_upsert(
+            embeddings, base, query_id=0, k=10, nprobe=3, shortlist=50
+        ).collect()
+    ]
+    full = str(tmp_path / "full")
+    build_ivfpq_store(embeddings, full, n_cells=8, m=4)
+    rebuilt = [
+        tuple(r)
+        for r in ivf_pq_topk_stored(
+            embeddings, full, query_id=0, k=10, nprobe=3, shortlist=50
+        ).collect()
+    ]
+    inline = [
+        tuple(r)
+        for r in ivf_pq_topk(
+            embeddings, query_id=0, k=10, nprobe=3, shortlist=50
+        ).collect()
+    ]
+    assert served == rebuilt == inline
+
+
+def test_ivfpq_upsert_retry_is_idempotent(spark, embeddings, tmp_path):
+    """A replayed batch (same batch_id) overwrites its own partition:
+    the delta content and the served top-k are identical after the
+    retry — the exactly-once contract without a transactional store."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        build_ivfpq_store,
+        ivf_pq_topk_upsert,
+        ivfpq_store_upsert,
+    )
+
+    n = embeddings.count()
+    cut = n // 2
+    base = str(tmp_path / "base")
+    build_ivfpq_store(
+        embeddings.filter(F.col("vec_id") < cut), base, n_cells=8, m=4
+    )
+    cents, book = _upsert_quantizer(embeddings)
+    delta = embeddings.filter(F.col("vec_id") >= cut)
+    droot = str(tmp_path / "delta")
+    ivfpq_store_upsert(delta, base, cents, book, 0, delta_root=droot)
+    first = sorted(
+        tuple(r)
+        for r in spark.read.parquet(droot)
+        .select("vec_id", "sub_idx", "code", "cell")
+        .collect()
+    )
+    topk_first = [
+        tuple(r)
+        for r in ivf_pq_topk_upsert(
+            embeddings, base, query_id=0, k=10, delta_root=droot
+        ).collect()
+    ]
+    # the "crash between write and checkpoint commit" replay
+    ivfpq_store_upsert(delta, base, cents, book, 0, delta_root=droot)
+    second = sorted(
+        tuple(r)
+        for r in spark.read.parquet(droot)
+        .select("vec_id", "sub_idx", "code", "cell")
+        .collect()
+    )
+    topk_second = [
+        tuple(r)
+        for r in ivf_pq_topk_upsert(
+            embeddings, base, query_id=0, k=10, delta_root=droot
+        ).collect()
+    ]
+    assert first == second
+    assert topk_first == topk_second
+
+
+def test_ivfpq_upsert_probe_prunes_both_scans(spark, embeddings, tmp_path):
+    """The cell IN (probed) predicate must land in PartitionFilters of
+    BOTH the base scan and the delta scan — pruning at file listing on
+    each side of the union."""
+    import contextlib
+    import io
+
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        build_ivfpq_store,
+        ivf_pq_topk_upsert,
+        ivfpq_store_upsert,
+    )
+
+    n = embeddings.count()
+    cut = n // 2
+    base = str(tmp_path / "base")
+    build_ivfpq_store(
+        embeddings.filter(F.col("vec_id") < cut), base, n_cells=8, m=4
+    )
+    cents, book = _upsert_quantizer(embeddings)
+    droot = str(tmp_path / "delta")
+    ivfpq_store_upsert(
+        embeddings.filter(F.col("vec_id") >= cut), base, cents, book, 0,
+        delta_root=droot,
+    )
+    served = ivf_pq_topk_upsert(
+        embeddings, base, query_id=0, k=10, delta_root=droot
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    pruned = [ln for ln in pf if "cell" in ln and " IN " in ln]
+    assert len(pruned) >= 2, pf
