@@ -201,6 +201,13 @@ EXTENDED = [
     "stream_kmv_distinct_store",
     "collapse_repeated_runs",
     "cdc_apply_orders",
+    # round-12 additions: the exact-substring span dedup pair, the
+    # IVF-PQ incremental upsert serving path, and the pinned-Lloyd
+    # centroid-matrix twin
+    "exact_substring_spans",
+    "exact_substring_dedup",
+    "ivf_pq_topk_upsert",
+    "kmeans_centroids_fixed",
 ]
 
 

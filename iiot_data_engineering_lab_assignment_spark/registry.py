@@ -12990,88 +12990,76 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # Round-11 rotation (r10 verdict ask #1 — the hard requirement):
-    # the 26 queries that have NEVER had a driver CORRECTNESS row (the
-    # entire round-9 registration wave; every one verified green by the
-    # r10 judge's own local gate at sf0.001 and by tools/check_oracles.py
-    # under a vanilla driver session), plus 24 driver-green family
-    # anchors to fill the 50-slot window — one per SURVEY §2 family
-    # (IIoT rollups, projections/scalars, lifecycle, dedup cascade,
-    # similarity, TPC-H shapes, as-of/range joins) including the two
-    # bench-flagged queries (sensor_rollup_1m 2.13x, zscore_anomalies
-    # 1.26x in BENCH_r10) so their correctness stays pinned while the
-    # perf flag is re-measured.  After this window lands, every one of
-    # the registered queries has at least one driver-green row.
+    # Round-12 rotation (r11 verdict ask #1): every registered query has
+    # a driver CORRECTNESS row and zero are rows-only, so the window now
+    # burns down STALENESS — the one query whose only driver row predates
+    # its envelope oracle, this round's new registrations and
+    # semantics-touched fixes, then the longest-unchecked driver-green
+    # queries in oldest-round-first order (r2 -> r5).  Every evicted
+    # entry is driver-green in r10/r11 and stays in the full local gate
+    # (tools/check_oracles.py runs all of them).
     #
-    # Out (ALL driver-green r9/r10): the rest of the r9 window — every
-    # evicted query stays in tools/check_oracles.py's full local gate.
-    #
-    # --- the 26 never-driver-checked (r9 wave) ---
-    "bigram_logprob_score",
-    "embedding_dim_stats",
-    "unpivot_sensor_stats",
-    "multiset_order_custkeys",
-    "filtered_aggregates",
-    "value_histogram_by_type",
-    "modal_event_type_per_user",
-    "source_epoch_allocation",
-    "rolling_slope_24h_per_user",
-    "seasonal_naive_mase_by_type",
-    "quantile_normalize_by_source",
-    "kcore_peeling_rounds",
-    "sax_words_daily",
-    "bloom_semijoin_vip_events",
-    "decayed_popularity_by_type",
-    "mmr_diversified_topk",
-    "jaccard_pairs_prefix",
-    "vocab_oov_rate_by_source",
-    "dup_aware_sample_weights",
-    "pq_codes_fixed",
-    "knn_label_eval",
-    "pq_codes_gemm",
-    "pq_adc_topk",
-    "ivf_pq_topk",
-    "countmin_heavy_users",
-    "debounce_alerts",
-    # --- family anchors (all driver-green in earlier rounds) ---
-    "sensor_rollup_1m",
-    "zscore_anomalies",
-    "sliding_rollup_1m_30s",
-    "zorder_key_events",
-    "dedup_exact_fingerprint",
-    "minhash_lsh_pairs_md5",
-    "simhash_signature_md5",
-    "cosine_topk",
-    # r11 rows-only -> envelope upgrades — first-ever VALUE-HASH driver
-    # rows (they only ever had rows-only checks); each evicted anchor
-    # (events_passthrough, scalar_roundtrip, date_partition_derivation,
-    # retention_filter, json_extract_props, string_functions) is
-    # driver-green in 2+ earlier rounds and stays in the local gate
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "cosine_dup_pairs_blocked",
-    "winnowing_fingerprints",
-    "iiot_backfill_rollup",
-    "semantic_dedup_pairs",
-    # r11 NEW registrations — first-ever driver check this round: the
-    # stored-index ANN serving path, the GEMM ADC tier, and the round's
-    # new operator wave (KMV set algebra + its streaming store, the
-    # chained window-on-window streaming rollup, mergeable histogram
-    # quantiles, the repetition cleaner, CDC apply).  Each is
-    # locally gate-green at sf0.001 AND sf0.01.  q1/q18 stay as TPC-H
-    # anchors (also bench-headline-pinned); the evicted multi-round
-    # driver-green anchors (q3, asof/range/lateral joins, the two
-    # fixed-quantizer twins) remain in the full local gate.
-    "ivf_pq_topk_stored",
-    "pq_adc_topk_gemm",
+    # --- the one stale-oracle row (its only driver row is the r08
+    #     rows-only-era no_oracle entry; the envelope oracle added in r9
+    #     has never been driver-checked)
+    "kmeans_assignments",
+    # --- r12 NEW registrations: the pinned-Lloyd centroid-matrix twin,
+    #     the exact-substring span dedup pair, the IVF-PQ upsert serving
+    "kmeans_centroids_fixed",
+    "exact_substring_spans",
+    "exact_substring_dedup",
+    "ivf_pq_topk_upsert",
+    # --- r12 semantics-touched fixes re-checked (KMV hv dedup; CDC
+    #     op-gated select)
     "kmv_user_overlap_event_types",
-    "stream_kmv_distinct_store",
-    "stream_cascade_1m_to_5m",
-    "histogram_quantile_sketch",
-    "collapse_repeated_runs",
     "cdc_apply_orders",
-    "q1_pricing_summary",
-    "q18_large_volume_customers",
+    # --- staleness burn-down: last driver-checked in r2
+    "bpe_token_count",
+    "cube_status_priority",
+    "dedup_exact_groups",
+    "dedup_keep_first",
+    "dedup_keep_first_fingerprint",
+    "distinct_nations_per_segment",
+    "doc_fingerprint",
+    "embedding_centroids",
+    "filter_type_threshold",
+    "ngram_jaccard_pairs",
+    "order_lineitem_join_agg",
+    "quality_filter_en",
+    "region_customer_count",
+    "sensor_rollup_5m_by_user",
+    "token_stats_by_lang",
+    # --- last driver-checked in r3
+    "date_partition_derivation",
+    "filter_user_time_range",
+    "lag_delta_per_user",
+    "rollup_order_totals",
+    "salted_join_revenue",
+    "session_rollup_5m",
+    "set_except_inactive",
+    # --- last driver-checked in r4
+    "anti_join_customers",
+    "connected_components_chain",
+    "correlated_scalar_subquery",
+    "ngram_jaccard_pairs_capped",
+    "pivot_event_counts",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "range_frame_hourly_avg",
+    "range_join_purchase_click",
+    "rank_orders_per_customer",
+    "retention_filter",
+    "scalar_roundtrip",
+    "semi_join_customers",
+    "stream_sliding_1m_30s",
+    "top_orders",
+    "union_high_value_parties",
+    # --- last driver-checked in r5 (oldest five, filling the window)
+    "cohort_weekly_retention",
+    "decontaminate_eval_overlap",
+    "events_passthrough",
+    "gapfill_locf_daily",
+    "grouping_sets_revenue",
 ]
 
 

@@ -119,28 +119,25 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-11 rotation (r10 verdict ask #1): the 26 queries that never
-    # had a driver CORRECTNESS row (the r9 registration wave), the r11
-    # new registrations, the rows-only -> envelope upgrades under their
-    # first value-hash check, and the two bench-flagged anchors
+    # round-12 rotation (r11 verdict ask #1): the one query whose driver
+    # row predates its envelope oracle, the r12 new registrations and
+    # semantics-touched fixes, then the stalest driver-green queries
+    # (last checked r2-r5)
     required = [
-        # the 26 never-driver-checked (spot-check representatives)
-        "bigram_logprob_score", "rolling_slope_24h_per_user",
-        "source_epoch_allocation", "jaccard_pairs_prefix",
-        "dup_aware_sample_weights", "pq_codes_fixed", "pq_adc_topk",
-        "ivf_pq_topk", "countmin_heavy_users", "debounce_alerts",
-        "kcore_peeling_rounds", "mmr_diversified_topk",
-        # r11 new registrations under first driver check
-        "ivf_pq_topk_stored", "pq_adc_topk_gemm",
-        "kmv_user_overlap_event_types", "stream_kmv_distinct_store",
-        "stream_cascade_1m_to_5m", "histogram_quantile_sketch",
-        "collapse_repeated_runs", "cdc_apply_orders",
-        # r11 rows-only -> envelope upgrades (first value-hash rows)
-        "minhash_lsh_pairs", "simhash_pairs", "cosine_dup_pairs_blocked",
-        "winnowing_fingerprints", "iiot_backfill_rollup",
-        "semantic_dedup_pairs",
-        # bench-flagged anchors stay correctness-pinned while re-measured
-        "sensor_rollup_1m", "zscore_anomalies",
+        # the stale-oracle row the rotation leads with
+        "kmeans_assignments",
+        # r12 new registrations under first driver check
+        "kmeans_centroids_fixed", "exact_substring_spans",
+        "exact_substring_dedup", "ivf_pq_topk_upsert",
+        # r12 semantics-touched fixes re-checked
+        "kmv_user_overlap_event_types", "cdc_apply_orders",
+        # staleness burn-down spot-checks (r2/r3/r4/r5 rows)
+        "bpe_token_count", "sensor_rollup_5m_by_user",
+        "order_lineitem_join_agg", "salted_join_revenue",
+        "session_rollup_5m", "rank_orders_per_customer",
+        "range_join_purchase_click", "stream_sliding_1m_30s",
+        "connected_components_chain", "events_passthrough",
+        "gapfill_locf_daily",
     ]
     for name in required:
         assert name in registry.DRIVER_WINDOW, name
