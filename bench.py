@@ -208,6 +208,12 @@ EXTENDED = [
     "exact_substring_dedup",
     "ivf_pq_topk_upsert",
     "kmeans_centroids_fixed",
+    # round-12 wave 2: the trained-PQ family and the temperature-mixture
+    # sampler
+    "pq_codebook_trained",
+    "pq_codes_trained",
+    "pq_adc_topk_trained",
+    "mixture_temperature_sample",
 ]
 
 

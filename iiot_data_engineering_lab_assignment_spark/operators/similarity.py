@@ -31,6 +31,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "incremental_semantic_dedup",
     "pq_codebook",
+    "pq_codebook_train",
     "pq_encode",
     "pq_adc_topk",
     "pq_adc_topk_gemm",
@@ -877,6 +878,87 @@ def pq_codebook(
         s: [(code, vec[s * dsub : (s + 1) * dsub]) for code, vec in pairs]
         for s in range(m)
     }
+
+
+def pq_codebook_train(
+    embeddings: DataFrame,
+    n_codes: int = 8,
+    m: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Trained product-quantization codebook: per-subspace Lloyd with the
+    pinned-seed fixed-iteration convention of ``_kmeans2_cents`` (seeds =
+    the :func:`pq_codebook` slices of the ``n_codes`` lowest-id vectors,
+    exactly ``iters`` update steps, an emptied code keeps its previous
+    centroid) — so the trainer is deterministic arithmetic a SQL oracle
+    reproduces, while the plan shape is the production one: ALL m
+    subspaces train in each pass (one corpus scan computing every
+    subspace's argmin + carrying its subvector, then one scalar
+    (sub_idx, code, pos) shuffle for the exact-decimal update — m*k*dsub
+    = 512 aggregate rows, parameters not data).  Distances are the same
+    sequential-fold |v|^2 - 2 v.c + |c|^2 with the (d2, code) tiebreak as
+    :func:`pq_encode`; the update is the exact-decimal micro-unit-rounded
+    mean of :func:`centroids`, so iteration-2 assignments see the
+    identical rounded doubles in both engines.  Returns the codebook in
+    :func:`pq_codebook`'s {sub_idx: [(code, subvector), ...]} shape, so
+    encode / ADC / IVF-PQ store plumbing is unchanged — training refines
+    the parameters, not the serving plan."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    book = pq_codebook(embeddings, n_codes, m, id_col, emb_col)
+    e = _as_double(F.col(emb_col))
+    for _ in range(iters):
+        per_sub = []
+        for s, cents in sorted(book.items()):
+            dsub = len(cents[0][1])
+            v = F.slice(e, s * dsub + 1, dsub)
+            vnorm = dot(v, v)
+            entries = []
+            for code, c in cents:
+                carr = F.array(*[F.lit(float(x)) for x in c])
+                cnorm = float(sum(x * x for x in c))
+                d2 = vnorm - F.lit(2.0) * dot(v, carr) + F.lit(cnorm)
+                entries.append(
+                    F.struct(d2.alias("d2"), F.lit(code).alias("code"))
+                )
+            best = F.array_min(F.array(*entries))
+            per_sub.append(
+                F.struct(
+                    F.lit(s).alias("sub_idx"),
+                    best["code"].alias("code"),
+                    v.alias("v"),
+                )
+            )
+        assigned = embeddings.select(
+            F.explode(F.array(*per_sub)).alias("a")
+        ).select(
+            F.col("a.sub_idx").alias("sub_idx"),
+            F.col("a.code").alias("code"),
+            F.posexplode(F.col("a.v")).alias("pos", "val"),
+        )
+        mean = (
+            F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        upd = assigned.groupBy("sub_idx", "code", "pos").agg(
+            (
+                F.round(mean * F.lit(1000000.0), 0).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("cv")
+        )
+        new = {
+            s: {code: list(vec) for code, vec in cents}
+            for s, cents in book.items()
+        }
+        for r in upd.collect():
+            new[r["sub_idx"]][r["code"]][r["pos"]] = float(r["cv"])
+        book = {
+            s: sorted((code, vec) for code, vec in d.items())
+            for s, d in new.items()
+        }
+    return book
 
 
 def pq_encode(

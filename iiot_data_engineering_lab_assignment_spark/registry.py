@@ -6907,6 +6907,78 @@ def mixture_downsample_uniform_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_temperature_sample",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(('0x' || substr(md5('temper:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / 4503599627370496.0 AS u
+      FROM documents
+    ), per_src AS (
+      SELECT source, SUM(n_tok) AS src_tokens,
+             CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS r
+      FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT SUM(src_tokens) // 2 AS budget, SUM(r) AS s FROM per_src
+    )
+    SELECT t.doc_id, t.source
+    FROM tok t JOIN per_src p USING (source), tot
+    WHERE t.u < LEAST(1.0,
+          CAST(CAST(tot.budget AS HUGEINT) * p.r AS DOUBLE)
+          / CAST(CAST(tot.s AS HUGEINT) * p.src_tokens AS DOUBLE))
+    """,
+)
+def mixture_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: TEMPERATURE-sampled source mixture (the Pile / mT5 recipe,
+    alpha = 0.5): each source's target share is proportional to
+    sqrt(its token count) — between ``mixture_downsample_uniform``
+    (alpha = 0, flatten) and no-op (alpha = 1) — under a half-corpus
+    token budget.  Cross-engine hashability comes from EXACT-INTEGER
+    sufficient statistics, the autocorr lesson: the weight is the
+    floor'd integer sqrt (both engines take the same IEEE sqrt of the
+    same bigint), the budget is an integer floor-half of the exact token
+    total, and the keep fraction is one division of two exact integer
+    products (DECIMAL(38,0) / HUGEINT — each rounds-to-nearest the same
+    integer, so the doubles are bit-identical; products fit 38 digits
+    through ~1e19-token corpora).  Selection is the deterministic md5
+    uniform, so the sample is stable under repartitioning and retries.
+    Plan: per-source stats broadcast back into a scan-level filter —
+    the documents relation never shuffles, same shape as the uniform
+    sibling."""
+    from .operators.sampling import hash_uniform
+    from .operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+        hash_uniform("doc_id", "temper"),
+    )
+    per_src = tok.groupBy("source").agg(
+        F.sum("n_tok").alias("src_tokens")
+    ).withColumn(
+        "r", F.floor(F.sqrt(F.col("src_tokens").cast("double"))).cast("long")
+    )
+    tot = per_src.agg(
+        F.expr("SUM(src_tokens) DIV 2").alias("budget"),
+        F.sum("r").alias("s"),
+    )
+    joined = tok.join(F.broadcast(per_src), "source").crossJoin(
+        F.broadcast(tot)
+    )
+    frac = F.least(
+        F.lit(1.0),
+        (F.col("budget").cast("decimal(38,0)") * F.col("r")).cast("double")
+        / (F.col("s").cast("decimal(38,0)") * F.col("src_tokens")).cast(
+            "double"
+        ),
+    )
+    return joined.filter(F.col("u") < frac).select("doc_id", "source")
+
+
+@register(
     "gapfill_interpolate_daily",
     """
     WITH bounds AS (
@@ -11966,6 +12038,203 @@ def pq_adc_topk_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk_gemm(emb, pq_codebook(emb, n_codes=8, m=4), query_id=0, k=10)
 
 
+# the trained-PQ CTEs: _PQ_CTES' pinned slices become Lloyd SEEDS and two
+# per-subspace exact-decimal update iterations follow (the _KMEANS2_CTES
+# convention keyed by sub_idx) — the shared prefix of the trained
+# codebook-matrix, encode, and ADC-serving twins, so the three oracles
+# cannot drift from one another
+_PQT_CTES = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), subs AS (
+      SELECT unnest(generate_series(0, 3)) AS sub_idx
+    ), vsub AS (
+      SELECT e.vec_id, s.sub_idx,
+             e.ev[(s.sub_idx * 16 + 1):(s.sub_idx * 16 + 16)] AS v
+      FROM e CROSS JOIN subs s
+    ), cents0 AS (
+      SELECT sub_idx, vec_id AS code, v AS cv FROM vsub WHERE vec_id < 8
+    ), a1 AS (
+      SELECT sub_idx, vec_id, v, code FROM (
+        SELECT v.sub_idx, v.vec_id, v.v, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN cents0 c USING (sub_idx))
+      WHERE rn = 1
+    ), u1 AS (
+      SELECT sub_idx, code, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (SELECT sub_idx, code, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS i FROM a1)
+      GROUP BY sub_idx, code, i
+    ), c1 AS (
+      SELECT s.sub_idx, s.code, COALESCE(u.cv, s.cv) AS cv
+      FROM cents0 s
+      LEFT JOIN (SELECT sub_idx, code, list(cv ORDER BY pos) AS cv
+                 FROM u1 GROUP BY sub_idx, code) u
+        USING (sub_idx, code)
+    ), a2 AS (
+      SELECT sub_idx, vec_id, v, code FROM (
+        SELECT v.sub_idx, v.vec_id, v.v, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN c1 c USING (sub_idx))
+      WHERE rn = 1
+    ), u2 AS (
+      SELECT sub_idx, code, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (SELECT sub_idx, code, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS i FROM a2)
+      GROUP BY sub_idx, code, i
+    ), ct AS (
+      -- empty-code fallback is the PREVIOUS iteration's centroid (c1),
+      -- not the seed: the engine dict-carries iteration-1 state
+      SELECT s.sub_idx, s.code, COALESCE(u.cv, s.cv) AS cv
+      FROM c1 s
+      LEFT JOIN (SELECT sub_idx, code, list(cv ORDER BY pos) AS cv
+                 FROM u2 GROUP BY sub_idx, code) u
+        USING (sub_idx, code)
+    )"""
+
+
+@register(
+    "pq_codebook_trained",
+    _PQT_CTES
+    + """
+    SELECT CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code,
+           i - 1 AS pos, ROUND(x, 6) AS centroid
+    FROM (SELECT sub_idx, code, unnest(cv) AS x,
+                 generate_subscripts(cv, 1) AS i FROM ct)
+    """,
+)
+def pq_codebook_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: the TRAINED product-quantization codebook — per-subspace
+    Lloyd refinement of the pinned ``pq_codes_fixed`` seeds (the step
+    ``pq_codebook``'s docstring deferred to "a production trainer").
+    The ``kmeans_centroids_fixed`` recipe applies per subspace: seeds =
+    the vec_id 0..7 slices, exactly two exact-decimal update iterations,
+    an emptied code keeps its previous centroid — but ALL m subspaces
+    train in one scan per iteration (one corpus pass computing every
+    subspace's argmin and carrying its subvector, then one scalar
+    (sub_idx, code, pos) shuffle; only the m x k x dsub = 512-value
+    parameter matrix collects).  Emitting the matrix itself hashes the
+    trainer's update arithmetic directly, the lesson of the k-means
+    centroid twin: an assignment hash can mask a centroid error that
+    flips no argmin.  Both engines round to 6 dp (engine values are
+    already micro-unit rounded by the shared update; seed-fallback
+    float32 values are dyadic, so the boundary is unreachable)."""
+    from .operators.similarity import pq_codebook_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_codebook_train(emb, n_codes=8, m=4, iters=2)
+    rows = [
+        (int(s), int(code), int(pos), float(v))
+        for s, cents in sorted(book.items())
+        for code, vec in cents
+        for pos, v in enumerate(vec)
+    ]
+    out = spark.createDataFrame(
+        rows, "sub_idx int, code int, pos int, centroid double"
+    )
+    return out.select(
+        "sub_idx", "code", "pos", F.round("centroid", 6).alias("centroid")
+    )
+
+
+@register(
+    "pq_codes_trained",
+    _PQT_CTES
+    + """
+    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code
+    FROM (
+      SELECT v.vec_id, v.sub_idx, c.code,
+             row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+               list_dot_product(v.v, v.v)
+               - 2.0 * list_dot_product(v.v, c.cv)
+               + list_dot_product(c.cv, c.cv), c.code) AS rn
+      FROM vsub v JOIN ct c USING (sub_idx))
+    WHERE rn = 1
+    """,
+)
+def pq_codes_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: PQ encode against the TRAINED codebook — the storage tier
+    a production pipeline actually ships (train once, encode the corpus
+    against the frozen parameters).  The encode plumbing is byte-for-byte
+    ``pq_codes_fixed``'s (:func:`pq_encode`: one scan, codebook broadcast
+    as literals, (d2, code) argmin tiebreak); only the parameter values
+    differ, and because the trained centroids are micro-unit-rounded
+    doubles both engines dict-carry identically, every emitted code
+    value-hashes.  Quality effect probed in tests: trained quantization
+    error <= fixed-seed quantization error on the same corpus (Lloyd
+    iterations never increase inertia)."""
+    from .operators.similarity import pq_codebook_train, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebook_train(emb, n_codes=8, m=4, iters=2))
+
+
+@register(
+    "pq_adc_topk_trained",
+    _PQT_CTES
+    + """, q AS (
+      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(q.qv, q.qv)
+             - 2.0 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM ct c JOIN q USING (sub_idx)
+    ), codes_t AS (
+      SELECT vec_id, sub_idx, CAST(code AS INTEGER) AS code FROM (
+        SELECT v.vec_id, v.sub_idx, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN ct c USING (sub_idx))
+      WHERE rn = 1
+    ), scored AS (
+      SELECT codes_t.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes_t JOIN lut l USING (sub_idx, code)
+      GROUP BY codes_t.vec_id
+    )
+    SELECT vec_id, ROUND(adc_raw, 6) AS adc
+    FROM scored ORDER BY adc_raw, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: ADC serving over the TRAINED codes — the full trained
+    IVF-PQ serving arithmetic end to end (train -> encode -> LUT ->
+    m-lookup scoring) under one value-hash.  Exercises the r11
+    ``_adc_parts`` fix in production direction: the LUT derives from the
+    PASSED trained codebook (the pre-fix form would silently score
+    against the pinned seed slices — exactly the bug class this row now
+    driver-checks every round).  Plan shape identical to ``pq_adc_topk``:
+    LUT broadcast into the codes join, fixed-subspace-order conditional
+    sums, ascending (distance, id) top-10."""
+    from .operators.similarity import pq_adc_topk, pq_codebook_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb,
+        pq_codebook_train(emb, n_codes=8, m=4, iters=2),
+        query_id=0,
+        k=10,
+    )
+
+
 # the IVF-PQ oracle tail is shared by the inline demo (ivf_pq_topk) and
 # the stored-index serving form (ivf_pq_topk_stored) — both produce the
 # identical top-10, so they value-hash against the same SQL
@@ -13013,6 +13282,13 @@ DRIVER_WINDOW: list[str] = [
     #     op-gated select)
     "kmv_user_overlap_event_types",
     "cdc_apply_orders",
+    # --- r12 wave 2: the trained-PQ family (per-subspace pinned-Lloyd
+    #     codebook, encode against it, ADC serving over it) and the
+    #     temperature-mixture sampler
+    "pq_codebook_trained",
+    "pq_codes_trained",
+    "pq_adc_topk_trained",
+    "mixture_temperature_sample",
     # --- staleness burn-down: last driver-checked in r2
     "bpe_token_count",
     "cube_status_priority",
@@ -13054,12 +13330,12 @@ DRIVER_WINDOW: list[str] = [
     "stream_sliding_1m_30s",
     "top_orders",
     "union_high_value_parties",
-    # --- last driver-checked in r5 (oldest five, filling the window)
+    # --- last driver-checked in r5 (oldest, filling the window; the
+    #     other four r5-green entries — decontaminate_eval_overlap,
+    #     events_passthrough, gapfill_locf_daily, grouping_sets_revenue —
+    #     were displaced by the r12 wave-2 registrations and rotate in
+    #     next round; all stay in the full local gate)
     "cohort_weekly_retention",
-    "decontaminate_eval_overlap",
-    "events_passthrough",
-    "gapfill_locf_daily",
-    "grouping_sets_revenue",
 ]
 
 

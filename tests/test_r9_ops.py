@@ -13,6 +13,7 @@ from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
     dot,
     pq_adc_topk,
     pq_codebook,
+    pq_codebook_train,
     pq_encode,
 )
 from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
@@ -1363,3 +1364,71 @@ def test_ivfpq_upsert_probe_prunes_both_scans(spark, embeddings, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     pruned = [ln for ln in pf if "cell" in ln and " IN " in ln]
     assert len(pruned) >= 2, pf
+
+
+# ---------------------------------------------------------------------------
+# trained PQ codebook (r12): per-subspace pinned-seed Lloyd
+
+
+def _pq_inertia(embeddings, book):
+    """Total quantization error under a codebook: per subspace the min
+    squared distance to any code vector, summed over the corpus — the
+    objective Lloyd iterations must not increase."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = None
+    for s, cents in sorted(book.items()):
+        dsub = len(cents[0][1])
+        v = F.slice(e, s * dsub + 1, dsub)
+        vnorm = dot(v, v)
+        dists = []
+        for _, c in cents:
+            carr = F.array(*[F.lit(float(x)) for x in c])
+            cnorm = float(sum(x * x for x in c))
+            dists.append(vnorm - F.lit(2.0) * dot(v, carr) + F.lit(cnorm))
+        best = F.array_min(F.array(*dists))
+        total = best if total is None else total + best
+    return embeddings.select(F.sum(total).alias("i")).head()["i"]
+
+
+def test_pq_codebook_train_shape_matches_fixed(embeddings):
+    book = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    assert sorted(book) == [0, 1, 2, 3]
+    for s, cents in book.items():
+        assert [c for c, _ in cents] == list(range(8))
+        assert all(len(v) == 16 for _, v in cents)
+    # consumable by the unchanged encode plumbing
+    codes = pq_encode(embeddings, book)
+    assert codes.count() == 4 * embeddings.count()
+
+
+def test_pq_codebook_train_reduces_inertia(embeddings):
+    """Lloyd never increases the quantization objective: the trained
+    codebook's corpus inertia must be <= the fixed seed codebook's
+    (micro-unit centroid rounding can cost at most ~1e-6-scale slack,
+    far below the expected improvement on random fixture vectors)."""
+    fixed = pq_codebook(embeddings, n_codes=8, m=4)
+    trained = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    i_fixed = _pq_inertia(embeddings, fixed)
+    i_trained = _pq_inertia(embeddings, trained)
+    assert i_trained <= i_fixed + 1e-3
+    # and it genuinely moved: at least one centroid differs from its seed
+    assert trained != fixed
+
+
+def test_pq_codebook_train_deterministic(embeddings):
+    a = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    b = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    assert a == b
+
+
+def test_pq_codebook_train_more_iters_monotone(embeddings):
+    """Each additional Lloyd iteration keeps the objective non-increasing
+    (up to rounding slack) — pins the dict-carry between iterations."""
+    t1 = pq_codebook_train(embeddings, n_codes=8, m=4, iters=1)
+    t3 = pq_codebook_train(embeddings, n_codes=8, m=4, iters=3)
+    assert _pq_inertia(embeddings, t3) <= _pq_inertia(embeddings, t1) + 1e-3
+
+
+def test_pq_codebook_train_rejects_bad_iters(embeddings):
+    with pytest.raises(ValueError, match="iters"):
+        pq_codebook_train(embeddings, iters=0)

@@ -344,3 +344,37 @@ def test_weighted_sample_nan_weights_never_win_and_global_take_ordered(spark):
     assert 100 not in ids and 101 not in ids and len(ids) == 5
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_temperature_sample_monotone_rate_and_deterministic(spark):
+    """alpha=0.5 temperature sampling: keep RATE per source must be
+    non-increasing in source size (f_d = min(1, B*isqrt(n)/(S*n)) is
+    proportional to 1/sqrt(n) below the cap), the budget must bind the
+    output roughly to half the corpus tokens, and the selection must be
+    identical across runs (md5, not rand)."""
+    from iiot_data_engineering_lab_assignment_spark.registry import QUERIES
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["mixture_temperature_sample"].fn
+    a = sorted(map(tuple, q(spark, sf).collect()))
+    b = sorted(map(tuple, q(spark, sf).collect()))
+    assert a == b and a
+    docs = load_table(spark, sf, "documents")
+    n_by_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept_by_src: dict[str, int] = {}
+    for _, src in a:
+        kept_by_src[src] = kept_by_src.get(src, 0) + 1
+    rates = sorted(
+        (n_by_src[s], kept_by_src.get(s, 0) / n_by_src[s]) for s in n_by_src
+    )
+    uncapped = [(n, r) for n, r in rates if r < 1.0]
+    for (n1, r1), (n2, r2) in zip(uncapped, uncapped[1:]):
+        # doc-count rate tracks the token rate (doc lengths are iid per
+        # source), so allow slack for the binomial noise at n~100
+        assert r2 <= r1 + 0.15, (rates,)
+    # half-token budget: kept docs ~ half the corpus (generous tolerance)
+    assert 0.25 <= len(a) / docs.count() <= 0.75
