@@ -214,6 +214,13 @@ EXTENDED = [
     "pq_codes_trained",
     "pq_adc_topk_trained",
     "mixture_temperature_sample",
+    # registered after the r12 local anchor record's first runs
+    # (BENCH_local_r12.json's merged extended section lacks these four;
+    # first cross-round-tracked in the driver's BENCH_r12)
+    "pq_adc_knn_trained",
+    "pq_recall_trained_vs_exact",
+    "label_propagation_communities",
+    "profile_documents",
 ]
 
 

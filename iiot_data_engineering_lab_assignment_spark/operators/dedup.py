@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "connected_components",
+    "label_propagation",
     "assign_canonical",
     "keep_best",
     "duplicated_span_coverage",
@@ -646,6 +647,56 @@ def simhash_signature_md5(
 # ---------------------------------------------------------------------------
 # 5. Cluster collapse: connected components over candidate pairs
 # ---------------------------------------------------------------------------
+
+
+def label_propagation(
+    adj: DataFrame,
+    iters: int = 3,
+    node_col: str = "node",
+    nbr_col: str = "nbr",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) over a directed ADJACENCY list (pass each undirected edge in
+    both directions): labels start as the node's own id, and each round
+    every node adopts the most frequent label among its neighbors with
+    the deterministic (count DESC, label ASC) tiebreak.  A FIXED
+    iteration count keeps the result oracle-expressible (unrolled CTEs)
+    and partition-order independent — the run-to-convergence variant is
+    neither.  Contrast :func:`connected_components`: LPA splits a
+    connected graph into densely-linked groups; CC only finds
+    reachability.
+
+    Per round: one adjacency-sized join keyed on ``nbr_col`` (bucket or
+    pre-partition the adjacency on that column and the join plans with
+    zero edge-side exchange), one (node, label) count with map-side
+    partial aggregation, one node-keyed window.  Only the node-sized
+    label vector moves between rounds.  Returns (node, community).
+    Nodes absent from ``adj`` don't appear (isolated nodes are their own
+    community by definition; left-join back if needed)."""
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    labels = (
+        adj.select(node_col)
+        .distinct()
+        .select(node_col, F.col(node_col).alias("lab"))
+    )
+    w = Window.partitionBy(node_col).orderBy(F.desc("cnt"), F.asc("lab"))
+    for _ in range(iters):
+        cnt = (
+            adj.join(
+                labels.select(F.col(node_col).alias(nbr_col), "lab"), nbr_col
+            )
+            .groupBy(node_col, "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(node_col, "lab")
+        )
+    return labels.select(node_col, F.col("lab").alias("community"))
 
 
 def connected_components(

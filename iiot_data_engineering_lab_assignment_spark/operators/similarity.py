@@ -34,6 +34,7 @@ __all__ = [
     "pq_codebook_train",
     "pq_encode",
     "pq_adc_topk",
+    "pq_adc_knn_join",
     "pq_adc_topk_gemm",
     "pq_encode_gemm",
     "ivf_pq_topk",
@@ -1084,6 +1085,86 @@ def pq_adc_topk(
         scored.orderBy(F.asc("adc_raw"), F.asc(id_col))
         .limit(k)
         .select(id_col, F.round("adc_raw", 6).alias("adc"))
+    )
+
+
+def pq_adc_knn_join(
+    probes: DataFrame,
+    embeddings: DataFrame,
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Bulk ADC k-NN join — the BATCH serving shape of :func:`pq_adc_topk`
+    (one query per call re-scans the codes table per query; re-ranking a
+    feed or evaluating recall needs thousands of probes per pass): every
+    probe's m x n_codes lookup table is built in ONE tiny plan (probes x
+    codebook rows — q*m*k rows, parameters not data), broadcast into a
+    single pass over the corpus codes, and per-(query, vector) distances
+    sum in FIXED subspace order (the `_adc_parts` conditional-sum tree),
+    so each emitted double is bit-identical to the single-query path's.
+    Per-query ascending (distance, id) top-k via one window — the only
+    corpus-sized shuffle is the (query_id, vec_id) aggregate, corpus
+    codes never re-fold per probe.  Returns (query_id, neighbor id, adc).
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    m = len(codebook)
+    dsub = len(codebook[0][0][1])
+    rows = [
+        (int(s), int(code), [float(x) for x in cv])
+        for s, cents in sorted(codebook.items())
+        for code, cv in cents
+    ]
+    book = spark.createDataFrame(
+        rows, "sub_idx int, code int, cv array<double>"
+    )
+    e = _as_double(F.col(emb_col))
+    probe_sub = probes.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_idx"),
+                        F.slice(e, s * dsub + 1, dsub).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("p"),
+    ).select("query_id", F.col("p.sub_idx").alias("sub_idx"), F.col("p.qv").alias("qv"))
+    lut = probe_sub.join(book, "sub_idx").select(
+        "query_id",
+        "sub_idx",
+        "code",
+        (
+            dot(F.col("qv"), F.col("qv"))
+            - F.lit(2.0) * dot(F.col("qv"), F.col("cv"))
+            + dot(F.col("cv"), F.col("cv"))
+        ).alias("dist"),
+    )
+    codes = pq_encode(embeddings, codebook, id_col, emb_col)
+    part = [
+        F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)
+    ]
+    adc_raw = part[0]
+    for p in part[1:]:
+        adc_raw = adc_raw + p
+    scored = (
+        codes.join(F.broadcast(lut), ["sub_idx", "code"])
+        .groupBy("query_id", id_col)
+        .agg(adc_raw.alias("adc_raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_raw"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, F.round("adc_raw", 6).alias("adc"))
     )
 
 

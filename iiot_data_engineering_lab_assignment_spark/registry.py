@@ -6979,6 +6979,100 @@ def mixture_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_documents",
+    """
+    WITH s AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS doc_id_nulls,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_id_distinct,
+        CAST(MIN(doc_id) AS VARCHAR) AS doc_id_min,
+        CAST(MAX(doc_id) AS VARCHAR) AS doc_id_max,
+        CAST(COUNT(*) - COUNT(text) AS BIGINT) AS text_nulls,
+        CAST(COUNT(DISTINCT text) AS BIGINT) AS text_distinct,
+        CAST(MIN(len(text)) AS VARCHAR) AS text_min,
+        CAST(MAX(len(text)) AS VARCHAR) AS text_max,
+        CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS lang_nulls,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        CAST(MIN(lang) AS VARCHAR) AS lang_min,
+        CAST(MAX(lang) AS VARCHAR) AS lang_max,
+        CAST(COUNT(*) - COUNT(source) AS BIGINT) AS source_nulls,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct,
+        CAST(MIN(source) AS VARCHAR) AS source_min,
+        CAST(MAX(source) AS VARCHAR) AS source_max,
+        CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS n_chars_nulls,
+        CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_chars_distinct,
+        CAST(MIN(n_chars) AS VARCHAR) AS n_chars_min,
+        CAST(MAX(n_chars) AS VARCHAR) AS n_chars_max
+      FROM documents
+    )
+    SELECT 'doc_id' AS column_name, n_rows, doc_id_nulls AS n_nulls,
+           doc_id_distinct AS n_distinct, doc_id_min AS min_value,
+           doc_id_max AS max_value FROM s
+    UNION ALL
+    SELECT 'text', n_rows, text_nulls, text_distinct, text_min, text_max
+    FROM s
+    UNION ALL
+    SELECT 'lang', n_rows, lang_nulls, lang_distinct, lang_min, lang_max
+    FROM s
+    UNION ALL
+    SELECT 'source', n_rows, source_nulls, source_distinct, source_min,
+           source_max FROM s
+    UNION ALL
+    SELECT 'n_chars', n_rows, n_chars_nulls, n_chars_distinct, n_chars_min,
+           n_chars_max FROM s
+    """,
+)
+def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: table profiler — the data-quality reconnaissance pass a
+    pipeline runs before pointing 1000 executors at an unfamiliar 100 TB
+    drop: per column (row count, nulls, exact distinct, min, max) in
+    long form.  All five columns profile in ONE scan (a single aggregate
+    with per-column expressions; the unpivot to long form is a stack
+    over the 1-row result, not a second pass).  Typed min/max compute in
+    the column's native ordering FIRST and cast to string for the
+    uniform output schema after (string-casting before MIN would rank
+    '9' > '10'); for the unbounded text column the profile ranks LENGTH
+    (min/max document size), never the payload — at 100 TB a raw-text
+    MIN would shuffle document bodies for a lexicographic answer nobody
+    uses.  Exact COUNT(DISTINCT) keeps the row oracle-checkable; the
+    at-scale variant swaps in approx_count_distinct per column (one
+    pass, mergeable sketches) at the cost of the hash check — the same
+    exact-vs-sketch pairing as hll_distinct_merge vs
+    distinct_nations_per_segment."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    aggs = []
+    for c, ordexpr in [
+        ("doc_id", F.col("doc_id")),
+        ("text", F.length("text")),
+        ("lang", F.col("lang")),
+        ("source", F.col("source")),
+        ("n_chars", F.col("n_chars")),
+    ]:
+        aggs += [
+            (n - F.count(c)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            F.min(ordexpr).cast("string").alias(f"{c}_min"),
+            F.max(ordexpr).cast("string").alias(f"{c}_max"),
+        ]
+    s = docs.agg(n.alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max"
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return s.select(
+        F.expr(
+            f"stack(5, {stack}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value"
+    )
+
+
+@register(
     "gapfill_interpolate_daily",
     """
     WITH bounds AS (
@@ -8457,17 +8551,26 @@ _PAGERANK_ITER = """, pr{next} AS (
 
 
 def _pagerank_bucketed_edges(
-    spark: SparkSession, sf_dir: str, edges_src: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    edges_src: DataFrame,
+    prefix: str = "pr_edges",
+    bucket_col: str = "src",
 ) -> DataFrame:
     """Build-or-reuse the bucketed edge catalog table (r10 verdict ask
-    #5): bucketed + sorted on src, keyed on BOTH source fixtures'
-    mtimes (the edges are lineitem JOIN orders — r11 code-review catch:
-    a lineitem-only key served stale edges after an orders-only fixture
-    refresh; ns-resolution mtimes also distinguish same-second
-    regenerations).  Falls back to repartition+localCheckpoint pinning
-    when the catalog isn't writable, when a concurrent session owns the
-    build, or when the reclaim of an orphaned table dir fails —
-    identical values either way."""
+    #5): bucketed + sorted on ``bucket_col``, keyed on BOTH source
+    fixtures' mtimes (the edges are lineitem JOIN orders — r11
+    code-review catch: a lineitem-only key served stale edges after an
+    orders-only fixture refresh; ns-resolution mtimes also distinguish
+    same-second regenerations).  ``prefix`` namespaces consumers with
+    different edge CONTENT over the same fixtures (r12: the LPA
+    adjacency doubles the pagerank edges and buckets on the neighbor
+    side — without the prefix the two would collide on one table name
+    and silently serve each other's rows).  Falls back to
+    repartition+localCheckpoint pinning when the catalog isn't
+    writable, when a concurrent session owns the build, or when the
+    reclaim of an orphaned table dir fails — identical values either
+    way."""
     import hashlib
     import os
 
@@ -8477,7 +8580,7 @@ def _pagerank_bucketed_edges(
             key += f":{os.stat(os.path.join(sf_dir, f'{t}.parquet')).st_mtime_ns}"
         except OSError:
             key += ":0"
-    table = f"pr_edges_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    table = f"{prefix}_{hashlib.md5(key.encode()).hexdigest()[:12]}"
     try:
         if not spark.catalog.tableExists(table):
             from .plans.lifecycle import write_bucketed
@@ -8497,10 +8600,12 @@ def _pagerank_bucketed_edges(
             loc = os.path.join(wh, table)
             if os.path.exists(loc):
                 shutil.rmtree(loc)
-            write_bucketed(edges_src, table, "src", num_buckets=32, sort_col="src")
+            write_bucketed(
+                edges_src, table, bucket_col, num_buckets=32, sort_col=bucket_col
+            )
         return spark.table(table)
     except Exception:
-        return edges_src.repartition("src").localCheckpoint(eager=False)
+        return edges_src.repartition(bucket_col).localCheckpoint(eager=False)
 
 
 @register(
@@ -8581,6 +8686,79 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), F.asc("node"))
         .limit(20)
     )
+
+
+_LPA_ITER = """, lab{next} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rn
+        FROM (
+          SELECT a.node, l.lab, COUNT(*) AS c
+          FROM adj a JOIN lab{cur} l ON l.node = a.nbr
+          GROUP BY a.node, l.lab) t) t2
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_propagation_communities",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS u, 'c' || o.o_custkey AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM edges
+    ), lab0 AS (
+      SELECT DISTINCT node, node AS lab FROM adj
+    )"""
+    + "".join(_LPA_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + """
+    SELECT node, lab AS community FROM lab3
+    """,
+)
+def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: label-propagation community detection (Raghavan et al.
+    2007) over the undirected supplier-customer fulfilment graph — the
+    community-structure complement to the registered PageRank
+    (influence), k-core (engagement shells), and connected-components
+    (reachability) rows; at corpus scale the same plan groups crawl
+    domains into link communities for mixture accounting.  Fixed at 3
+    SYNCHRONOUS rounds with the deterministic tiebreak (neighbor-label
+    count DESC, label ASC) so the run is oracle-expressible as unrolled
+    CTEs — the same pin-the-iteration convention as PageRank and the
+    fixed k-means twins; the adaptive run-to-convergence form is the
+    non-checkable variant this row deliberately avoids.
+
+    Scale shape: the loop-invariant doubled adjacency persists ONCE as
+    a catalog table bucketed on the NEIGHBOR column (the per-iteration
+    join key — each round's label join plans with zero adjacency-side
+    Exchange; `lpa_adj` prefix keeps it from colliding with the
+    pagerank edge table over the same fixtures).  Per round only the
+    node-sized label vector shuffles; the edge-sized (node, lab) count
+    partial-aggregates map-side before the window's node-keyed
+    exchange."""
+    from .operators.dedup import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("u"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("v"),
+        )
+        .distinct()
+    )
+    adj_src = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    adj = _pagerank_bucketed_edges(
+        spark, sf_dir, adj_src, prefix="lpa_adj", bucket_col="nbr"
+    )
+    return label_propagation(adj, iters=3)
 
 
 @register(
@@ -12235,6 +12413,148 @@ def pq_adc_topk_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the bulk-ADC tail: every probe's LUT in one relation, one pass over the
+# corpus codes, per-probe (distance, id) top-10 — shared by the bulk
+# serving row and the recall-evaluation row so the two cannot drift
+_PQT_BULK = _PQT_CTES + """, probes AS (
+      SELECT vec_id AS query_id, sub_idx, v AS qv FROM vsub WHERE vec_id < 20
+    ), lut AS (
+      SELECT p.query_id, p.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(p.qv, p.qv)
+             - 2.0 * list_dot_product(p.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM ct c JOIN probes p USING (sub_idx)
+    ), codes_t AS (
+      SELECT vec_id, sub_idx, CAST(code AS INTEGER) AS code FROM (
+        SELECT v.vec_id, v.sub_idx, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN ct c USING (sub_idx))
+      WHERE rn = 1
+    ), scored AS (
+      SELECT l.query_id, codes_t.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes_t JOIN lut l USING (sub_idx, code)
+      GROUP BY l.query_id, codes_t.vec_id
+    ), adc_top AS (
+      SELECT query_id, vec_id, adc_raw FROM (
+        SELECT query_id, vec_id, adc_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_raw, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 10
+    )"""
+
+
+@register(
+    "pq_adc_knn_trained",
+    _PQT_BULK
+    + """
+    SELECT query_id, vec_id, ROUND(adc_raw, 6) AS adc FROM adc_top
+    """,
+)
+def pq_adc_knn_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: BULK ADC k-NN join over the trained codes — the batch
+    serving shape (:func:`pq_adc_knn_join`): re-ranking a feed or
+    evaluating an index needs thousands of probes per pass, and the
+    single-query row would re-scan the codes table per probe.  All 20
+    probes' lookup tables build in one tiny plan (probes x codebook —
+    q*m*k rows, parameters), broadcast into ONE pass over the corpus
+    codes; per-(query, vector) distances sum in fixed subspace order so
+    every double is bit-identical to the single-query path's; per-query
+    ascending (distance, id) top-10 via one window.  The only
+    corpus-sized shuffle is the (query_id, vec_id) aggregate — corpus
+    codes never re-fold per probe."""
+    from .operators.similarity import pq_adc_knn_join, pq_codebook_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_codebook_train(emb, n_codes=8, m=4, iters=2)
+    probes = emb.filter(F.col("vec_id") < 20)
+    return pq_adc_knn_join(probes, emb, book, k=10)
+
+
+@register(
+    "pq_recall_trained_vs_exact",
+    _PQT_BULK
+    + """, exact_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, p.ev)
+                 + list_dot_product(p.ev, p.ev), e.vec_id) AS rn
+        FROM e CROSS JOIN (SELECT vec_id, ev FROM e WHERE vec_id < 20) p)
+      WHERE rn <= 10
+    )
+    SELECT a.query_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall
+    FROM adc_top a
+    LEFT JOIN exact_top x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+    GROUP BY a.query_id
+    """,
+)
+def pq_recall_trained_vs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: recall@10 of the trained-PQ ADC serving path against the
+    exact L2 top-10 — the quality gate a pipeline runs after (re)training
+    a quantizer, and the first driver row where an ANN tier's QUALITY
+    (not just its arithmetic) is value-hash-checked: both engines derive
+    the ADC shortlist AND the brute-force ground truth and count the
+    overlap, so a recall regression (bad codebook, broken encode, LUT
+    drift) flips the hash even when each side is internally consistent.
+    Exact side uses the same |e|^2 - 2 e.q + |q|^2 expansion as the ADC
+    arithmetic (NOT dot(e-q, e-q) — different doubles) with the (d2, id)
+    tiebreak, so ranks agree cross-engine bit for bit.  Probe slab (20
+    queries) broadcasts; the corpus scans once per side."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import (
+        _as_double,
+        dot,
+        pq_adc_knn_join,
+        pq_codebook_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_codebook_train(emb, n_codes=8, m=4, iters=2)
+    probes = emb.filter(F.col("vec_id") < 20)
+    adc = pq_adc_knn_join(probes, emb, book, k=10)
+    corpus = emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("ev")
+    )
+    pr = probes.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("pv"),
+    )
+    d2 = (
+        dot(F.col("ev"), F.col("ev"))
+        - F.lit(2.0) * dot(F.col("ev"), F.col("pv"))
+        + dot(F.col("pv"), F.col("pv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact_top = (
+        corpus.crossJoin(F.broadcast(pr))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        adc.join(exact_top, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
 # the IVF-PQ oracle tail is shared by the inline demo (ivf_pq_topk) and
 # the stored-index serving form (ivf_pq_topk_stored) — both produce the
 # identical top-10, so they value-hash against the same SQL
@@ -13289,6 +13609,12 @@ DRIVER_WINDOW: list[str] = [
     "pq_codes_trained",
     "pq_adc_topk_trained",
     "mixture_temperature_sample",
+    # --- r12 wave 3: bulk ADC serving + the recall quality gate, and
+    #     label-propagation communities
+    "pq_adc_knn_trained",
+    "pq_recall_trained_vs_exact",
+    "label_propagation_communities",
+    "profile_documents",
     # --- staleness burn-down: last driver-checked in r2
     "bpe_token_count",
     "cube_status_priority",
@@ -13326,16 +13652,12 @@ DRIVER_WINDOW: list[str] = [
     "rank_orders_per_customer",
     "retention_filter",
     "scalar_roundtrip",
-    "semi_join_customers",
     "stream_sliding_1m_30s",
-    "top_orders",
-    "union_high_value_parties",
-    # --- last driver-checked in r5 (oldest, filling the window; the
-    #     other four r5-green entries — decontaminate_eval_overlap,
-    #     events_passthrough, gapfill_locf_daily, grouping_sets_revenue —
-    #     were displaced by the r12 wave-2 registrations and rotate in
-    #     next round; all stay in the full local gate)
-    "cohort_weekly_retention",
+    # --- displaced by the r12 wave-2/3 registrations and rotating next
+    #     round (all r4/r5-green and still in the full local gate):
+    #     semi_join_customers, top_orders, union_high_value_parties,
+    #     cohort_weekly_retention, decontaminate_eval_overlap,
+    #     events_passthrough, gapfill_locf_daily, grouping_sets_revenue
 ]
 
 

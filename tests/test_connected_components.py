@@ -49,3 +49,44 @@ def test_assign_canonical_covers_isolated_docs(spark, documents):
     kept = out.filter(F.col("doc_id") == F.col("canonical_id")).count()
     n_clusters = out.select("canonical_id").distinct().count()
     assert kept == n_clusters
+
+
+# ---------------------------------------------------------------------------
+# label propagation (r12)
+
+
+def test_label_propagation_triangles_converge_and_separate(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)]
+    adj = spark.createDataFrame(
+        [(a, b) for a, b in edges] + [(b, a) for a, b in edges],
+        "node long, nbr long",
+    )
+    out = {r["node"]: r["community"] for r in label_propagation(adj, iters=3).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    # each triangle agrees internally; the two triangles differ
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert out[1] != out[10]
+
+
+def test_label_propagation_deterministic_under_repartition(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import label_propagation
+
+    edges = [(i, i + 1) for i in range(1, 30)] + [(5, 20), (7, 25), (1, 15)]
+    rows = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    adj = spark.createDataFrame(rows, "node long, nbr long")
+    a = sorted(map(tuple, label_propagation(adj, iters=3).collect()))
+    b = sorted(map(tuple, label_propagation(adj.repartition(13), iters=3).collect()))
+    assert a == b and len(a) == 30
+
+
+def test_label_propagation_rejects_bad_iters(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import label_propagation
+
+    adj = spark.createDataFrame([(1, 2), (2, 1)], "node long, nbr long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iters"):
+        label_propagation(adj, iters=0)

@@ -1432,3 +1432,29 @@ def test_pq_codebook_train_more_iters_monotone(embeddings):
 def test_pq_codebook_train_rejects_bad_iters(embeddings):
     with pytest.raises(ValueError, match="iters"):
         pq_codebook_train(embeddings, iters=0)
+
+
+def test_pq_adc_knn_join_matches_single_query_bitwise(embeddings):
+    """The bulk form's docstring claims bit-identical doubles to the
+    single-query path — hold it to that: for each of 5 probes the
+    (neighbor, adc) top-10 must match pq_adc_topk exactly, including
+    the rounded distance values."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        pq_adc_knn_join,
+        pq_codebook_train,
+    )
+
+    book = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    probes = embeddings.filter(F.col("vec_id") < 5)
+    bulk = pq_adc_knn_join(probes, embeddings, book, k=10).collect()
+    by_q: dict[int, list[tuple[int, float]]] = {}
+    for r in bulk:
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["adc"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q in range(5):
+        single = [
+            (r["vec_id"], r["adc"])
+            for r in pq_adc_topk(embeddings, book, query_id=q, k=10).collect()
+        ]
+        assert sorted(by_q[q]) == sorted(single), q
+        assert len(by_q[q]) == 10
