@@ -881,6 +881,77 @@ def pq_codebook(
     }
 
 
+def _gemm_assign_values(
+    embeddings: DataFrame,
+    book: dict[int, list[tuple[int, list[float]]]],
+    emb_col: str,
+) -> DataFrame:
+    """Arrow/GEMM tier of the trainer's assignment scan: per batch each
+    subspace's distances are one (n x dsub) @ (dsub x k) product (the
+    :func:`pq_encode_gemm` argmin, first-min == lowest-code tiebreak),
+    emitted LONG FORM (sub_idx, code, pos, val) so the caller's
+    exact-decimal update aggregate — order-independent — is the same
+    one the expression path feeds.  Needed because the literal-struct
+    argmin tree grows as m*k*dsub expressions: at 8 subspaces x 64
+    codes Catalyst chokes on the ~512-entry struct array (probe: the
+    64x8 config hangs in analysis), while the GEMM tier's plan size is
+    constant in the code budget."""
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    subs = sorted(book.items())
+    mats = []
+    start = 0
+    for s, cents in subs:
+        ordered = sorted(cents)
+        C = np.array([c for _, c in ordered], dtype=np.float64)
+        codes_s = np.array([code for code, _ in ordered], dtype=np.int32)
+        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1), codes_s))
+        start += C.shape[1]
+    out_schema = StructType(
+        [
+            StructField("sub_idx", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("pos", IntegerType(), False),
+            StructField("val", DoubleType(), False),
+        ]
+    )
+
+    def _assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(v) for v in pdf[emb_col]], dtype=np.float64)
+            n = X.shape[0]
+            frames = []
+            for s, st, dsub, C, cnorm, codes_s in mats:
+                Xs = X[:, st : st + dsub]
+                D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
+                best = D.argmin(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "sub_idx": np.full(n * dsub, s, dtype=np.int32),
+                            "code": np.repeat(codes_s[best], dsub),
+                            "pos": np.tile(
+                                np.arange(dsub, dtype=np.int32), n
+                            ),
+                            "val": Xs.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(emb_col).mapInPandas(_assign, out_schema)
+
+
 def pq_codebook_train(
     embeddings: DataFrame,
     n_codes: int = 8,
@@ -888,6 +959,7 @@ def pq_codebook_train(
     iters: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    gemm: bool = False,
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Trained product-quantization codebook: per-subspace Lloyd with the
     pinned-seed fixed-iteration convention of ``_kmeans2_cents`` (seeds =
@@ -905,12 +977,46 @@ def pq_codebook_train(
     identical rounded doubles in both engines.  Returns the codebook in
     :func:`pq_codebook`'s {sub_idx: [(code, subvector), ...]} shape, so
     encode / ADC / IVF-PQ store plumbing is unchanged — training refines
-    the parameters, not the serving plan."""
+    the parameters, not the serving plan.
+
+    ``gemm=True`` swaps the assignment scan for the Arrow/GEMM tier
+    (:func:`_gemm_assign_values`) — REQUIRED beyond small code budgets:
+    the literal-struct argmin tree grows as m*k expressions and
+    Catalyst chokes near m*k ~ 512 (probe: the 64-code x 8-subspace
+    config hangs in analysis), while the GEMM plan is constant-size in
+    the code budget.  The update aggregate is the identical
+    order-independent exact-decimal form either way, and the GEMM
+    argmin matches the fold argmin (pq_encode_gemm's invariance
+    argument), so both tiers train the SAME codebook — pytest-pinned
+    equal at the registered 8x4."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     book = pq_codebook(embeddings, n_codes, m, id_col, emb_col)
     e = _as_double(F.col(emb_col))
     for _ in range(iters):
+        if gemm:
+            assigned = _gemm_assign_values(embeddings, book, emb_col)
+            mean = (
+                F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            upd = assigned.groupBy("sub_idx", "code", "pos").agg(
+                (
+                    F.round(mean * F.lit(1000000.0), 0).cast("bigint")
+                    / F.lit(1000000.0)
+                ).alias("cv")
+            )
+            new = {
+                s2: {code: list(vec) for code, vec in cents}
+                for s2, cents in book.items()
+            }
+            for r in upd.collect():
+                new[r["sub_idx"]][r["code"]][r["pos"]] = float(r["cv"])
+            book = {
+                s2: sorted((code, vec) for code, vec in d2.items())
+                for s2, d2 in new.items()
+            }
+            continue
         per_sub = []
         for s, cents in sorted(book.items()):
             dsub = len(cents[0][1])
@@ -1095,6 +1201,7 @@ def pq_adc_knn_join(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    gemm: bool = False,
 ) -> DataFrame:
     """Bulk ADC k-NN join — the BATCH serving shape of :func:`pq_adc_topk`
     (one query per call re-scans the codes table per query; re-ranking a
@@ -1146,7 +1253,13 @@ def pq_adc_knn_join(
             + dot(F.col("cv"), F.col("cv"))
         ).alias("dist"),
     )
-    codes = pq_encode(embeddings, codebook, id_col, emb_col)
+    # fold encode for small code budgets (bit-parity with pq_adc_topk);
+    # GEMM tier for large ones, where the literal argmin tree chokes
+    codes = (
+        pq_encode_gemm(embeddings, codebook, id_col, emb_col)
+        if gemm
+        else pq_encode(embeddings, codebook, id_col, emb_col)
+    )
     part = [
         F.sum(F.when(F.col("sub_idx") == s, F.col("dist"))) for s in range(m)
     ]

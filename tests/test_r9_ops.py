@@ -1458,3 +1458,35 @@ def test_pq_adc_knn_join_matches_single_query_bitwise(embeddings):
         ]
         assert sorted(by_q[q]) == sorted(single), q
         assert len(by_q[q]) == 10
+
+
+def test_pq_codebook_train_gemm_tier_equal(embeddings):
+    """The GEMM trainer tier must produce the IDENTICAL codebook: argmin
+    is invariant to GEMM-vs-fold accumulation (pq_encode_gemm's
+    argument) and the update aggregate is the same order-independent
+    exact-decimal form."""
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        pq_codebook_train,
+    )
+
+    fold = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    gemm = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2, gemm=True)
+    assert fold == gemm
+
+
+def test_pq_adc_knn_join_gemm_tier_equal(embeddings):
+    from iiot_data_engineering_lab_assignment_spark.operators.similarity import (
+        pq_adc_knn_join,
+        pq_codebook_train,
+    )
+
+    book = pq_codebook_train(embeddings, n_codes=8, m=4, iters=2)
+    probes = embeddings.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, pq_adc_knn_join(probes, embeddings, book, k=10).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pq_adc_knn_join(probes, embeddings, book, k=10, gemm=True).collect(),
+        )
+    )
+    assert a == b and len(a) == 50
