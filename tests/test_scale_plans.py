@@ -559,3 +559,44 @@ def test_kmv_prefilter_reaches_before_window_sort(spark):
     # assertion is version-gated so a Spark downgrade doesn't fail it
     if spark.version.split(".")[0] >= "4":
         assert "WindowGroupLimit" in plan
+
+
+def test_lpa_bucketed_adjacency_no_nbr_exchange(spark):
+    """r12: with the doubled adjacency read from its bucketed catalog
+    table (lpa_adj prefix, bucketed on the neighbor column), no LPA
+    iteration exchanges the adjacency side — zero `Exchange
+    hashpartitioning(nbr`, bucketed scans present, broadcast/AQE
+    disabled so the label join has to prove co-location."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = registry.QUERIES["label_propagation_communities"].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one bucketed adjacency scan per iteration, none re-exchanged:
+        # an adjacency-side shuffle would add 3 more nbr exchanges on
+        # top of the (legitimate, node-sized) label-side ones
+        assert plan.count("SelectedBucketsCount") == 3
+        assert plan.count("Exchange hashpartitioning(nbr") <= 3
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bulk_adc_lut_broadcasts_codes_never_sortmerge(spark):
+    """r12: the bulk ADC join must broadcast the parameter-sized LUT into
+    the corpus codes scan — never sort-merge the codes side — and the
+    only corpus-sized exchange is the (query_id, vec_id) aggregate."""
+    plan = plan_of(spark, "pq_adc_knn_trained")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_documents_single_scan(spark):
+    """r12: the profiler reads the documents table ONCE — five columns'
+    stats in a single aggregate (the multi-distinct Expand rewrite is
+    fine; a second Scan parquet of the table is not)."""
+    plan = plan_of(spark, "profile_documents")
+    # the formatted plan repeats the scan header in the detail section —
+    # count actual file-index locations, not header strings
+    assert plan.count("Location:") == 1
