@@ -131,13 +131,19 @@ def test_driver_window_is_first_50_and_family_complete():
         "exact_substring_dedup", "ivf_pq_topk_upsert",
         # r12 semantics-touched fixes re-checked
         "kmv_user_overlap_event_types", "cdc_apply_orders",
-        # staleness burn-down spot-checks (r2/r3/r4/r5 rows)
+        # r12 wave-2/3 registrations under first driver check (these
+        # displaced the r4/r5 staleness anchors events_passthrough /
+        # gapfill_locf_daily etc., which rotate next round)
+        "pq_codebook_trained", "pq_codes_trained", "pq_adc_topk_trained",
+        "mixture_temperature_sample", "pq_adc_knn_trained",
+        "pq_recall_trained_vs_exact", "label_propagation_communities",
+        "profile_documents",
+        # staleness burn-down spot-checks (r2/r3/r4 rows)
         "bpe_token_count", "sensor_rollup_5m_by_user",
         "order_lineitem_join_agg", "salted_join_revenue",
         "session_rollup_5m", "rank_orders_per_customer",
         "range_join_purchase_click", "stream_sliding_1m_30s",
-        "connected_components_chain", "events_passthrough",
-        "gapfill_locf_daily",
+        "connected_components_chain",
     ]
     for name in required:
         assert name in registry.DRIVER_WINDOW, name
