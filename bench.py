@@ -221,6 +221,8 @@ EXTENDED = [
     "pq_recall_trained_vs_exact",
     "label_propagation_communities",
     "profile_documents",
+    "profile_documents_approx",
+    "triangle_counts_copurchase",
 ]
 
 

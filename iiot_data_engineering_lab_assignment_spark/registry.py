@@ -7073,6 +7073,63 @@ def profile_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_documents_approx",
+    """
+    WITH s AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS doc_id_nulls,
+        CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS lang_nulls,
+        CAST(COUNT(*) - COUNT(source) AS BIGINT) AS source_nulls
+      FROM documents
+    )
+    SELECT 'doc_id' AS column_name, n_rows, doc_id_nulls AS n_nulls,
+           TRUE AS distinct_within_3rsd FROM s
+    UNION ALL
+    SELECT 'lang', n_rows, lang_nulls, TRUE FROM s
+    UNION ALL
+    SELECT 'source', n_rows, source_nulls, TRUE FROM s
+    """,
+)
+def profile_documents_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: the AT-SCALE tier of ``profile_documents`` — exact
+    COUNT(DISTINCT c) per column needs one Expand row per (column, row)
+    and a full-width shuffle; approx_count_distinct is a fixed-size
+    mergeable HLL sketch per column, one ordinary partial-aggregate pass
+    (the hll_distinct_merge posture).  The sketch VALUE is
+    engine-internal (Datasketches impl detail), so the row uses the
+    heavy_hitters_envelope convention: the query computes BOTH the
+    sketch estimate and the exact count and emits the boolean
+    |approx - exact| <= 3 x rsd x exact (HLL rsd default 0.05 is ONE
+    standard error — a 1-sigma bound would flip on ~1/3 of fixture
+    regenerations; 15% is the 3-sigma envelope), which the
+    oracle pins to TRUE alongside the exact-checkable row/null counts —
+    a broken sketch (or a silently-exact fallback reading the wrong
+    column) flips the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    aggs = []
+    for c in ["doc_id", "lang", "source"]:
+        aggs += [
+            (n - F.count(c)).alias(f"{c}_nulls"),
+            F.approx_count_distinct(c).alias(f"{c}_approx"),
+            F.countDistinct(c).alias(f"{c}_exact"),
+        ]
+    s = docs.agg(n.alias("n_rows"), *aggs)
+    parts = ", ".join(
+        f"'{c}', {c}_nulls, "
+        f"abs({c}_approx - {c}_exact) <= int(0.15 * {c}_exact)"
+        for c in ["doc_id", "lang", "source"]
+    )
+    return s.select(
+        F.expr(
+            f"stack(3, {parts}) AS (column_name, n_nulls, distinct_within_3rsd)"
+        ),
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "distinct_within_3rsd")
+
+
+@register(
     "gapfill_interpolate_daily",
     """
     WITH bounds AS (
@@ -8685,6 +8742,76 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pagerank"), F.asc("node"))
         .limit(20)
+    )
+
+
+@register(
+    "triangle_counts_copurchase",
+    """
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
+      GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+               AS dst_deg
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT o1.src AS n1, o1.dst AS n2, o2.dst AS n3
+      FROM oriented o1
+      JOIN oriented o2 ON o1.src = o2.src
+        AND ((o1.dst_deg, o1.dst) < (o2.dst_deg, o2.dst))
+      JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT n1 AS part FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri) c
+    GROUP BY part
+    """,
+)
+def triangle_counts_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: per-node triangle counts over the part co-purchase graph
+    (parts sharing an order) — the clustering-coefficient / community-
+    density primitive (at corpus scale the same plan scores link-farm
+    density on crawl graphs).  Uses the DEGREE-ORDERED compact-forward
+    algorithm (Schank 2007; the MapReduce classic from Suri & Vassilvitskii
+    2011): every edge is oriented from its lexicographically-smaller
+    (degree, id) endpoint, so each triangle is counted EXACTLY once at
+    its lowest-degree corner and — the scale property — every node's
+    oriented out-degree is O(sqrt(E)), bounding the wedge join that a
+    naive all-directions enumeration lets explode on hub nodes (a
+    degree-D hub contributes D^2 wedges unoriented but at most E
+    oriented).  No global rank window: orientation compares (deg, id)
+    tuples edge-locally.  Pair generation is bounded by TPC-H's <= 7
+    lineitems/order; unbounded basket sizes take the `_cap_postings`
+    hot-key cap first (same guard as the shingle joins).  Wedge and
+    closing joins shuffle on src — co-partitionable; the final count is
+    one (part) aggregate.  Exact per-node counts, deterministic."""
+    from .operators.dedup import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part"), "n_triangles"
     )
 
 
@@ -13634,6 +13761,10 @@ DRIVER_WINDOW: list[str] = [
     "pq_recall_trained_vs_exact",
     "label_propagation_communities",
     "profile_documents",
+    # --- r12 wave 4: the sketch-tier profiler envelope and the
+    #     degree-ordered triangle counter
+    "profile_documents_approx",
+    "triangle_counts_copurchase",
     # --- staleness burn-down: last driver-checked in r2
     "bpe_token_count",
     "cube_status_priority",
@@ -13653,8 +13784,6 @@ DRIVER_WINDOW: list[str] = [
     # --- last driver-checked in r3
     "date_partition_derivation",
     "filter_user_time_range",
-    "lag_delta_per_user",
-    "rollup_order_totals",
     "salted_join_revenue",
     "session_rollup_5m",
     "set_except_inactive",
@@ -13674,9 +13803,10 @@ DRIVER_WINDOW: list[str] = [
     "stream_sliding_1m_30s",
     # --- displaced by the r12 wave-2/3 registrations and rotating next
     #     round (all r4/r5-green and still in the full local gate):
-    #     semi_join_customers, top_orders, union_high_value_parties,
-    #     cohort_weekly_retention, decontaminate_eval_overlap,
-    #     events_passthrough, gapfill_locf_daily, grouping_sets_revenue
+    #     lag_delta_per_user, rollup_order_totals, semi_join_customers,
+    #     top_orders, union_high_value_parties, cohort_weekly_retention,
+    #     decontaminate_eval_overlap, events_passthrough,
+    #     gapfill_locf_daily, grouping_sets_revenue
 ]
 
 

@@ -90,3 +90,35 @@ def test_label_propagation_rejects_bad_iters(spark):
 
     with _pytest.raises(ValueError, match="iters"):
         label_propagation(adj, iters=0)
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (r12)
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 has 4 triangles, each node in exactly 3; a pendant node joined
+    by one edge is in none (and so absent from the output)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 99)], "u long, v long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert sum(out.values()) == 3 * 4  # 4 triangles x 3 corners
+
+
+def test_triangle_counts_orientation_and_dedup_invariance(spark):
+    """The input contract is loose (any endpoint order, possible
+    duplicates, self-loops) — counts must be invariant to all of it."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        triangle_counts,
+    )
+
+    tri = [(1, 2), (2, 3), (3, 1)]
+    messy = tri + [(2, 1), (3, 3), (1, 2)]
+    a = sorted(map(tuple, triangle_counts(spark.createDataFrame(tri, "u long, v long")).collect()))
+    b = sorted(map(tuple, triangle_counts(spark.createDataFrame(messy, "u long, v long")).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1)]

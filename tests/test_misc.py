@@ -137,7 +137,8 @@ def test_driver_window_is_first_50_and_family_complete():
         "pq_codebook_trained", "pq_codes_trained", "pq_adc_topk_trained",
         "mixture_temperature_sample", "pq_adc_knn_trained",
         "pq_recall_trained_vs_exact", "label_propagation_communities",
-        "profile_documents",
+        "profile_documents", "profile_documents_approx",
+        "triangle_counts_copurchase",
         # staleness burn-down spot-checks (r2/r3/r4 rows)
         "bpe_token_count", "sensor_rollup_5m_by_user",
         "order_lineitem_join_agg", "salted_join_revenue",
