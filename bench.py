@@ -223,6 +223,12 @@ EXTENDED = [
     "profile_documents",
     "profile_documents_approx",
     "triangle_counts_copurchase",
+    # round-13 additions: the GEMM-tier trainer at the config the fold
+    # tier cannot plan, the planted-partition LPA quality envelope, and
+    # the span-removal-first curation pipeline
+    "pq_codebook_trained_gemm",
+    "lpa_planted_quality",
+    "corpus_curation_pipeline_spans",
 ]
 
 
@@ -231,6 +237,48 @@ def _materialize(df) -> None:
     sink consumes all columns, so Catalyst cannot prune the payload the
     way it can under count()."""
     df.write.format("noop").mode("overwrite").save()
+
+
+def _calibration_probe(spark) -> float:
+    """Session-speed calibration (r12 verdict ask #2): three consecutive
+    rounds measured +-25-70% WHOLE-SESSION multipliers on untouched code
+    (r10 -8%, r11 +24%, r12 +28% — r12's driver headline 18.09 s vs the
+    same-code idle floor 10.72 s), which made every cross-round driver
+    comparison an adjudication exercise.  This probe times a FIXED
+    workload — a hash-aggregate scan over 20M rows of parquet whose
+    bytes are a pure function of row id (written once per machine, the
+    write untimed) — so its seconds measure the session's effective
+    speed, not the engine's code.  min-of-5 passes; the summary JSON
+    carries the value and `regressions_normalized` rescales committed
+    per-query floors by (cal_now / cal_record) before flagging, so a
+    uniformly-slow session no longer reads as N code regressions."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_bench_cal_v1")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            spark.range(0, 20_000_000)
+            .select(
+                "id",
+                (F.col("id") % 9973).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        _materialize(
+            spark.read.parquet(path)
+            .groupBy("k")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 4)
 
 
 def main() -> None:
@@ -305,6 +353,8 @@ def main() -> None:
             reps_used[name] = reps
         return timings, reps_used
 
+    calibration = _calibration_probe(spark)
+
     timings, reps_used = measure(HEADLINE)
     ext_timings, ext_reps = measure(EXTENDED)
 
@@ -336,16 +386,36 @@ def main() -> None:
         record_paths = sorted(_glob.glob(os.path.join(here, "BENCH_local_r*.json")))
     floor_q: dict[str, float] = {}
     latest_q: dict[str, float] = {}
+    # Calibration-NORMALIZED floor (r12 verdict ask #2): each committed
+    # record that carries a `calibration` value contributes its per-query
+    # time rescaled to THIS session's speed, b * (cal_now / cal_rec) —
+    # the time that record's code would be expected to take right now.
+    # Flags against this floor separate code regressions from session
+    # multipliers; records without calibration (pre-r13) only feed the
+    # raw floor.
+    norm_floor_q: dict[str, float] = {}
     for rp in record_paths:
         try:
             with open(rp) as f:
-                rec_q = json.load(f).get("queries", {})
+                rec = json.load(f)
+                rec_q = rec.get("queries", {})
+                rec_cal = rec.get("calibration")
         except (OSError, ValueError):
             continue
+        scale = (
+            calibration / float(rec_cal)
+            if isinstance(rec_cal, (int, float)) and rec_cal > 0
+            else None
+        )
         for name, b in rec_q.items():
             if isinstance(b, (int, float)) and b > 0:
                 floor_q[name] = min(floor_q.get(name, float("inf")), float(b))
                 latest_q[name] = float(b)  # paths sorted: last wins
+                if scale is not None:
+                    norm_floor_q[name] = min(
+                        norm_floor_q.get(name, float("inf")), float(b) * scale
+                    )
+    regressions_norm: dict[str, float] = {}
     for name, t in timings.items():
         flag: dict[str, float] = {}
         fl = floor_q.get(name)
@@ -356,6 +426,12 @@ def main() -> None:
             flag["vs_latest"] = round(t / lt, 2)
         if flag:
             regressions[name] = flag
+        nf = norm_floor_q.get(name)
+        # Normalized times carry no session multiplier, so the flag bar
+        # is the same-session drift bar (1.25x), not the raw floor's
+        # 1.75x cross-session noise allowance.
+        if nf and t > 1.25 * nf:
+            regressions_norm[name] = round(t / nf, 2)
     if regressions:
         print(
             f"BENCH GUARD: {len(regressions)} headline quer"
@@ -376,6 +452,8 @@ def main() -> None:
             "extended_reps": ext_reps,
             "extended_total": round(sum(ext_timings.values()), 3),
             "regressions_vs_baseline": regressions,
+            "calibration": calibration,
+            "regressions_normalized": regressions_norm,
             "sf": sf,
         }
     )

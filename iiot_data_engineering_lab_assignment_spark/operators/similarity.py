@@ -881,21 +881,64 @@ def pq_codebook(
     }
 
 
+def _fold_cnorm(cents_ordered: list[tuple[int, list[float]]]):
+    """|c|^2 per code, computed EXACTLY as the fold tier's Python-side
+    literal: ``float(sum(x * x for x in c))`` — sequential left fold
+    starting at 0, so the double is bit-identical to the value Catalyst
+    receives via ``F.lit(cnorm)``."""
+    import numpy as np
+
+    return np.array(
+        [float(sum(x * x for x in c)) for _, c in cents_ordered],
+        dtype=np.float64,
+    )
+
+
+def _fold_d2_matrix(Xs, C, cnorm):
+    """(n x k) squared-distance matrix with the SEQUENTIAL-FOLD
+    accumulation order of the JVM tier (r12 ADVICE: BLAS GEMM
+    accumulates in a different order, so on near-equidistant code
+    vectors a last-ulp difference could flip an argmin between tiers).
+
+    Replays :func:`dot`'s left fold per term: |v|^2 and v.c both
+    accumulate dimension-by-dimension as ``acc + x*y`` from 0.0, and
+    the combination is ``(vnorm - 2.0*dot) + cnorm`` — each step one
+    IEEE-754 double op in the same order as the Catalyst expression, so
+    every entry (not just the argmin) is bit-identical to the fold
+    tier's d2 and the two tiers CANNOT diverge, at any config.  Still
+    vectorized: dsub passes of (n x k) elementwise multiply-add — the
+    plan-size win over the literal-struct tree is unchanged; only
+    BLAS's reordered accumulation is given up."""
+    import numpy as np
+
+    n, dsub = Xs.shape
+    k = C.shape[0]
+    vnorm = np.zeros(n, dtype=np.float64)
+    dotvc = np.zeros((n, k), dtype=np.float64)
+    for j in range(dsub):
+        xj = Xs[:, j]
+        vnorm = vnorm + xj * xj
+        dotvc = dotvc + Xs[:, j : j + 1] * C[:, j]
+    return (vnorm[:, None] - 2.0 * dotvc) + cnorm
+
+
 def _gemm_assign_values(
     embeddings: DataFrame,
     book: dict[int, list[tuple[int, list[float]]]],
     emb_col: str,
 ) -> DataFrame:
     """Arrow/GEMM tier of the trainer's assignment scan: per batch each
-    subspace's distances are one (n x dsub) @ (dsub x k) product (the
-    :func:`pq_encode_gemm` argmin, first-min == lowest-code tiebreak),
-    emitted LONG FORM (sub_idx, code, pos, val) so the caller's
-    exact-decimal update aggregate — order-independent — is the same
-    one the expression path feeds.  Needed because the literal-struct
-    argmin tree grows as m*k*dsub expressions: at 8 subspaces x 64
-    codes Catalyst chokes on the ~512-entry struct array (probe: the
-    64x8 config hangs in analysis), while the GEMM tier's plan size is
-    constant in the code budget."""
+    subspace's distances are one vectorized (n x dsub)x(dsub x k)
+    product (first-min == lowest-code tiebreak), emitted LONG FORM
+    (sub_idx, code, pos, val) so the caller's exact-decimal update
+    aggregate — order-independent — is the same one the expression path
+    feeds.  Needed because the literal-struct argmin tree grows as
+    m*k*dsub expressions: at 8 subspaces x 64 codes Catalyst chokes on
+    the ~512-entry struct array (probe: the 64x8 config hangs in
+    analysis), while this tier's plan size is constant in the code
+    budget.  Distances use :func:`_fold_d2_matrix`, so assignments are
+    bit-identical to the fold tier BY CONSTRUCTION (not by a distance-
+    gap argument) at every config — both tiers train the same codebook."""
     import numpy as np
     from pyspark.sql.types import (
         DoubleType,
@@ -911,7 +954,7 @@ def _gemm_assign_values(
         ordered = sorted(cents)
         C = np.array([c for _, c in ordered], dtype=np.float64)
         codes_s = np.array([code for code, _ in ordered], dtype=np.int32)
-        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1), codes_s))
+        mats.append((s, start, C.shape[1], C, _fold_cnorm(ordered), codes_s))
         start += C.shape[1]
     out_schema = StructType(
         [
@@ -933,7 +976,7 @@ def _gemm_assign_values(
             frames = []
             for s, st, dsub, C, cnorm, codes_s in mats:
                 Xs = X[:, st : st + dsub]
-                D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
+                D = _fold_d2_matrix(Xs, C, cnorm)
                 best = D.argmin(axis=1)
                 frames.append(
                     pd.DataFrame(
@@ -986,9 +1029,11 @@ def pq_codebook_train(
     config hangs in analysis), while the GEMM plan is constant-size in
     the code budget.  The update aggregate is the identical
     order-independent exact-decimal form either way, and the GEMM
-    argmin matches the fold argmin (pq_encode_gemm's invariance
-    argument), so both tiers train the SAME codebook — pytest-pinned
-    equal at the registered 8x4."""
+    tier's distances replay the fold's accumulation order exactly
+    (:func:`_fold_d2_matrix`), so both tiers train the SAME codebook by
+    construction at every config — pytest-pinned equal at 8x4 and
+    driver-checked at 64x8 (``pq_codebook_trained_gemm``, a config the
+    fold tier cannot even plan)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     book = pq_codebook(embeddings, n_codes, m, id_col, emb_col)
@@ -1610,13 +1655,14 @@ def pq_encode_gemm(
 
     The CODES are identical to the fold form: argmin of
     |v|^2 - 2 v.c + |c|^2 with the lowest-code tiebreak (np.argmin
-    returns the first minimum and codes are sorted ascending).  Float64
-    GEMM accumulates in a different order than the sequential fold, but
-    the argmin is invariant — inter-centroid distance gaps are ~1e15 x
-    the accumulation ulp — so this registers against the SAME value-hash
-    oracle as ``pq_codes_fixed`` (exact integer outputs; a tie close
-    enough to flip would need two centroids equidistant to ~1e-13,
-    excluded by distinct seeds)."""
+    returns the first minimum and codes are sorted ascending), and the
+    distances themselves come from :func:`_fold_d2_matrix` — the
+    sequential-fold accumulation order of the JVM tier replayed in
+    numpy — so tier equality is BY CONSTRUCTION at every config (r12
+    ADVICE closed: previously BLAS's reordered accumulation left a
+    last-ulp argmin flip open on near-equidistant code vectors).  This
+    registers against the SAME value-hash oracle as ``pq_codes_fixed``
+    (exact integer outputs)."""
     import numpy as np
     from pyspark.sql.types import (
         IntegerType,
@@ -1637,7 +1683,7 @@ def pq_encode_gemm(
         ordered = sorted(cents)
         C = np.array([c for _, c in ordered], dtype=np.float64)
         codes_s = np.array([code for code, _ in ordered], dtype=np.int32)
-        mats.append((s, start, C.shape[1], C, (C * C).sum(axis=1), codes_s))
+        mats.append((s, start, C.shape[1], C, _fold_cnorm(ordered), codes_s))
         start += C.shape[1]
     out_schema = StructType(
         [
@@ -1658,7 +1704,7 @@ def pq_encode_gemm(
             frames = []
             for s, st, dsub, C, cnorm, codes_s in mats:
                 Xs = X[:, st : st + dsub]
-                D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
+                D = _fold_d2_matrix(Xs, C, cnorm)
                 best = D.argmin(axis=1)  # first min == lowest code
                 frames.append(
                     pd.DataFrame(
@@ -1689,9 +1735,10 @@ def pq_adc_topk_gemm(
     Python — the corpus never crosses Arrow as scored rows, so the
     global TakeOrdered merges P*k candidates.
 
-    Bit parity with the fold form, term by term: (1) codes — GEMM
-    argmin == fold argmin (inter-centroid gaps ~1e15 x the accumulation
-    ulp; the pq_encode_gemm precedent, pytest-pinned); (2) the LUT —
+    Bit parity with the fold form, term by term: (1) codes — the
+    distance matrix is :func:`_fold_d2_matrix`, the JVM fold's
+    accumulation order replayed in numpy, so GEMM argmin == fold argmin
+    by construction at every config; (2) the LUT —
     COLLECTED from the same `_adc_parts` Spark plan, so its doubles are
     the fold form's doubles verbatim; (3) the per-vector total — numpy
     elementwise adds in FIXED subspace order ((l0+l1)+l2)+l3, the exact
@@ -1724,7 +1771,7 @@ def pq_adc_topk_gemm(
         termvec = np.array(
             [lut[(s, code)] for code, _ in ordered], dtype=np.float64
         )
-        mats.append((start, C.shape[1], C, (C * C).sum(axis=1), termvec))
+        mats.append((start, C.shape[1], C, _fold_cnorm(ordered), termvec))
         start += C.shape[1]
     out_schema = StructType(
         [
@@ -1744,7 +1791,7 @@ def pq_adc_topk_gemm(
             adc = None
             for st, dsub, C, cnorm, termvec in mats:
                 Xs = X[:, st : st + dsub]
-                D = (Xs * Xs).sum(axis=1)[:, None] - 2.0 * (Xs @ C.T) + cnorm
+                D = _fold_d2_matrix(Xs, C, cnorm)
                 term = termvec[D.argmin(axis=1)]
                 adc = term if adc is None else adc + term
             out = pd.DataFrame({id_col: ids, "adc_raw": adc})

@@ -6968,13 +6968,26 @@ def mixture_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = tok.join(F.broadcast(per_src), "source").crossJoin(
         F.broadcast(tot)
     )
-    frac = F.least(
-        F.lit(1.0),
+    ratio = (
         (F.col("budget").cast("decimal(38,0)") * F.col("r")).cast("double")
         / (F.col("s").cast("decimal(38,0)") * F.col("src_tokens")).cast(
             "double"
-        ),
+        )
     )
+    # Fail LOUDLY if the exact-integer product ever overflows
+    # DECIMAL(38,0) (r12 ADVICE: past 38 digits non-ANSI Spark yields
+    # NULL, which F.least would silently SKIP — keep-everything — while
+    # the DuckDB oracle's HUGEINT keeps computing; the ~1e19-token
+    # headroom makes this unreachable on any real corpus, but an opaque
+    # divergence must not be the way we learn otherwise).
+    ratio_checked = F.when(ratio.isNotNull(), ratio).otherwise(
+        F.expr(
+            "raise_error('mixture_temperature_sample: keep-fraction "
+            "product overflowed DECIMAL(38,0) — corpus beyond the "
+            "documented ~1e19-token headroom; recompute in double')"
+        ).cast("double")
+    )
+    frac = F.least(F.lit(1.0), ratio_checked)
     return joined.filter(F.col("u") < frac).select("doc_id", "source")
 
 
@@ -7116,9 +7129,15 @@ def profile_documents_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"{c}_exact"),
         ]
     s = docs.agg(n.alias("n_rows"), *aggs)
+    # greatest(1, ...) keeps slack on small-cardinality columns (r12
+    # ADVICE: bare int(0.15 * exact) truncates to 0 below 7 distincts,
+    # pinning the sketch to EXACT equality — tighter than the documented
+    # 3-sigma bound and a gate-flake if HLL++ linear counting lands
+    # off-by-one); the oracle pins TRUE either way, so the envelope
+    # semantics live entirely in this expression.
     parts = ", ".join(
         f"'{c}', {c}_nulls, "
-        f"abs({c}_approx - {c}_exact) <= int(0.15 * {c}_exact)"
+        f"abs({c}_approx - {c}_exact) <= greatest(1, int(0.15 * {c}_exact))"
         for c in ["doc_id", "lang", "source"]
     )
     return s.select(
@@ -8748,8 +8767,12 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "triangle_counts_copurchase",
     """
-    WITH lp AS (
+    WITH lp0 AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), hot AS (
+      SELECT ok FROM lp0 GROUP BY ok HAVING COUNT(*) > 64
+    ), lp AS (
+      SELECT lp0.ok, lp0.pk FROM lp0 ANTI JOIN hot USING (ok)
     ), edges AS (
       SELECT DISTINCT a.pk AS u, b.pk AS v
       FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
@@ -8792,17 +8815,34 @@ def triangle_counts_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive all-directions enumeration lets explode on hub nodes (a
     degree-D hub contributes D^2 wedges unoriented but at most E
     oriented).  No global rank window: orientation compares (deg, id)
-    tuples edge-locally.  Pair generation is bounded by TPC-H's <= 7
-    lineitems/order; unbounded basket sizes take the `_cap_postings`
-    hot-key cap first (same guard as the shingle joins).  Wedge and
+    tuples edge-locally.  Pair generation is GUARDED, not merely
+    bounded-by-fixture (r12 verdict ask #5): baskets with more than 64
+    distinct parts are dropped before the pair self-join — the
+    `_cap_postings` hot-key discipline applied to the order key, since
+    a degree-D basket contributes D^2/2 pairs and one promotional
+    mega-order would make the edge build quadratic on real basket
+    data.  The hot set is tiny under any heavy-tailed basket
+    distribution, so it broadcasts and the postings stream through a
+    broadcast anti-join (TPC-H's <= 7 lineitems/order means the cap
+    drops nothing on the fixtures — the oracle mirrors the same cold
+    `hot` CTE, so the hash is unchanged and the guard is itself
+    driver-checked).  10M-edge power-law probe of the orientation
+    bound: tools/triangle_skew_probe.py, SCALE.md round 13.  Wedge and
     closing joins shuffle on src — co-partitionable; the final count is
     one (part) aggregate.  Exact per-node counts, deterministic."""
     from .operators.dedup import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    lp = li.select(
+    lp0 = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    hot = (
+        lp0.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") > 64)
+        .select("ok")
+    )
+    lp = lp0.join(F.broadcast(hot), "ok", "left_anti")
     a = lp.alias("a")
     b = lp.alias("b")
     edges = (
@@ -8886,6 +8926,132 @@ def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFra
         spark, sf_dir, adj_src, prefix="lpa_adj", bucket_col="nbr"
     )
     return label_propagation(adj, iters=3)
+
+
+@register(
+    "lpa_planted_quality",
+    """
+    WITH nodes AS (
+      SELECT unnest(generate_series(0, 319)) AS id
+    ), intra AS (
+      SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b
+        ON a.id // 16 = b.id // 16 AND a.id < b.id
+    ), bridge AS (
+      SELECT c * 16 AS u, ((c + 1) % 20) * 16 AS v
+      FROM (SELECT unnest(generate_series(0, 19)) AS c)
+    ), edges AS (
+      SELECT u, v FROM intra UNION ALL SELECT u, v FROM bridge
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM edges
+    ), lab0 AS (
+      SELECT DISTINCT node, node AS lab FROM adj
+    )"""
+    + "".join(_LPA_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + """
+    , rec AS (
+      SELECT node, lab, node // 16 AS planted FROM lab3
+    ), pp AS (
+      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_planted
+      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY planted)
+    ), rr AS (
+      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_recovered,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY lab)
+    ), bb AS (
+      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_both
+      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY planted, lab)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM rec
+    )
+    SELECT n_nodes, n_communities, pairs_planted, pairs_recovered, pairs_both,
+           ROUND(pairs_both * 1.0 / pairs_recovered, 6) AS pair_precision,
+           ROUND(pairs_both * 1.0 / pairs_planted, 6) AS pair_recall,
+           (pairs_both * 100 >= 95 * pairs_recovered
+            AND pairs_both * 100 >= 95 * pairs_planted) AS quality_ok
+    FROM nn, rr, pp, bb
+    """,
+)
+def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13 (r12 verdict ask #6): community-QUALITY envelope for the
+    LPA operator — the ``pq_recall_trained_vs_exact`` pattern applied to
+    graphs.  The registered ``label_propagation_communities`` row
+    value-hashes LPA's 3-round ARITHMETIC, but a semantically-useless
+    deterministic labeling would hash green too; this row plants known
+    structure and drives the SAME operator
+    (operators/dedup.py:label_propagation, 3 synchronous rounds,
+    (count DESC, label ASC) tiebreak) over a deterministic
+    planted-partition graph — 20 communities x 16-node cliques joined
+    by a 20-edge leader ring — then scores the recovered partition
+    against the planted one by PAIR precision/recall (pairs co-labeled
+    vs pairs co-planted).  Both engines derive graph, labels, and
+    metric independently; the quality booleans compare with exact
+    integer cross-multiplies (both * 100 >= 95 * denominator).  A
+    tiebreak regression, a dropped round, or an asynchronous-update bug
+    that leaves labels fragmented flips pairs_recovered/pairs_both and
+    with them the hash — community quality becomes a per-round
+    driver-checked fact, not a docstring claim.  (The planted layout
+    recovers EXACTLY at 3 rounds — pair P/R = 1.0 — so the 0.95 bound
+    has slack against none of the fixture randomness: the graph is
+    synthesized from ranges, not fixture data, by design.)"""
+    from .operators.dedup import label_propagation
+
+    nodes = spark.range(320)
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    intra = a.join(
+        b,
+        (F.expr("a.id DIV 16") == F.expr("b.id DIV 16"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+    bridge = spark.range(20).select(
+        (F.col("id") * 16).alias("u"),
+        ((F.col("id") + 1) % 20 * 16).alias("v"),
+    )
+    edges = intra.unionAll(bridge)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    rec = label_propagation(adj, iters=3).select(
+        "node",
+        F.col("community").alias("lab"),
+        F.expr("node DIV 16").alias("planted"),
+    )
+    pair_sum = F.sum(F.expr("c * (c - 1) DIV 2")).cast("long")
+    pp = rec.groupBy("planted").agg(F.count(F.lit(1)).alias("c")).agg(
+        pair_sum.alias("pairs_planted")
+    )
+    rr = rec.groupBy("lab").agg(F.count(F.lit(1)).alias("c")).agg(
+        pair_sum.alias("pairs_recovered"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    bb = rec.groupBy("planted", "lab").agg(F.count(F.lit(1)).alias("c")).agg(
+        pair_sum.alias("pairs_both")
+    )
+    nn = rec.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        nn.crossJoin(rr)
+        .crossJoin(pp)
+        .crossJoin(bb)
+        .select(
+            "n_nodes",
+            "n_communities",
+            "pairs_planted",
+            "pairs_recovered",
+            "pairs_both",
+            F.round(
+                F.col("pairs_both") * F.lit(1.0) / F.col("pairs_recovered"), 6
+            ).alias("pair_precision"),
+            F.round(
+                F.col("pairs_both") * F.lit(1.0) / F.col("pairs_planted"), 6
+            ).alias("pair_recall"),
+            (
+                (F.col("pairs_both") * 100 >= F.col("pairs_recovered") * 95)
+                & (F.col("pairs_both") * 100 >= F.col("pairs_planted") * 95)
+            ).alias("quality_ok"),
+        )
+    )
 
 
 @register(
@@ -12348,17 +12514,22 @@ def pq_adc_topk_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # convention keyed by sub_idx) — the shared prefix of the trained
 # codebook-matrix, encode, and ADC-serving twins, so the three oracles
 # cannot drift from one another
-_PQT_CTES = """
+def _pqt_ctes(n_codes: int, m: int, dsub: int) -> str:
+    """The trained-PQ oracle prefix, parameterized by code budget and
+    subspace split (r12 registered the 8-code x 4-subspace form; r13
+    adds the 64 x 8 GEMM-tier config — same unrolled 2-iteration
+    pinned-Lloyd arithmetic, only the constants differ)."""
+    return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
     ), subs AS (
-      SELECT unnest(generate_series(0, 3)) AS sub_idx
+      SELECT unnest(generate_series(0, {m - 1})) AS sub_idx
     ), vsub AS (
       SELECT e.vec_id, s.sub_idx,
-             e.ev[(s.sub_idx * 16 + 1):(s.sub_idx * 16 + 16)] AS v
+             e.ev[(s.sub_idx * {dsub} + 1):(s.sub_idx * {dsub} + {dsub})] AS v
       FROM e CROSS JOIN subs s
     ), cents0 AS (
-      SELECT sub_idx, vec_id AS code, v AS cv FROM vsub WHERE vec_id < 8
+      SELECT sub_idx, vec_id AS code, v AS cv FROM vsub WHERE vec_id < {n_codes}
     ), a1 AS (
       SELECT sub_idx, vec_id, v, code FROM (
         SELECT v.sub_idx, v.vec_id, v.v, c.code,
@@ -12408,15 +12579,25 @@ _PQT_CTES = """
     )"""
 
 
+_PQT_CTES = _pqt_ctes(8, 4, 16)
+
+
 _TRAINED_BOOK_CACHE: dict = {}
 
 
-def _trained_book(spark: SparkSession, sf_dir: str):
+def _trained_book(
+    spark: SparkSession,
+    sf_dir: str,
+    n_codes: int = 8,
+    m: int = 4,
+    gemm: bool = False,
+):
     """mtime-keyed cache for the pinned trained PQ codebook (the
     ivf_pq_topk_stored convention): five registered rows train the same
-    deterministic 8x4 2-iteration book over the same fixture — the book
-    is a 512-double parameter object, so caching it per (path, mtime) is
-    the parameter-server move, not a data cache; a fixture regeneration
+    deterministic 8x4 2-iteration book over the same fixture (and one
+    more trains the 64x8 GEMM-tier book) — a book is a k x d parameter
+    object, so caching it per (path, mtime, config) is the
+    parameter-server move, not a data cache; a fixture regeneration
     (new mtime) invalidates automatically."""
     import os
 
@@ -12424,13 +12605,13 @@ def _trained_book(spark: SparkSession, sf_dir: str):
 
     path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
     try:
-        key = (path, os.stat(path).st_mtime_ns)
+        key = (path, os.stat(path).st_mtime_ns, n_codes, m, gemm)
     except OSError:
-        key = (path, 0)
+        key = (path, 0, n_codes, m, gemm)
     if key not in _TRAINED_BOOK_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         _TRAINED_BOOK_CACHE[key] = pq_codebook_train(
-            emb, n_codes=8, m=4, iters=2
+            emb, n_codes=n_codes, m=m, iters=2, gemm=gemm
         )
     return _TRAINED_BOOK_CACHE[key]
 
@@ -12468,6 +12649,12 @@ def pq_codebook_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 values are dyadic, so the boundary is unreachable)."""
 
     book = _trained_book(spark, sf_dir)
+    return _book_matrix_df(spark, book)
+
+
+def _book_matrix_df(spark: SparkSession, book) -> DataFrame:
+    """Emit a trained codebook as the (sub_idx, code, pos, centroid)
+    long-form parameter matrix both trained-codebook rows hash."""
     rows = [
         (int(s), int(code), int(pos), float(v))
         for s, cents in sorted(book.items())
@@ -12480,6 +12667,36 @@ def pq_codebook_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sub_idx", "code", "pos", F.round("centroid", 6).alias("centroid")
     )
+
+
+@register(
+    "pq_codebook_trained_gemm",
+    _pqt_ctes(64, 8, 8)
+    + """
+    SELECT CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code,
+           i - 1 AS pos, ROUND(x, 6) AS centroid
+    FROM (SELECT sub_idx, code, unnest(cv) AS x,
+                 generate_subscripts(cv, 1) AS i FROM ct)
+    """,
+)
+def pq_codebook_trained_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13 (r12 verdict ask #3): the GEMM-tier PQ trainer
+    driver-checked AT THE CONFIG THE FOLD TIER CANNOT PLAN — 64 codes x
+    8 subspaces (m*k = 512; SCALE.md round-12 probe: the literal-struct
+    argmin tree hangs Catalyst in analysis at this size), 2 pinned-Lloyd
+    iterations over the same vec_id-slice seeds.  The assignment scan is
+    the Arrow tier (operators/similarity.py:_gemm_assign_values), whose
+    distance matrix now replays the JVM fold's accumulation order
+    bit-for-bit (_fold_d2_matrix, r12 ADVICE #1), so the oracle — the
+    SAME unrolled 2-iteration CTE arithmetic as ``pq_codebook_trained``,
+    just re-parameterized to 64x8 — value-hashes the at-scale tier's
+    update arithmetic directly: this row turns "the GEMM tier trains the
+    same codebook" from a pytest pin at a toy config into a per-round
+    driver-checked fact at the config that matters.  Only the
+    m x k x dsub = 4096-value parameter matrix ever collects."""
+    book = _trained_book(spark, sf_dir, n_codes=64, m=8, gemm=True)
+    return _book_matrix_df(spark, book)
 
 
 @register(
@@ -12851,14 +13068,16 @@ def ivf_pq_topk_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert path's zero recall drift a driver-checked fact rather than a
     claim.
 
-    Cost shape per invocation: the base index is mtime-cached like
-    ``ivf_pq_topk_stored``'s; the delta upserts re-run into a scratch
-    root each time (they ARE the operator under test) as two direct
-    batch calls — the Structured-Streaming form of the same writer
-    (checkpoint retry, foreachBatch) is exercised and
-    retry-idempotence-pinned in tests/test_r9_ops.py instead of here,
-    keeping this row's driver cost at seconds rather than a full
-    streaming replay."""
+    Cost shape per invocation: base index AND delta batches are both
+    mtime-cached like ``ivf_pq_topk_stored``'s store (r12 verdict ask
+    #4 — the deltas were re-written on every gate invocation, ~5.6 s of
+    fixed cost compounding across 265-query gate runs; the upsert
+    WRITE path stays exercised by the cold build here plus the
+    Structured-Streaming form of the same writer, which is
+    retry-idempotence-pinned in tests/test_r9_ops.py, so warm
+    invocations measure SERVING, which is what the row registers).  A
+    fixture regeneration (new mtime) rebuilds base and deltas
+    automatically via the shared path key."""
     import os
 
     from .operators.similarity import (
@@ -12868,7 +13087,6 @@ def ivf_pq_topk_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_store_upsert,
         pq_codebook,
     )
-    from .session import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
@@ -12878,17 +13096,27 @@ def ivf_pq_topk_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivfpq_store(emb.filter(F.col("vec_id") < cut), base, n_cells=8, m=4)
     cents = _pinned_seeds(emb, 8, "vec_id", "embedding")
     book = pq_codebook(emb, n_codes=8, m=4, seeds=cents)
-    delta_root = scratch_dir("ivfpq_delta_")
+    delta_root = _ivfpq_store_path(sf_dir) + "_upsertdelta"
     mid = cut + (n - cut) // 2
-    for bid, lo, hi in ((0, cut, mid), (1, mid, n)):
-        ivfpq_store_upsert(
-            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
-            base,
-            cents,
-            book,
-            bid,
-            delta_root=delta_root,
-        )
+    batches = ((0, cut, mid), (1, mid, n))
+    # The per-batch overwrite leaves a _SUCCESS inside each batch_id dir;
+    # both present (for THIS fixture mtime — stale roots have different
+    # paths) means the deltas are complete and warm serving can skip the
+    # writes.  A torn earlier run (batch 0 written, batch 1 not) re-runs
+    # both: overwrite-own-batch_id makes the redo idempotent.
+    if not all(
+        os.path.exists(os.path.join(delta_root, f"batch_id={bid}", "_SUCCESS"))
+        for bid, _, _ in batches
+    ):
+        for bid, lo, hi in batches:
+            ivfpq_store_upsert(
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                base,
+                cents,
+                book,
+                bid,
+                delta_root=delta_root,
+            )
     return ivf_pq_topk_upsert(
         emb,
         base,
@@ -13707,6 +13935,83 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
 
 
+@register(
+    "corpus_curation_pipeline_spans",
+    _SUBSTR_SPAN_CTES
+    + """
+    , spl AS (
+      SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spns
+      FROM qual GROUP BY doc_id
+    ), alltoks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
+    ), clean AS (
+      SELECT a.doc_id,
+             COALESCE(array_to_string(
+               list_filter(a.toks, (x, i) -> spns IS NULL OR
+                 len(list_filter(spns, s -> i - 1 >= s.s AND i - 1 < s.e)) = 0),
+               ' '), '') AS text
+      FROM alltoks a LEFT JOIN spl USING (doc_id)
+    ), scored AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dis
+      FROM clean WHERE text <> ''
+    ), gated AS (
+      SELECT doc_id, text, n_tok FROM scored
+      WHERE LEAST(1.0, n_tok / 50.0) * 0.5 + (n_dis / n_tok) * 0.3
+            + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2
+            >= 0.5
+    ), deduped AS (
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
+      FROM gated
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+            - n_tokens) // 10000 AS BIGINT) AS shard_id
+    FROM deduped
+    """,
+)
+def corpus_curation_pipeline_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13 (r12 verdict ask #7): the curation flagship with
+    exact-substring SPAN removal composed in FRONT — span dedup runs
+    BEFORE document-level dedup in real pipelines (Lee et al.
+    arXiv:2107.06499 §5: removing duplicated substrings first changes
+    which documents survive the downstream gates), and until this row
+    the composition was unproven.  One fused plan: span removal
+    (operators/dedup.py:remove_duplicate_spans — fingerprint aggregate
+    + one doc-keyed join, the clean_text projection) -> drop
+    fully-deduplicated docs (empty clean_text; both engines skip the
+    empty-string tokenize edge identically) -> quality gate (score >=
+    0.5 over the CLEANED text, so a doc whose padding was duplicated
+    boilerplate is now judged on what remains) -> md5-fingerprint exact
+    dedup keep-first -> token-budget shard assignment.  Catalyst fuses
+    the stages: the quality filter evaluates in the span-removal
+    projection's output, the dedup semi-join and shard windows share
+    the survivor relation — no intermediate materialization.  Scale is
+    the sum of its parts, each audited separately: two linear scans +
+    one fingerprint aggregate (spans), then the flagship pipeline's
+    fingerprint-keyed shuffle; nothing quadratic, no raw-text shuffle
+    beyond the span stage's own."""
+    from .operators.dedup import exact_dedup_keep_first_fp, remove_duplicate_spans
+    from .operators.text import token_budget_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = (
+        remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .filter(F.col("text") != "")
+    )
+    gated = quality_score(clean).filter(F.col("quality_score") >= 0.5)
+    deduped = exact_dedup_keep_first_fp(gated.select("doc_id", "text"))
+    return token_budget_shards(deduped, budget=10_000)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -13725,88 +14030,80 @@ def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    # Round-12 rotation (r11 verdict ask #1): every registered query has
-    # a driver CORRECTNESS row and zero are rows-only, so the window now
-    # burns down STALENESS — the one query whose only driver row predates
-    # its envelope oracle, this round's new registrations and
-    # semantics-touched fixes, then the longest-unchecked driver-green
-    # queries in oldest-round-first order (r2 -> r5).  Every evicted
-    # entry is driver-green in r10/r11 and stays in the full local gate
-    # (tools/check_oracles.py runs all of them).
+    # Round-13 rotation (r12 verdict ask #1): finish the staleness
+    # ledger — new r13 registrations and semantics-touched fixes first,
+    # then EVERY query last driver-checked in r03-r05 (the 17 the r12
+    # verdict enumerated), then the r06 cohort, then the oldest of r07.
+    # After this round no registered query's latest driver row should be
+    # older than r6 (done-criterion), and the remaining r07 tail is one
+    # rotation from clear.  Every evicted entry is driver-green in
+    # r11/r12 and stays in the full local gate (tools/check_oracles.py
+    # runs all of them).
     #
-    # --- the one stale-oracle row (its only driver row is the r08
-    #     rows-only-era no_oracle entry; the envelope oracle added in r9
-    #     has never been driver-checked)
-    "kmeans_assignments",
-    # --- r12 NEW registrations: the pinned-Lloyd centroid-matrix twin,
-    #     the exact-substring span dedup pair, the IVF-PQ upsert serving
-    "kmeans_centroids_fixed",
-    "exact_substring_spans",
-    "exact_substring_dedup",
-    "ivf_pq_topk_upsert",
-    # --- r12 semantics-touched fixes re-checked (KMV hv dedup; CDC
-    #     op-gated select)
-    "kmv_user_overlap_event_types",
-    "cdc_apply_orders",
-    # --- r12 wave 2: the trained-PQ family (per-subspace pinned-Lloyd
-    #     codebook, encode against it, ADC serving over it) and the
-    #     temperature-mixture sampler
-    "pq_codebook_trained",
-    "pq_codes_trained",
-    "pq_adc_topk_trained",
-    "mixture_temperature_sample",
-    # --- r12 wave 3: bulk ADC serving + the recall quality gate, and
-    #     label-propagation communities
-    "pq_adc_knn_trained",
-    "pq_recall_trained_vs_exact",
-    "label_propagation_communities",
-    "profile_documents",
-    # --- r12 wave 4: the sketch-tier profiler envelope and the
-    #     degree-ordered triangle counter
-    "profile_documents_approx",
+    # --- r13 NEW registrations: the GEMM-tier PQ trainer at the 64x8
+    #     config the fold tier cannot plan, the planted-partition LPA
+    #     quality envelope, the span-removal-first curation pipeline
+    "pq_codebook_trained_gemm",
+    "lpa_planted_quality",
+    "corpus_curation_pipeline_spans",
+    # --- r13 semantics-touched re-checks: the co-purchase edge builder
+    #     gained the hot-basket cap (oracle-mirrored), the profiler
+    #     envelope gained greatest(1, ...) slack, the temperature
+    #     sampler gained the overflow fail-loud guard, the upsert row's
+    #     deltas are now mtime-cached, and the GEMM tiers now replay the
+    #     fold's accumulation order (_fold_d2_matrix)
     "triangle_counts_copurchase",
-    # --- staleness burn-down: last driver-checked in r2
-    "bpe_token_count",
-    "cube_status_priority",
-    "dedup_exact_groups",
-    "dedup_keep_first",
-    "dedup_keep_first_fingerprint",
-    "distinct_nations_per_segment",
-    "doc_fingerprint",
-    "embedding_centroids",
-    "filter_type_threshold",
-    "ngram_jaccard_pairs",
-    "order_lineitem_join_agg",
-    "quality_filter_en",
-    "region_customer_count",
-    "sensor_rollup_5m_by_user",
-    "token_stats_by_lang",
-    # --- last driver-checked in r3
-    "date_partition_derivation",
-    "filter_user_time_range",
-    "salted_join_revenue",
-    "session_rollup_5m",
-    "set_except_inactive",
+    "profile_documents_approx",
+    "mixture_temperature_sample",
+    "ivf_pq_topk_upsert",
+    "pq_codes_gemm",
+    "pq_adc_topk_gemm",
+    # --- staleness burn-down: last driver-checked in r3
+    "lag_delta_per_user",
+    "rollup_order_totals",
     # --- last driver-checked in r4
-    "anti_join_customers",
-    "connected_components_chain",
-    "correlated_scalar_subquery",
-    "ngram_jaccard_pairs_capped",
-    "pivot_event_counts",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "range_frame_hourly_avg",
-    "range_join_purchase_click",
-    "rank_orders_per_customer",
-    "retention_filter",
-    "scalar_roundtrip",
-    "stream_sliding_1m_30s",
-    # --- displaced by the r12 wave-2/3 registrations and rotating next
-    #     round (all r4/r5-green and still in the full local gate):
-    #     lag_delta_per_user, rollup_order_totals, semi_join_customers,
-    #     top_orders, union_high_value_parties, cohort_weekly_retention,
-    #     decontaminate_eval_overlap, events_passthrough,
-    #     gapfill_locf_daily, grouping_sets_revenue
+    "semi_join_customers",
+    "top_orders",
+    "union_high_value_parties",
+    # --- last driver-checked in r5
+    "cohort_weekly_retention",
+    "decontaminate_eval_overlap",
+    "events_passthrough",
+    "gapfill_locf_daily",
+    "grouping_sets_revenue",
+    "media_dedup_hash",
+    "moving_avg_per_user",
+    "q14_promo_revenue",
+    "q3_shipping_priority",
+    "q9_product_type_profit",
+    "set_intersect_buyers",
+    "token_length_histogram",
+    # --- last driver-checked in r6
+    "asof_join_purchase_click",
+    "dedup_keep_best",
+    "left_join_order_counts",
+    "near_dup_clusters",
+    "percentile_order_value",
+    "q10_returned_item_customers",
+    "q11_important_stock",
+    "q12_priority_by_ship_month",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance_customers",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_two_nation_volume",
+    "q8_market_share",
+    "semantic_dedup_pairs_fixed",
+    "source_mixture_weights",
+    "stream_session_5m",
+    # --- oldest of the r07 cohort (the rest rotate next round)
+    "approx_percentile_order_value",
+    "asof_join_tolerance",
+    "containment_pairs",
+    "corpus_curation_pipeline",
 ]
 
 
