@@ -229,6 +229,9 @@ EXTENDED = [
     "pq_codebook_trained_gemm",
     "lpa_planted_quality",
     "corpus_curation_pipeline_spans",
+    "bpe_merge_pair_counts",
+    "inverted_index_gaps",
+    "event_key_skew_profile",
 ]
 
 
@@ -355,8 +358,21 @@ def main() -> None:
 
     calibration = _calibration_probe(spark)
 
-    timings, reps_used = measure(HEADLINE)
-    ext_timings, ext_reps = measure(EXTENDED)
+    # Local-iteration subset (debug only — the driver never sets this):
+    # SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,minhash_lsh_pairs" times
+    # just those entries so a harness change can be validated end-to-end
+    # without a full 150-query recording.
+    only = {
+        n.strip()
+        for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if n.strip()
+    }
+
+    def _subset(names: list[str]) -> list[str]:
+        return [n for n in names if n in only] if only else names
+
+    timings, reps_used = measure(_subset(HEADLINE))
+    ext_timings, ext_reps = measure(_subset(EXTENDED))
 
     total = round(sum(timings.values()), 3)
 

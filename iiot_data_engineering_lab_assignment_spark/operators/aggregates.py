@@ -28,6 +28,7 @@ __all__ = [
     "merge_rollup_partials",
     "ewma_state_segmented",
     "kmv_hash52",
+    "key_skew_profile",
 ]
 
 
@@ -224,3 +225,45 @@ def ewma_state_segmented(
         ),
     )
     return per_key.select(*key_cols, "n_obs", composed["c"].alias("ewma"))
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 20,
+    parallelism: int = 32,
+) -> DataFrame:
+    """Shuffle-key skew reconnaissance: the profile a pipeline runs on a
+    join/aggregation key BEFORE pointing 1000 executors at it — the
+    measurement that decides between a plain shuffle, a broadcast, and a
+    salted join (the decision `salted_join_revenue` hard-codes, made
+    data-driven).
+
+    Per heavy key (top ``top_k`` by count, (count DESC, key) tiebreak):
+    exact row count, corpus share in exact ppm (integer cross-multiply,
+    no float division), and ``needs_salt`` — TRUE when the key alone
+    carries more rows than a fair 1/``parallelism`` share, i.e. the
+    straggler condition: one reducer of a ``parallelism``-way shuffle
+    would process more rows than its fair slice even if every other key
+    balanced perfectly.  One hash aggregate (map-side partial combine
+    absorbs the skew this operator measures — counting a hot key is
+    cheap even when joining on it is not) + a top-k.  The share of all
+    OTHER keys is readable from total_rows, carried on every row."""
+    total = df.agg(F.count(F.lit(1)).alias("total_rows"))
+    counts = df.groupBy(F.col(key_col).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key_value",
+            "cnt",
+            "total_rows",
+            F.expr("cnt * 1000000 DIV total_rows").alias("share_ppm"),
+            (F.col("cnt") * parallelism > F.col("total_rows")).alias(
+                "needs_salt"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key_value"))
+        .limit(top_k)
+    )

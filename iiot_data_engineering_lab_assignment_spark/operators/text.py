@@ -30,6 +30,8 @@ __all__ = [
     "top_ngram_coverage",
     "token_budget_shards",
     "length_bucket_packing",
+    "bpe_pair_counts",
+    "inverted_index_postings",
 ]
 
 #: Tiny per-language stopword lists for the n-gram/stopword language
@@ -555,3 +557,100 @@ def length_bucket_packing(
     return packed.withColumn("pad_to", F.max("n_tokens").over(wb)).select(
         id_col, "n_tokens", "bucket", "batch_idx", "pad_to"
     )
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Adjacent symbol-pair frequencies — the inner statistic of one BPE
+    tokenizer-training iteration (Sennrich et al. 2016): the pair with
+    the highest corpus count is the next merge.  This is the operator a
+    100 TB pipeline runs when it trains its OWN tokenizer on its own
+    corpus instead of inheriting one.
+
+    Scale shape is the standard BPE-trainer factoring: the corpus first
+    collapses to the WORD-FREQUENCY table (one hash aggregate — the
+    vocabulary is orders of magnitude smaller than the corpus, and this
+    is the only corpus-sized shuffle), then adjacent character pairs
+    explode per DISTINCT word weighted by its frequency, so pair
+    counting is vocabulary-sized work no matter how large the corpus.
+    Words shorter than 2 symbols contribute no pairs and are filtered
+    before the explode (Spark's ``sequence(1, 0)`` would DESCEND, not
+    return empty — the cross-engine trap the guard removes).
+
+    Returns the ``top_k`` pairs as (left_sym, right_sym, pair_count)
+    with the deterministic (count DESC, left, right) tiebreak — exactly
+    the ordering a merge-table builder consumes.  Single-character
+    symbols only (iteration 1); an iterated trainer would re-segment
+    against the growing merge table, changing the symbols, not this
+    counting plan."""
+    words = docs.select(
+        F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        F.col("freq"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> struct(substring(w, i, 1) AS l,"
+                "             substring(w, i + 1, 1) AS r))"
+            )
+        ).alias("p"),
+    ).select(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"), "freq")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(top_k)
+    )
+
+
+def inverted_index_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 128,
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted-index build: per term, document frequency plus the first
+    ``max_postings`` doc ids DELTA-ENCODED (gap list) — the storage form
+    every IR engine ships (gaps compress orders of magnitude better than
+    absolute ids; Manning et al., IIR ch. 5).  The serving complement to
+    the registered BM25/TF-IDF scoring rows, which re-derive postings
+    per query: this materializes the index once.
+
+    One corpus-sized shuffle (term key) after a per-doc DISTINCT
+    (duplicate terms in a doc contribute one posting).  Posting lists
+    are CAPPED at ``max_postings`` ids (df keeps the true count) — the
+    unbounded-stopword-list guard: a term appearing in every document
+    would otherwise collect a corpus-sized array onto one reducer (the
+    `_cap_postings` failure mode in storage form).  At index scale the
+    cap becomes per-shard and lists merge across shards; the gap
+    encoding is shard-local either way.  Deltas emit as a comma-joined
+    string (first element = smallest doc id, then gaps), deterministic
+    via the sorted id array."""
+    tok = (
+        docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    post = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_list(id_col)), 1, max_postings
+        ).alias("ids"),
+    )
+    if min_df > 1:
+        post = post.filter(F.col("df") >= min_df)
+    deltas = F.expr(
+        "array_join(transform(ids,"
+        " (x, i) -> cast(x - if(i = 0, cast(0 as bigint), ids[i - 1])"
+        "            as string)), ',')"
+    )
+    return post.select("term", "df", deltas.alias("gap_list"))

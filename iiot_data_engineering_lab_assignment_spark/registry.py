@@ -14012,6 +14012,116 @@ def corpus_curation_pipeline_spans_q(spark: SparkSession, sf_dir: str) -> DataFr
     return token_budget_shards(deduped, budget=10_000)
 
 
+@register(
+    "bpe_merge_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
+             freq
+      FROM vocab, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
+    """,
+)
+def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: adjacent symbol-pair frequencies — the inner statistic of
+    one BPE tokenizer-TRAINING iteration (Sennrich et al. 2016; the
+    registered ``bpe_token_count`` only applies a tokenizer, this is the
+    operator that builds one).  The scale story is the standard trainer
+    factoring the operator encodes (operators/text.py:bpe_pair_counts):
+    the corpus collapses to the word-frequency table first — the ONLY
+    corpus-sized shuffle — and pair explosion runs per DISTINCT word
+    weighted by frequency, so counting is vocabulary-sized work at any
+    corpus size.  Top-50 with the total (count DESC, left, right) order
+    a merge-table builder consumes; the length >= 2 filter is applied
+    identically in both engines (Spark's sequence(1, 0) would DESCEND
+    rather than return empty — the cross-engine trap)."""
+    from .operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=50)
+
+
+@register(
+    "inverted_index_gaps",
+    """
+    WITH tok0 AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id, term FROM tok0 WHERE term <> ''
+    ), post AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             list(doc_id ORDER BY doc_id) AS ids
+      FROM tok GROUP BY term
+    )
+    SELECT term, df,
+           array_to_string(list_transform(ids[1:128],
+             (x, i) -> CAST(x - CASE WHEN i = 1 THEN 0 ELSE ids[i - 1] END
+                            AS VARCHAR)), ',') AS gap_list
+    FROM post
+    """,
+)
+def inverted_index_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: inverted-index build with DELTA-ENCODED posting lists
+    (gap lists — the storage form every IR engine ships, Manning et al.
+    IIR ch. 5) — the materialized-index complement to the registered
+    BM25/TF-IDF rows, which re-derive postings per query.  One
+    term-keyed shuffle after a per-doc DISTINCT; posting lists CAP at
+    128 ids while df keeps the true count — the stopword guard: a term
+    in every document would otherwise collect a corpus-sized array onto
+    one reducer (`_cap_postings`' failure mode in storage form).  Gaps
+    emit as a comma-joined string from the SORTED id array (first
+    element = smallest doc id, then deltas), so every value is
+    deterministic and the whole index value-hashes cross-engine.  See
+    operators/text.py:inverted_index_postings."""
+    from .operators.text import inverted_index_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index_postings(docs, max_postings=128)
+
+
+@register(
+    "event_key_skew_profile",
+    """
+    WITH c AS (
+      SELECT user_id AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM events
+    )
+    SELECT key_value, cnt, total_rows,
+           cnt * 1000000 // total_rows AS share_ppm,
+           cnt * 32 > total_rows AS needs_salt
+    FROM c, t
+    ORDER BY cnt DESC, key_value LIMIT 20
+    """,
+)
+def event_key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: shuffle-key skew reconnaissance over the events join key
+    (user_id) — the measurement that decides between plain shuffle,
+    broadcast, and salted join BEFORE a 1000-executor stage hits the
+    straggler (the decision ``salted_join_revenue`` hard-codes, made
+    data-driven; at 100 TB you run this at sample or full scale as a
+    planning pass).  Top-20 heavy keys with exact row count, exact-ppm
+    corpus share (integer cross-multiply, no float division), and the
+    ``needs_salt`` straggler predicate: key count x 32-way parallelism
+    > total rows, i.e. this one key outweighs a fair reducer slice.
+    One hash aggregate whose map-side partial combine absorbs exactly
+    the skew being measured (counting a hot key is cheap even when
+    joining on it is not) + a broadcast 1-row total.  See
+    operators/aggregates.py:key_skew_profile."""
+    from .operators.aggregates import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_k=20, parallelism=32)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -14046,6 +14156,11 @@ DRIVER_WINDOW: list[str] = [
     "pq_codebook_trained_gemm",
     "lpa_planted_quality",
     "corpus_curation_pipeline_spans",
+    # --- r13 wave 2: the BPE trainer pair statistic, the delta-encoded
+    #     inverted-index build, the data-driven skew profiler
+    "bpe_merge_pair_counts",
+    "inverted_index_gaps",
+    "event_key_skew_profile",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
     #     gained the hot-basket cap (oracle-mirrored), the profiler
     #     envelope gained greatest(1, ...) slack, the temperature
@@ -14099,10 +14214,8 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup_pairs_fixed",
     "source_mixture_weights",
     "stream_session_5m",
-    # --- oldest of the r07 cohort (the rest rotate next round)
-    "approx_percentile_order_value",
-    "asof_join_tolerance",
-    "containment_pairs",
+    # --- oldest of the r07 cohort (the rest rotate next round;
+    #     corpus_curation_pipeline pairs with its new spans sibling)
     "corpus_curation_pipeline",
 ]
 
