@@ -600,3 +600,46 @@ def test_profile_documents_single_scan(spark):
     # the formatted plan repeats the scan header in the detail section —
     # count actual file-index locations, not header strings
     assert plan.count("Location:") == 1
+
+
+def test_skew_profile_broadcast_total_and_partial_count(spark):
+    """key_skew_profile: the 1-row total broadcasts back into the per-key
+    relation (no shuffle of the counted keys against the total) and the
+    per-key count partial-aggregates map-side — counting the hot key is
+    cheap even though joining on it would not be."""
+    plan = plan_of(spark, "event_key_skew_profile")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_bpe_pair_counts_single_corpus_shuffle(spark):
+    """bpe_merge_pair_counts: the vocabulary factoring means exactly TWO
+    hash-aggregate exchanges (word-frequency, then pair counts over the
+    vocab-sized relation) plus the top-k — the pair explosion itself
+    must not introduce a corpus-keyed join or extra exchange."""
+    plan = plan_of(spark, "bpe_merge_pair_counts")
+    assert plan.count("hashpartitioning(") == 2
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_one_term_shuffle(spark):
+    """inverted_index_gaps: per-doc DISTINCT then one term-keyed
+    aggregate; the gap encoding is a projection over the collected
+    array, adding no exchange."""
+    plan = plan_of(spark, "inverted_index_gaps")
+    assert "Join" not in plan
+    # distinct (doc_id, term) + term aggregate: two hash exchanges
+    assert 1 <= plan.count("hashpartitioning(") <= 2
+
+
+def test_curation_spans_pipeline_no_text_blowup(spark):
+    """corpus_curation_pipeline_spans: the composed plan must keep the
+    span stage's shape — no cartesian, no raw-text sort-merge join; the
+    doc-keyed span join may be SMJ or broadcast but the fingerprint
+    aggregate must partial-aggregate map-side."""
+    plan = plan_of(spark, "corpus_curation_pipeline_spans")
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # the min(doc*2^20+pos) fp aggregate
