@@ -230,6 +230,7 @@ EXTENDED = [
     "lpa_planted_quality",
     "corpus_curation_pipeline_spans",
     "bpe_merge_pair_counts",
+    "bpe_learned_merges",
     "inverted_index_gaps",
     "event_key_skew_profile",
 ]

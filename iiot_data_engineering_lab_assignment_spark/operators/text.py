@@ -31,6 +31,7 @@ __all__ = [
     "token_budget_shards",
     "length_bucket_packing",
     "bpe_pair_counts",
+    "bpe_learned_merges",
     "inverted_index_postings",
 ]
 
@@ -654,3 +655,81 @@ def inverted_index_postings(
         "            as string)), ',')"
     )
     return post.select("term", "df", deltas.alias("gap_list"))
+
+
+def bpe_learned_merges(
+    docs: DataFrame,
+    n_merges: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE tokenizer TRAINING, iterated: learn the first ``n_merges``
+    merge rules (Sennrich et al. 2016) — count adjacent symbol pairs,
+    adopt the top pair as a merge, re-segment, repeat.  The artifact is
+    the merge TABLE (rank, left, right, count) a tokenizer ships;
+    :func:`bpe_pair_counts` exposes one iteration's statistic, this
+    runs the actual loop.
+
+    Scale: every iteration works on the DISTINCT-word symbol table
+    (vocabulary-sized, the :func:`bpe_pair_counts` factoring); the only
+    driver round-trip per iteration is collecting the 1-row top pair —
+    a parameter, the pinned-centroid convention.  Merge application is
+    a LEFT-TO-RIGHT GREEDY fold over each word's delimited symbol
+    string: if the accumulator's last symbol equals ``l`` and the next
+    symbol is ``r``, append ``r`` WITHOUT a delimiter (fusing the pair
+    into one symbol); else append delimited.  A just-merged symbol
+    ``l||r`` never re-matches ``l`` (the last-symbol test is
+    delimiter-aware), giving the standard non-overlapping leftmost
+    semantics — and because the fold is expressed identically in the
+    DuckDB oracle (``list_reduce`` over the same strings), every merge
+    decision value-hashes cross-engine.  Symbols must not contain the
+    ``|`` delimiter (true for whitespace-tokenized alnum corpora; a
+    production build swaps an unprintable separator)."""
+    words = docs.select(
+        F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vs = vocab.select(
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    spark = docs.sparkSession
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            vs.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS l,"
+                        "             element_at(syms, i + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("c"))
+        )
+        top = (
+            pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).head()
+        )
+        if top is None:
+            break
+        merges.append((rank, top["l"], top["r"], int(top["c"])))
+        if rank < n_merges:
+            l, r = F.lit(top["l"]), F.lit(top["r"])
+            folded = F.aggregate(
+                F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+                F.element_at("syms", 1),
+                lambda acc, x: F.when(
+                    ((acc == l) | acc.endswith(F.concat(F.lit("|"), l)))
+                    & (x == r),
+                    F.concat(acc, r),
+                ).otherwise(F.concat(acc, F.lit("|"), x)),
+            )
+            vs = vs.select("freq", F.split(folded, "[|]").alias("syms"))
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )

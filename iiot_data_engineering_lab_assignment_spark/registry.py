@@ -14049,6 +14049,72 @@ def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_learned_merges",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
+    ), chars AS (
+      SELECT w, freq,
+             list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+      FROM vocab
+    ), p1 AS (
+      SELECT p.l AS l, p.r AS r, SUM(freq) AS c
+      FROM chars, LATERAL (
+        SELECT unnest(list_transform(range(1, len(syms)),
+               i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p)
+      GROUP BY 1, 2
+    ), t1 AS (
+      SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1
+    ), seg2 AS (
+      SELECT freq,
+             string_split(
+               list_reduce(syms, (acc, x) ->
+                 CASE WHEN (acc = t1.l OR ends_with(acc, '|' || t1.l))
+                           AND x = t1.r
+                      THEN acc || t1.r
+                      ELSE acc || '|' || x END), '|') AS syms2
+      FROM chars, t1
+    ), p2 AS (
+      SELECT p.l AS l, p.r AS r, SUM(freq) AS c
+      FROM seg2, LATERAL (
+        SELECT unnest(list_transform(range(1, len(syms2)),
+               i -> struct_pack(l := syms2[i], r := syms2[i + 1]))) AS p)
+      WHERE len(syms2) >= 2
+      GROUP BY 1, 2
+    ), t2 AS (
+      SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
+    )
+    SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym,
+           CAST(c AS BIGINT) AS pair_count FROM t1
+    UNION ALL
+    SELECT 2, l, r, CAST(c AS BIGINT) FROM t2
+    """,
+)
+def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: BPE tokenizer training ITERATED — the first two learned
+    merge rules over the documents corpus, i.e. the actual training
+    loop (count pairs -> adopt top pair -> re-segment -> recount), not
+    just one iteration's statistic (``bpe_merge_pair_counts``).  Merge
+    application is a left-to-right greedy fold over each distinct
+    word's delimited symbol string, expressed with the SAME fold in
+    both engines (F.aggregate / list_reduce over identical strings —
+    the delimiter-aware last-symbol test gives non-overlapping leftmost
+    semantics and stops a just-merged ``l||r`` from re-matching ``l``),
+    so every merge decision value-hashes.  Each iteration is
+    vocabulary-sized work; the only driver round-trip is the 1-row top
+    pair (a parameter, the pinned-centroid convention).  The fixed
+    2-merge unroll keeps the run oracle-expressible — the PQ-trainer /
+    PageRank / LPA pin-the-iteration convention.  See
+    operators/text.py:bpe_learned_merges."""
+    from .operators.text import bpe_learned_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learned_merges(docs, n_merges=2)
+
+
+@register(
     "inverted_index_gaps",
     """
     WITH tok0 AS (
@@ -14159,6 +14225,7 @@ DRIVER_WINDOW: list[str] = [
     # --- r13 wave 2: the BPE trainer pair statistic, the delta-encoded
     #     inverted-index build, the data-driven skew profiler
     "bpe_merge_pair_counts",
+    "bpe_learned_merges",
     "inverted_index_gaps",
     "event_key_skew_profile",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
@@ -14214,9 +14281,8 @@ DRIVER_WINDOW: list[str] = [
     "semantic_dedup_pairs_fixed",
     "source_mixture_weights",
     "stream_session_5m",
-    # --- oldest of the r07 cohort (the rest rotate next round;
-    #     corpus_curation_pipeline pairs with its new spans sibling)
-    "corpus_curation_pipeline",
+    # (the r07 cohort rotates next round — this window closes the
+    #  r03-r06 staleness ledger and first-checks all seven r13 rows)
 ]
 
 

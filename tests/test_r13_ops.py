@@ -197,3 +197,59 @@ def test_fold_d2_matrix_argmin_matches_bruteforce():
     brute = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     assert (D.argmin(axis=1) == brute.argmin(axis=1)).all()
     assert np.allclose(D, brute)
+
+
+# ---------------------------------------------------------------------------
+# iterated BPE training
+
+
+def test_bpe_learned_merges_hand_corpus(spark):
+    """Hand-traced two-iteration run (same corpus as the oracle
+    prototype): stage-1 counts aa=4 ab=4 ba=4 tie-break to (a,a);
+    after merging, (a,b) and (b,a) tie at 4 -> (a,b)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        bpe_learned_merges,
+    )
+
+    docs = _docs(
+        spark,
+        [(0, "aaab aaab abab"), (1, "ba ba ba")],
+    )
+    rows = bpe_learned_merges(docs, n_merges=2).collect()
+    assert [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+            for r in rows] == [(1, "a", "a", 4), (2, "a", "b", 4)]
+
+
+def test_bpe_learned_merges_greedy_nonoverlap(spark):
+    """'aaaa' under merge (a,a) must segment [aa, aa] (leftmost
+    non-overlapping), so iteration 2's top pair is (aa, aa) — the
+    overlap case a replace-based segmentation gets wrong."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        bpe_learned_merges,
+    )
+
+    docs = _docs(spark, [(0, "aaaa aaaa aaaa")])
+    rows = bpe_learned_merges(docs, n_merges=2).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"], rows[0]["pair_count"]) == (
+        "a", "a", 9
+    )
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == (
+        "aa", "aa", 3
+    )
+
+
+def test_bpe_learned_merges_merged_symbol_no_rematch(spark):
+    """After merge (a,a), a fused 'aa' whose string ENDS with 'a' must
+    not re-match l='a' against a following 'a': 'aaa' -> [aa, a], and
+    the delimiter-aware last-symbol test keeps it that way."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        bpe_learned_merges,
+    )
+
+    docs = _docs(spark, [(0, "aaa aaa")])
+    rows = bpe_learned_merges(docs, n_merges=2).collect()
+    assert (rows[0]["left_sym"], rows[0]["right_sym"]) == ("a", "a")
+    # iteration 2 over [aa, a]: the only remaining pair is (aa, a)
+    assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == (
+        "aa", "a", 2
+    )
