@@ -231,6 +231,7 @@ EXTENDED = [
     "corpus_curation_pipeline_spans",
     "bpe_merge_pair_counts",
     "bpe_learned_merges",
+    "bpe_segment_counts",
     "inverted_index_gaps",
     "event_key_skew_profile",
 ]

@@ -32,6 +32,7 @@ __all__ = [
     "length_bucket_packing",
     "bpe_pair_counts",
     "bpe_learned_merges",
+    "bpe_segment_counts",
     "inverted_index_postings",
 ]
 
@@ -732,4 +733,57 @@ def bpe_learned_merges(
             vs = vs.select("freq", F.split(folded, "[|]").alias("syms"))
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def bpe_segment_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a learned BPE merge table: segment every document under the
+    given merges (in learned order) and report per-doc word and symbol
+    counts — the "how many tokens is this corpus under OUR tokenizer"
+    number that drives token budgets, packing, and pricing, computed
+    with the tokenizer :func:`bpe_learned_merges` trained.
+
+    The corpus-scale factoring mirrors training: segmentation runs once
+    per DISTINCT word (the same greedy delimiter-aware fold as the
+    trainer, iterated over the merge list), and documents join their
+    words back against the vocabulary-sized (word -> symbol count)
+    table — re-segmenting every occurrence would redo the fold
+    corpus-many times for zero new information.  Single-character words
+    pass through as one symbol (the fold's seed).  Output:
+    (id, n_words, n_symbols); n_symbols <= total chars, and the gap is
+    the compression the merges bought."""
+    words_all = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    vs = words_all.select("w").distinct().select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for lv, rv in merges:
+        l, r = F.lit(lv), F.lit(rv)
+        folded = F.aggregate(
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+            F.element_at("syms", 1),
+            lambda acc, x: F.when(
+                ((acc == l) | acc.endswith(F.concat(F.lit("|"), l)))
+                & (x == r),
+                F.concat(acc, r),
+            ).otherwise(F.concat(acc, F.lit("|"), x)),
+        )
+        vs = vs.select("w", F.split(folded, "[|]").alias("syms"))
+    counts = vs.select("w", F.size("syms").cast("long").alias("w_syms"))
+    return (
+        words_all.join(counts, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_syms").cast("long").alias("n_symbols"),
+        )
     )

@@ -14048,9 +14048,12 @@ def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top_k=50)
 
 
-@register(
-    "bpe_learned_merges",
-    """
+# The two-iteration BPE merge-learning pipeline as shared CTEs: word
+# frequencies (length >= 2), char symbols, pair counts -> top-1 merge t1,
+# greedy re-segmentation (delimiter-aware list_reduce fold), recount ->
+# top-1 merge t2.  Prefix of both the merge-table and the segmentation
+# oracle.
+_BPE_LEARN_CTES = """
     WITH words AS (
       SELECT unnest(string_split(text, ' ')) AS w FROM documents
     ), vocab AS (
@@ -14085,7 +14088,13 @@ def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ), t2 AS (
       SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
-    )
+    )"""
+
+
+@register(
+    "bpe_learned_merges",
+    _BPE_LEARN_CTES
+    + """
     SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym,
            CAST(c AS BIGINT) AS pair_count FROM t1
     UNION ALL
@@ -14112,6 +14121,69 @@ def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_learned_merges(docs, n_merges=2)
+
+
+@register(
+    "bpe_segment_counts",
+    _BPE_LEARN_CTES
+    + """
+    , dwords AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), sv AS (
+      SELECT DISTINCT w FROM dwords
+    ), svchars AS (
+      SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+               AS syms
+      FROM sv
+    ), sv2 AS (
+      SELECT w,
+             string_split(
+               list_reduce(syms, (acc, x) ->
+                 CASE WHEN (acc = t1.l OR ends_with(acc, '|' || t1.l))
+                           AND x = t1.r
+                      THEN acc || t1.r
+                      ELSE acc || '|' || x END), '|') AS syms2
+      FROM svchars, t1
+    ), sv3 AS (
+      SELECT w,
+             CAST(len(string_split(
+               list_reduce(syms2, (acc, x) ->
+                 CASE WHEN (acc = t2.l OR ends_with(acc, '|' || t2.l))
+                           AND x = t2.r
+                      THEN acc || t2.r
+                      ELSE acc || '|' || x END), '|')) AS BIGINT) AS w_syms
+      FROM sv2, t2
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w_syms) AS BIGINT) AS n_symbols
+    FROM dwords JOIN sv3 USING (w)
+    GROUP BY doc_id
+    """,
+)
+def bpe_segment_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: APPLY the learned tokenizer — segment every document
+    under the two merges ``bpe_learned_merges`` trains and emit per-doc
+    (n_words, n_symbols), the "how many tokens is this corpus under OUR
+    tokenizer" number that drives token budgets, packing, and shard
+    sizing.  Train -> apply is the full tokenizer loop under one
+    value-hash: the merge table is learned inside the query (1-row
+    driver collects per merge, the parameter convention), then
+    segmentation runs once per DISTINCT word (same greedy
+    delimiter-aware fold as training) and documents join their words
+    back against the vocabulary-sized (word -> symbol count) table —
+    re-segmenting every occurrence would redo the fold corpus-many
+    times.  Single-char words pass through as one symbol (the fold's
+    seed).  See operators/text.py:bpe_segment_counts."""
+    from .operators.text import bpe_learned_merges, bpe_segment_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learned_merges(docs, n_merges=2).collect()
+    ]
+    return bpe_segment_counts(docs, merges)
 
 
 @register(
@@ -14226,6 +14298,7 @@ DRIVER_WINDOW: list[str] = [
     #     inverted-index build, the data-driven skew profiler
     "bpe_merge_pair_counts",
     "bpe_learned_merges",
+    "bpe_segment_counts",
     "inverted_index_gaps",
     "event_key_skew_profile",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
@@ -14280,9 +14353,10 @@ DRIVER_WINDOW: list[str] = [
     "q8_market_share",
     "semantic_dedup_pairs_fixed",
     "source_mixture_weights",
-    "stream_session_5m",
-    # (the r07 cohort rotates next round — this window closes the
-    #  r03-r06 staleness ledger and first-checks all seven r13 rows)
+    # (stream_session_5m [r6-green; its tumbling/sliding twins were
+    #  driver-checked r11/r12 and its replay is the window's costliest
+    #  row] plus the r07 cohort rotate next round — this window closes
+    #  the r03-r06 staleness ledger and first-checks all eight r13 rows)
 ]
 
 

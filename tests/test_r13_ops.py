@@ -253,3 +253,30 @@ def test_bpe_learned_merges_merged_symbol_no_rematch(spark):
     assert (rows[1]["left_sym"], rows[1]["right_sym"], rows[1]["pair_count"]) == (
         "aa", "a", 2
     )
+
+
+def test_bpe_segment_counts_applies_merges(spark):
+    """Segment 'aaab' (x2 words) and 'ba' under merges [(a,a), (a,b)]:
+    'aaab' -> [aa, a, b] -> merge 2 fuses (a,b) -> [aa, ab] = 2 symbols;
+    'ba' has no match -> 2 symbols."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        bpe_segment_counts,
+    )
+
+    docs = _docs(spark, [(0, "aaab aaab"), (1, "ba")])
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_segment_counts(docs, [("a", "a"), ("a", "b")]).collect()
+    }
+    assert rows[0]["n_words"] == 2 and rows[0]["n_symbols"] == 4
+    assert rows[1]["n_words"] == 1 and rows[1]["n_symbols"] == 2
+
+
+def test_bpe_segment_counts_single_char_words(spark):
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        bpe_segment_counts,
+    )
+
+    docs = _docs(spark, [(0, "a b c")])
+    row = bpe_segment_counts(docs, [("a", "a")]).head()
+    assert row["n_words"] == 3 and row["n_symbols"] == 3
