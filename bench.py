@@ -234,6 +234,7 @@ EXTENDED = [
     "bpe_segment_counts",
     "inverted_index_gaps",
     "event_key_skew_profile",
+    "dynamic_gap_sessions",
 ]
 
 

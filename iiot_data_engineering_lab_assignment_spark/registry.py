@@ -265,6 +265,74 @@ def session_rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dynamic_gap_sessions",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             ts + CASE WHEN event_type = 'purchase'
+                       THEN INTERVAL '10 minutes'
+                       ELSE INTERVAL '5 minutes' END AS end_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, value, end_ts,
+             CASE WHEN MAX(end_ts) OVER w IS NULL
+                       OR ts >= MAX(end_ts) OVER w
+                  THEN 1 ELSE 0 END AS brk
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), sessions AS (
+      SELECT user_id, ts, value, end_ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM marked
+    )
+    SELECT MIN(ts) AS window_start,
+           MAX(end_ts) AS window_end,
+           user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           COUNT(*) AS count_readings
+    FROM sessions
+    GROUP BY user_id, sess
+    """,
+)
+def dynamic_gap_sessions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: DYNAMIC-gap session windows — the per-event gap form of
+    ``session_rollup_5m`` (a purchase keeps its session alive 10
+    minutes, everything else 5), i.e. Spark's ``session_window(ts,
+    gap_expression)``, the feature the fixed-gap row doesn't exercise:
+    with heterogeneous gaps a session's end is the RUNNING MAX of
+    per-event ends, not last-event + constant.  The oracle is the
+    interval-sweep gaps-and-islands form (the rolling_distinct_users
+    technique): break when the event's start reaches the max end of all
+    PRECEDING events (ties at identical (user, ts) are order-immune —
+    the second tied row always merges, so session membership is
+    deterministic without a secondary sort key).  Same stateful
+    session-merge machinery as streaming (session_window is the shared
+    operator); one user-keyed shuffle, decimal-exact averages."""
+    from .operators.aggregates import ROLLUP_AGGS
+
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    out = ev.groupBy(
+        F.session_window("ts", gap).alias("window"), "user_id"
+    ).agg(*ROLLUP_AGGS("value"))
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "user_id",
+        "avg_value",
+        "min_value",
+        "max_value",
+        "count_readings",
+    )
+
+
+@register(
     "events_passthrough",
     "SELECT user_id, event_type, value, ts AS timestamp FROM events",
 )
@@ -14301,6 +14369,7 @@ DRIVER_WINDOW: list[str] = [
     "bpe_segment_counts",
     "inverted_index_gaps",
     "event_key_skew_profile",
+    "dynamic_gap_sessions",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
     #     gained the hot-basket cap (oracle-mirrored), the profiler
     #     envelope gained greatest(1, ...) slack, the temperature
@@ -14351,12 +14420,14 @@ DRIVER_WINDOW: list[str] = [
     "q6_forecast_revenue",
     "q7_two_nation_volume",
     "q8_market_share",
-    "semantic_dedup_pairs_fixed",
     "source_mixture_weights",
     # (stream_session_5m [r6-green; its tumbling/sliding twins were
     #  driver-checked r11/r12 and its replay is the window's costliest
-    #  row] plus the r07 cohort rotate next round — this window closes
-    #  the r03-r06 staleness ledger and first-checks all eight r13 rows)
+    #  row] and semantic_dedup_pairs_fixed [r6-green; identical
+    #  arithmetic to the r8-green incremental twin, pytest-asserted
+    #  cogroup sibling] plus the r07 cohort rotate next round — this
+    #  window closes the r03-r05 staleness ledger, covers 18 of the 20
+    #  r06 rows, and first-checks all nine r13 rows)
 ]
 
 

@@ -280,3 +280,60 @@ def test_bpe_segment_counts_single_char_words(spark):
     docs = _docs(spark, [(0, "a b c")])
     row = bpe_segment_counts(docs, [("a", "a")]).head()
     assert row["n_words"] == 3 and row["n_symbols"] == 3
+
+
+# ---------------------------------------------------------------------------
+# dynamic-gap session windows
+
+
+def test_dynamic_gap_sessions_purchase_extends(spark):
+    """A purchase's 10-minute gap keeps a session alive across a 7-minute
+    silence that a click's 5-minute gap would break."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "purchase", "2024-01-01 10:00:00", 1.0),
+        (1, "click", "2024-01-01 10:07:00", 2.0),  # merged: < 10:10
+        (2, "click", "2024-01-01 10:00:00", 1.0),
+        (2, "click", "2024-01-01 10:07:00", 2.0),  # split: >= 10:05
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    out = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", "n")
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert sorted(per_user[1]) == [2]  # one merged session
+    assert sorted(per_user[2]) == [1, 1]  # two sessions
+
+
+def test_dynamic_gap_sessions_end_is_max_end(spark):
+    """Session end must be the MAX of per-event ends: a purchase followed
+    1 min later by a click ends at purchase+10m, not click+5m."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "purchase", "2024-01-01 10:00:00", 1.0),
+        (1, "click", "2024-01-01 10:01:00", 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_s string, value double"
+    ).select("user_id", "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("10 minutes")).otherwise(
+        F.lit("5 minutes")
+    )
+    w = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .head()
+    )
+    assert str(w["w"]["end"]) == "2024-01-01 10:10:00"
