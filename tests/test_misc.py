@@ -119,32 +119,32 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-12 rotation (r11 verdict ask #1): the one query whose driver
-    # row predates its envelope oracle, the r12 new registrations and
-    # semantics-touched fixes, then the stalest driver-green queries
-    # (last checked r2-r5)
+    # round-13 rotation (r12 verdict ask #1): the nine r13 registrations
+    # under first driver check, the semantics-touched re-checks, then
+    # the complete r03-r05 staleness cohort and most of r06
     required = [
-        # the stale-oracle row the rotation leads with
-        "kmeans_assignments",
-        # r12 new registrations under first driver check
-        "kmeans_centroids_fixed", "exact_substring_spans",
-        "exact_substring_dedup", "ivf_pq_topk_upsert",
-        # r12 semantics-touched fixes re-checked
-        "kmv_user_overlap_event_types", "cdc_apply_orders",
-        # r12 wave-2/3 registrations under first driver check (these
-        # displaced the r4/r5 staleness anchors events_passthrough /
-        # gapfill_locf_daily etc., which rotate next round)
-        "pq_codebook_trained", "pq_codes_trained", "pq_adc_topk_trained",
-        "mixture_temperature_sample", "pq_adc_knn_trained",
-        "pq_recall_trained_vs_exact", "label_propagation_communities",
-        "profile_documents", "profile_documents_approx",
-        "triangle_counts_copurchase",
-        # staleness burn-down spot-checks (r2/r3/r4 rows)
-        "bpe_token_count", "sensor_rollup_5m_by_user",
-        "order_lineitem_join_agg", "salted_join_revenue",
-        "session_rollup_5m", "rank_orders_per_customer",
-        "range_join_purchase_click", "stream_sliding_1m_30s",
-        "connected_components_chain",
+        # r13 new registrations under first driver check
+        "pq_codebook_trained_gemm", "lpa_planted_quality",
+        "corpus_curation_pipeline_spans", "bpe_merge_pair_counts",
+        "bpe_learned_merges", "bpe_segment_counts", "inverted_index_gaps",
+        "event_key_skew_profile", "dynamic_gap_sessions",
+        # r13 semantics-touched re-checks (basket cap, envelope slack,
+        # overflow guard, delta caching, fold-order GEMM tiers)
+        "triangle_counts_copurchase", "profile_documents_approx",
+        "mixture_temperature_sample", "ivf_pq_topk_upsert",
+        "pq_codes_gemm", "pq_adc_topk_gemm",
+        # the complete r03-r05 staleness cohort (r12 verdict's 17)
+        "lag_delta_per_user", "rollup_order_totals",
+        "semi_join_customers", "top_orders", "union_high_value_parties",
+        "cohort_weekly_retention", "decontaminate_eval_overlap",
+        "events_passthrough", "gapfill_locf_daily",
+        "grouping_sets_revenue", "media_dedup_hash", "moving_avg_per_user",
+        "q14_promo_revenue", "q3_shipping_priority",
+        "q9_product_type_profit", "set_intersect_buyers",
+        "token_length_histogram",
+        # r06 burn-down spot-checks
+        "asof_join_purchase_click", "dedup_keep_best",
+        "q5_local_supplier_volume", "q8_market_share",
     ]
     for name in required:
         assert name in registry.DRIVER_WINDOW, name
