@@ -684,11 +684,21 @@ def bpe_learned_merges(
     DuckDB oracle (``list_reduce`` over the same strings), every merge
     decision value-hashes cross-engine.  Symbols must not contain the
     ``|`` delimiter (true for whitespace-tokenized alnum corpora; a
-    production build swaps an unprintable separator)."""
+    production build swaps an unprintable separator).
+
+    The word-frequency table PERSISTS for the duration of training
+    (vocabulary-sized — the point of the factoring): without it every
+    iteration's pair count and top-pair collect re-runs the
+    corpus-sized explode+aggregate, and training cost scales with the
+    corpus instead of the vocabulary (probe: 47 s -> ~4 s for 2 merges
+    at 60M tokens / 20k words; tools/bpe_scale_probe.py).  Unpersisted
+    before return — the merge table is already collected.  For merge
+    budgets far beyond this fixed-unroll shape, re-persist the
+    re-segmented table every ~8 merges to keep fold lineage bounded."""
     words = docs.select(
         F.explode(tokenize(F.col(text_col))).alias("w")
     ).filter(F.length("w") >= 2)
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq")).persist()
     vs = vocab.select(
         "freq",
         F.expr(
@@ -731,6 +741,7 @@ def bpe_learned_merges(
                 ).otherwise(F.concat(acc, F.lit("|"), x)),
             )
             vs = vs.select("freq", F.split(folded, "[|]").alias("syms"))
+    vocab.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
     )
