@@ -235,6 +235,7 @@ EXTENDED = [
     "inverted_index_gaps",
     "event_key_skew_profile",
     "dynamic_gap_sessions",
+    "stream_dynamic_sessions",
 ]
 
 

@@ -2843,6 +2843,29 @@ def stream_session_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dynamic_sessions",
+    QUERIES["dynamic_gap_sessions"].oracle,
+)
+def stream_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: DYNAMIC-gap session windows as a REAL streaming job —
+    ``session_window`` with a per-event gap EXPRESSION under a
+    watermark (purchase 10 min, else 5), complete mode, availableNow
+    replay.  The stateful session-merge must track the running max of
+    per-event ends across micro-batches (heterogeneous gaps), which the
+    fixed-gap ``stream_session_5m`` never exercises; equals the batch
+    interval-sweep oracle exactly, so streaming/batch parity for the
+    dynamic form is a driver-checked fact."""
+    from .streaming.jobs import run_events_stream_rollup
+
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("10 minutes")
+    ).otherwise(F.lit("5 minutes"))
+    return run_events_stream_rollup(
+        spark, sf_dir, group_cols=["user_id"], session_gap=gap
+    )
+
+
+@register(
     "cosine_dup_pairs_blocked",
     """
     WITH v AS (
@@ -14370,6 +14393,7 @@ DRIVER_WINDOW: list[str] = [
     "inverted_index_gaps",
     "event_key_skew_profile",
     "dynamic_gap_sessions",
+    "stream_dynamic_sessions",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
     #     gained the hot-basket cap (oracle-mirrored), the profiler
     #     envelope gained greatest(1, ...) slack, the temperature
@@ -14420,14 +14444,17 @@ DRIVER_WINDOW: list[str] = [
     "q6_forecast_revenue",
     "q7_two_nation_volume",
     "q8_market_share",
-    "source_mixture_weights",
-    # (stream_session_5m [r6-green; its tumbling/sliding twins were
-    #  driver-checked r11/r12 and its replay is the window's costliest
-    #  row] and semantic_dedup_pairs_fixed [r6-green; identical
-    #  arithmetic to the r8-green incremental twin, pytest-asserted
-    #  cogroup sibling] plus the r07 cohort rotate next round — this
-    #  window closes the r03-r05 staleness ledger, covers 18 of the 20
-    #  r06 rows, and first-checks all nine r13 rows)
+    # (three r6-green rows rotate next round to make room for the ten
+    #  r13 first-checks: source_mixture_weights [enforcement siblings
+    #  mixture_downsample_uniform (r7) and the in-window temperature
+    #  sampler cover the family], stream_session_5m [tumbling/sliding
+    #  twins driver-checked r11/r12; its replay is the costliest row —
+    #  and the NEW stream_dynamic_sessions exercises the same stateful
+    #  session machinery under a harder gap contract], and
+    #  semantic_dedup_pairs_fixed [identical arithmetic to the r8-green
+    #  incremental twin, pytest-asserted cogroup sibling].  Plus the r07
+    #  cohort.  This window closes the r03-r05 staleness ledger, covers
+    #  17 of the 20 r06 rows, and first-checks all ten r13 rows.)
 ]
 
 

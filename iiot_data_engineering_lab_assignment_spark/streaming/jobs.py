@@ -28,7 +28,7 @@ import uuid
 from datetime import timedelta
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import ROLLUP_AGGS
@@ -93,10 +93,11 @@ def streaming_rollup(
     group_cols: list[str] | None = None,
     value_col: str = "value",
     slide: str | None = None,
-    session_gap: str | None = None,
+    session_gap: str | Column | None = None,
 ) -> DataFrame:
     """W1/W2+W3 streaming form: watermarked tumbling (with ``slide``, HOP;
-    with ``session_gap``, session-window) rollup.
+    with ``session_gap``, session-window — a Column gap expression gives
+    DYNAMIC per-event gaps, the stream_dynamic_sessions form) rollup.
 
     The 5-second watermark mirrors the reference's out-of-order bound
     (sensor_aggregation.py:23); events later than watermark are dropped
@@ -335,7 +336,7 @@ def run_events_stream_rollup(
     group_cols: list[str] | None = None,
     output_mode: str = "complete",
     slide: str | None = None,
-    session_gap: str | None = None,
+    session_gap: str | Column | None = None,
     state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run the full streaming rollup over the events fixture with an
