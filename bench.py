@@ -235,6 +235,9 @@ EXTENDED = [
     "inverted_index_gaps",
     "event_key_skew_profile",
     "dynamic_gap_sessions",
+    # registered after the r13 local anchor record's three runs
+    # (BENCH_local_r13.json lacks this row; first cross-round-tracked in
+    # the driver's BENCH_r13)
     "stream_dynamic_sessions",
 ]
 
