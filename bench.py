@@ -236,9 +236,11 @@ EXTENDED = [
     "event_key_skew_profile",
     "dynamic_gap_sessions",
     # registered after the r13 local anchor record's three runs
-    # (BENCH_local_r13.json lacks this row; first cross-round-tracked in
-    # the driver's BENCH_r13)
+    # (BENCH_local_r13.json lacks these rows; first cross-round-tracked
+    # in the driver's BENCH_r13)
     "stream_dynamic_sessions",
+    "bpe_compression_by_source",
+    "changepoint_by_type",
 ]
 
 

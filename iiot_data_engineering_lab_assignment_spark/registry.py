@@ -9146,6 +9146,122 @@ def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "changepoint_by_type",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                        / COUNT(*) * 1000.0, 0) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS sl,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(x) OVER (PARTITION BY event_type) AS st
+      FROM daily
+    ), cand AS (
+      SELECT event_type, day, k, n, sl, st,
+             (sl * sl * (n - k) + (st - sl) * (st - sl) * k) * 100
+               // (k * (n - k)) AS score
+      FROM seq WHERE k < n
+    ), best AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY score DESC, day) AS rn
+        FROM cand) t
+      WHERE rn = 1
+    )
+    SELECT event_type, day AS split_day,
+           CAST(k AS BIGINT) AS days_before,
+           CAST(n - k AS BIGINT) AS days_after,
+           CAST(ROUND(CAST(sl AS DOUBLE) / k, 0) AS BIGINT)
+             AS mean_before_milli,
+           CAST(ROUND(CAST(st - sl AS DOUBLE) / (n - k), 0) AS BIGINT)
+             AS mean_after_milli
+    FROM best
+    """,
+)
+def changepoint_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: offline change-point detection per event_type — binary
+    segmentation depth 1 (the classic single-split CUSUM/BinSeg step):
+    over the daily-mean series, pick the split k maximizing
+    S_l^2/n_l + S_r^2/n_r (equivalently minimizing pooled SSE — the
+    between-groups term of the variance decomposition), i.e. "when did
+    this sensor's level shift?".  The registered CUSUM row
+    (cusum_drift_per_user) FLAGS drift in sequence; this one LOCATES
+    the level shift — the complement a monitoring pipeline runs after
+    the alarm.
+
+    Cross-engine exactness: daily means quantize to exact MILLI-unit
+    integers (3 dp; micro-units would push S^2 terms past BIGINT), the
+    split objective's fraction comparison is cleared of denominators as
+    an exact integer floor ((S_l^2*n_r + S_r^2*n_l) * 100 DIV
+    (n_l*n_r)) — magnitudes <= ~1e18 under the fixture envelope (values
+    <= ~600, ~30 days; the *100 keeps resolution), ties broken by
+    earliest day in both engines.  Plan: one (type, day) hash aggregate
+    (map-side partial over the corpus), then windows over the ~150-row
+    daily relation — parameter-scale from the second stage on, like
+    linear_trend_per_type."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+            * 1000.0,
+            0,
+        )
+        .cast("long")
+        .alias("x")
+    )
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("day")
+    seq = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wo).alias("k"),
+        F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("sl"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("x").over(wt).alias("st"),
+    )
+    cand = seq.filter(F.col("k") < F.col("n")).withColumn(
+        "score",
+        F.expr(
+            "(sl * sl * (n - k) + (st - sl) * (st - sl) * k) * 100"
+            " DIV (k * (n - k))"
+        ),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("day")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("split_day"),
+            F.col("k").cast("long").alias("days_before"),
+            (F.col("n") - F.col("k")).cast("long").alias("days_after"),
+            F.round(F.col("sl").cast("double") / F.col("k"), 0)
+            .cast("long")
+            .alias("mean_before_milli"),
+            F.round(
+                (F.col("st") - F.col("sl")).cast("double")
+                / (F.col("n") - F.col("k")),
+                0,
+            )
+            .cast("long")
+            .alias("mean_after_milli"),
+        )
+    )
+
+
+@register(
     "linear_trend_per_type",
     """
     WITH pts AS (
@@ -14278,6 +14394,113 @@ def bpe_segment_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_compression_by_source",
+    _BPE_LEARN_CTES
+    + """
+    , dwords AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), sv AS (
+      SELECT DISTINCT w FROM dwords
+    ), svchars AS (
+      SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
+               AS syms
+      FROM sv
+    ), sv2 AS (
+      SELECT w,
+             string_split(
+               list_reduce(syms, (acc, x) ->
+                 CASE WHEN (acc = t1.l OR ends_with(acc, '|' || t1.l))
+                           AND x = t1.r
+                      THEN acc || t1.r
+                      ELSE acc || '|' || x END), '|') AS syms2
+      FROM svchars, t1
+    ), sv3 AS (
+      SELECT w, CAST(len(w) AS BIGINT) AS w_chars,
+             CAST(len(string_split(
+               list_reduce(syms2, (acc, x) ->
+                 CASE WHEN (acc = t2.l OR ends_with(acc, '|' || t2.l))
+                           AND x = t2.r
+                      THEN acc || t2.r
+                      ELSE acc || '|' || x END), '|')) AS BIGINT) AS w_syms
+      FROM sv2, t2
+    )
+    SELECT d.source,
+           CAST(SUM(s.w_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(s.w_syms) AS BIGINT) AS n_symbols,
+           CAST(SUM(s.w_chars) * 1000000 // SUM(s.w_syms) AS BIGINT)
+             AS chars_per_symbol_ppm
+    FROM dwords dw
+    JOIN sv3 s USING (w)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def bpe_compression_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: per-SOURCE compression under the corpus's own learned
+    tokenizer — chars per emitted symbol, exact ppm (integer
+    cross-multiply).  The data-quality read: a source whose text
+    compresses poorly under merges learned from the whole corpus is
+    distributionally unusual (noise, another language, machine junk) —
+    the same signal DSIR/KL rows estimate with explicit LMs, here as a
+    byproduct of tokenizer training (Gopher's compression-filter
+    heuristic).  Reuses the segmentation factoring: distinct words
+    segment once, the per-source rollup is one broadcast-joinable
+    aggregate over (doc word -> symbol count)."""
+    from .operators.text import bpe_learned_merges, bpe_segment_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_learned_merges(docs, n_merges=2).collect()
+    ]
+    words_all = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vs = words_all.select("w").distinct().select(
+        "w",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    )
+    for lv, rv in merges:
+        l, r = F.lit(lv), F.lit(rv)
+        folded = F.aggregate(
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+            F.element_at("syms", 1),
+            lambda acc, x: F.when(
+                ((acc == l) | acc.endswith(F.concat(F.lit("|"), l)))
+                & (x == r),
+                F.concat(acc, r),
+            ).otherwise(F.concat(acc, F.lit("|"), x)),
+        )
+        vs = vs.select("w", F.split(folded, "[|]").alias("syms"))
+    counts = vs.select(
+        "w",
+        F.length("w").cast("long").alias("w_chars"),
+        F.size("syms").cast("long").alias("w_syms"),
+    )
+    return (
+        words_all.join(counts, "w")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("w_chars").cast("long").alias("n_chars"),
+            F.sum("w_syms").cast("long").alias("n_symbols"),
+        )
+        .select(
+            "source",
+            "n_chars",
+            "n_symbols",
+            F.expr("n_chars * 1000000 DIV n_symbols").alias(
+                "chars_per_symbol_ppm"
+            ),
+        )
+    )
+
+
+@register(
     "inverted_index_gaps",
     """
     WITH tok0 AS (
@@ -14394,6 +14617,8 @@ DRIVER_WINDOW: list[str] = [
     "event_key_skew_profile",
     "dynamic_gap_sessions",
     "stream_dynamic_sessions",
+    "bpe_compression_by_source",
+    "changepoint_by_type",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
     #     gained the hot-basket cap (oracle-mirrored), the profiler
     #     envelope gained greatest(1, ...) slack, the temperature
@@ -14429,8 +14654,6 @@ DRIVER_WINDOW: list[str] = [
     # --- last driver-checked in r6
     "asof_join_purchase_click",
     "dedup_keep_best",
-    "left_join_order_counts",
-    "near_dup_clusters",
     "percentile_order_value",
     "q10_returned_item_customers",
     "q11_important_stock",
@@ -14444,8 +14667,10 @@ DRIVER_WINDOW: list[str] = [
     "q6_forecast_revenue",
     "q7_two_nation_volume",
     "q8_market_share",
-    # (three r6-green rows rotate next round to make room for the ten
-    #  r13 first-checks: source_mixture_weights [enforcement siblings
+    # (five r6-green rows rotate next round to make room for the twelve
+    #  r13 first-checks: near_dup_clusters and left_join_order_counts
+    #  [families covered in-window by dedup_keep_best / the r12-green
+    #  join-agg and anti/semi rows], source_mixture_weights [enforcement siblings
     #  mixture_downsample_uniform (r7) and the in-window temperature
     #  sampler cover the family], stream_session_5m [tumbling/sliding
     #  twins driver-checked r11/r12; its replay is the costliest row —
@@ -14454,7 +14679,7 @@ DRIVER_WINDOW: list[str] = [
     #  semantic_dedup_pairs_fixed [identical arithmetic to the r8-green
     #  incremental twin, pytest-asserted cogroup sibling].  Plus the r07
     #  cohort.  This window closes the r03-r05 staleness ledger, covers
-    #  17 of the 20 r06 rows, and first-checks all ten r13 rows.)
+    #  15 of the 20 r06 rows, and first-checks all twelve r13 rows.)
 ]
 
 

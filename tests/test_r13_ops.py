@@ -337,3 +337,39 @@ def test_dynamic_gap_sessions_end_is_max_end(spark):
         .head()
     )
     assert str(w["w"]["end"]) == "2024-01-01 10:10:00"
+
+
+# ---------------------------------------------------------------------------
+# change-point detection (registered row's engine side, planted shift)
+
+
+def test_changepoint_locates_planted_shift(spark):
+    """Series of 10 daily means: level 100 for 6 days then 500 for 4 —
+    the split must land after day 6 with the correct segment means."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for d in range(10):
+        level = 100.0 if d < 6 else 500.0
+        for h in (1, 13):  # two events per day, exact mean == level
+            rows.append(("t", f"2024-03-{d + 1:02d} {h:02d}:00:00", level))
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string, value double").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value",
+        F.lit(0).alias("user_id"), F.lit(0).alias("event_id"), F.lit("").alias("props"),
+    )
+    import iiot_data_engineering_lab_assignment_spark.registry as reg
+
+    # drive the registered plan over the synthetic frame by monkeypatching
+    # the loader for this one call
+    orig = reg.load_table
+    reg.load_table = lambda s, sf, t: ev if t == "events" else orig(s, sf, t)
+    try:
+        out = {r["event_type"]: r for r in reg.QUERIES["changepoint_by_type"].fn(
+            spark, "/root/testdata/sf0.001").collect()}
+    finally:
+        reg.load_table = orig
+    r = out["t"]
+    assert str(r["split_day"]) == "2024-03-06"  # last day of the low segment
+    assert r["days_before"] == 6 and r["days_after"] == 4
+    assert r["mean_before_milli"] == 100000
+    assert r["mean_after_milli"] == 500000
