@@ -241,6 +241,7 @@ EXTENDED = [
     "stream_dynamic_sessions",
     "bpe_compression_by_source",
     "changepoint_by_type",
+    "kmeans_inertia_fixed",
 ]
 
 

@@ -6058,6 +6058,75 @@ def kmeans_centroids_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_inertia_fixed",
+    _KMEANS2_CTES
+    + """
+    , af AS (
+      SELECT vec_id, cell, d2 FROM (
+        SELECT e.vec_id, c.cell,
+               list_dot_product(e.ev, e.ev)
+               - 2.0 * list_dot_product(e.ev, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d2,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM e CROSS JOIN c2 c)
+      WHERE rn = 1
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(ROUND(d2 * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+             AS inertia_micro
+    FROM af GROUP BY cell
+    """,
+)
+def kmeans_inertia_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13: k-means cluster QUALITY as a value-hashed fact — the
+    ``pq_recall_trained_vs_exact`` / ``lpa_planted_quality`` pattern
+    applied to the k-means family: per cell of the pinned 2-iteration
+    trained quantizer, the member count and the exact-integer INERTIA
+    (sum of micro-unit-rounded squared distances to the assigned
+    centroid).  ``kmeans_assignments_fixed`` hashes WHO lands where and
+    ``kmeans_centroids_fixed`` hashes the parameter matrix, but neither
+    states how TIGHT the clusters are — a trainer bug that degrades
+    every assignment proportionally (wrong scale factor, stale
+    centroids served) could keep both green while inertia explodes;
+    this row pins it per round.  Per-vector d2 micro-rounds BEFORE the
+    sum so the cell totals are exact integer arithmetic in both engines
+    (each d2 is the shared sequential-fold |v|^2 - 2 v.c + |c|^2).  One
+    scan with the k x d centroid matrix broadcast as literals + one
+    cell aggregate — the assign_cells plan plus a map-side-combinable
+    sum."""
+    from .operators.similarity import _as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _kmeans2_cents(emb, k=8, iters=2)
+    e = _as_double(F.col("embedding"))
+    vnorm = dot(e, e)
+    entries = []
+    for cell, c in sorted(cents.items()):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        cnorm = float(sum(x * x for x in c))
+        d2 = vnorm - F.lit(2.0) * dot(e, carr) + F.lit(cnorm)
+        entries.append(F.struct(d2.alias("d2"), F.lit(cell).alias("cell")))
+    best = F.array_min(F.array(*entries))
+    return (
+        emb.select(
+            best["cell"].cast("int").alias("cell"),
+            F.round(best["d2"] * F.lit(1000000.0), 0)
+            .cast("long")
+            .alias("d2_micro"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("d2_micro").cast("long").alias("inertia_micro"),
+        )
+    )
+
+
+@register(
     "bm25_search",
     """
     WITH dl AS (
@@ -14619,6 +14688,7 @@ DRIVER_WINDOW: list[str] = [
     "stream_dynamic_sessions",
     "bpe_compression_by_source",
     "changepoint_by_type",
+    "kmeans_inertia_fixed",
     # --- r13 semantics-touched re-checks: the co-purchase edge builder
     #     gained the hot-basket cap (oracle-mirrored), the profiler
     #     envelope gained greatest(1, ...) slack, the temperature
@@ -14664,13 +14734,13 @@ DRIVER_WINDOW: list[str] = [
     "q19_disjunctive_revenue",
     "q22_idle_balance_customers",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q7_two_nation_volume",
     "q8_market_share",
-    # (five r6-green rows rotate next round to make room for the twelve
+    # (six r6-green rows rotate next round to make room for the thirteen
     #  r13 first-checks: near_dup_clusters and left_join_order_counts
     #  [families covered in-window by dedup_keep_best / the r12-green
-    #  join-agg and anti/semi rows], source_mixture_weights [enforcement siblings
+    #  join-agg and anti/semi rows], q6_forecast_revenue [the q1/q14/q19
+    #  scan-agg family stays in-window], source_mixture_weights [enforcement siblings
     #  mixture_downsample_uniform (r7) and the in-window temperature
     #  sampler cover the family], stream_session_5m [tumbling/sliding
     #  twins driver-checked r11/r12; its replay is the costliest row —
@@ -14679,7 +14749,7 @@ DRIVER_WINDOW: list[str] = [
     #  semantic_dedup_pairs_fixed [identical arithmetic to the r8-green
     #  incremental twin, pytest-asserted cogroup sibling].  Plus the r07
     #  cohort.  This window closes the r03-r05 staleness ledger, covers
-    #  15 of the 20 r06 rows, and first-checks all twelve r13 rows.)
+    #  14 of the 20 r06 rows, and first-checks all thirteen r13 rows.)
 ]
 
 

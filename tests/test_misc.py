@@ -129,7 +129,7 @@ def test_driver_window_is_first_50_and_family_complete():
         "bpe_learned_merges", "bpe_segment_counts", "inverted_index_gaps",
         "event_key_skew_profile", "dynamic_gap_sessions",
         "stream_dynamic_sessions", "bpe_compression_by_source",
-        "changepoint_by_type",
+        "changepoint_by_type", "kmeans_inertia_fixed",
         # r13 semantics-touched re-checks (basket cap, envelope slack,
         # overflow guard, delta caching, fold-order GEMM tiers)
         "triangle_counts_copurchase", "profile_documents_approx",
