@@ -269,10 +269,20 @@ def _calibration_probe(spark) -> float:
 
     from pyspark.sql import functions as F
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_bench_cal_v1")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # Cache validation (r13 ADVICE #2): _SUCCESS-existence alone let a
+    # concurrent bench run or a torn/corrupted dir silently skew the value
+    # every normalized floor is rescaled by.  The path carries the euid so
+    # two users can't race each other's cache, and the row count is
+    # verified after read — a mismatch (partial overwrite, wrong content
+    # under a stale _SUCCESS) triggers a rebuild instead of a bad number.
+    n_cal = 20_000_000
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_cal_v2_u{os.geteuid()}"
+    )
+
+    def _write_cal() -> None:
         (
-            spark.range(0, 20_000_000)
+            spark.range(0, n_cal)
             .select(
                 "id",
                 (F.col("id") % 9973).alias("k"),
@@ -282,6 +292,15 @@ def _calibration_probe(spark) -> float:
             .write.mode("overwrite")
             .parquet(path)
         )
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _write_cal()
+    try:
+        ok = spark.read.parquet(path).count() == n_cal
+    except Exception:
+        ok = False
+    if not ok:
+        _write_cal()
     best = float("inf")
     for _ in range(5):
         t0 = time.time()

@@ -564,7 +564,6 @@ def length_bucket_packing(
 def bpe_pair_counts(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     top_k: int = 50,
 ) -> DataFrame:
     """Adjacent symbol-pair frequencies — the inner statistic of one BPE

@@ -7128,24 +7128,42 @@ def mixture_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = tok.join(F.broadcast(per_src), "source").crossJoin(
         F.broadcast(tot)
     )
-    ratio = (
-        (F.col("budget").cast("decimal(38,0)") * F.col("r")).cast("double")
-        / (F.col("s").cast("decimal(38,0)") * F.col("src_tokens")).cast(
-            "double"
-        )
-    )
+    num = F.col("budget").cast("decimal(38,0)") * F.col("r")
+    den = F.col("s").cast("decimal(38,0)") * F.col("src_tokens")
+    ratio = num.cast("double") / den.cast("double")
     # Fail LOUDLY if the exact-integer product ever overflows
     # DECIMAL(38,0) (r12 ADVICE: past 38 digits non-ANSI Spark yields
     # NULL, which F.least would silently SKIP — keep-everything — while
     # the DuckDB oracle's HUGEINT keeps computing; the ~1e19-token
     # headroom makes this unreachable on any real corpus, but an opaque
-    # divergence must not be the way we learn otherwise).
-    ratio_checked = F.when(ratio.isNotNull(), ratio).otherwise(
-        F.expr(
-            "raise_error('mixture_temperature_sample: keep-fraction "
-            "product overflowed DECIMAL(38,0) — corpus beyond the "
-            "documented ~1e19-token headroom; recompute in double')"
-        ).cast("double")
+    # divergence must not be the way we learn otherwise).  The guard is
+    # NARROWED to the overflow signature (r13 ADVICE #4): a product
+    # that nulls while every factor is non-null IS decimal overflow; a
+    # null from any other source (a future nullable src_tokens, a null
+    # r) gets its own message instead of a misleading overflow claim.
+    inputs_ok = (
+        F.col("budget").isNotNull()
+        & F.col("r").isNotNull()
+        & F.col("s").isNotNull()
+        & F.col("src_tokens").isNotNull()
+    )
+    ratio_checked = (
+        F.when(ratio.isNotNull(), ratio)
+        .when(
+            (num.isNull() | den.isNull()) & inputs_ok,
+            F.expr(
+                "raise_error('mixture_temperature_sample: keep-fraction "
+                "product overflowed DECIMAL(38,0) — corpus beyond the "
+                "documented ~1e19-token headroom; recompute in double')"
+            ).cast("double"),
+        )
+        .otherwise(
+            F.expr(
+                "raise_error('mixture_temperature_sample: null "
+                "keep-fraction from a null INPUT (src_tokens/r/budget/s)"
+                " — not decimal overflow; inspect the source stats')"
+            ).cast("double")
+        )
     )
     frac = F.least(F.lit(1.0), ratio_checked)
     return joined.filter(F.col("u") < frac).select("doc_id", "source")
@@ -9232,8 +9250,9 @@ def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ), cand AS (
       SELECT event_type, day, k, n, sl, st,
-             (sl * sl * (n - k) + (st - sl) * (st - sl) * k) * 100
-               // (k * (n - k)) AS score
+             CAST((CAST(sl AS HUGEINT) * sl * (n - k)
+                   + CAST(st - sl AS HUGEINT) * (st - sl) * k) * 100
+                  // (k * (n - k)) AS BIGINT) AS score
       FROM seq WHERE k < n
     ), best AS (
       SELECT * FROM (
@@ -9264,12 +9283,14 @@ def changepoint_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the alarm.
 
     Cross-engine exactness: daily means quantize to exact MILLI-unit
-    integers (3 dp; micro-units would push S^2 terms past BIGINT), the
-    split objective's fraction comparison is cleared of denominators as
-    an exact integer floor ((S_l^2*n_r + S_r^2*n_l) * 100 DIV
-    (n_l*n_r)) — magnitudes <= ~1e18 under the fixture envelope (values
-    <= ~600, ~30 days; the *100 keeps resolution), ties broken by
-    earliest day in both engines.  Plan: one (type, day) hash aggregate
+    integers (3 dp), the split objective's fraction comparison is
+    cleared of denominators as an exact integer floor
+    ((S_l^2*n_r + S_r^2*n_l) * 100 DIV (n_l*n_r)) computed in
+    DECIMAL(38,0) / HUGEINT with a FAIL-LOUD BIGINT emit (r14: Spark
+    raise_error on the NULL overflow signature, DuckDB's native
+    CAST-to-BIGINT error — same 2^63 boundary both sides, so a series
+    beyond the milli-unit envelope can never silently mis-rank the
+    split), ties broken by earliest day in both engines.  Plan: one (type, day) hash aggregate
     (map-side partial over the corpus), then windows over the ~150-row
     daily relation — parameter-scale from the second stage on, like
     linear_trend_per_type."""
@@ -9298,12 +9319,34 @@ def changepoint_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wt).alias("n"),
         F.sum("x").over(wt).alias("st"),
     )
-    cand = seq.filter(F.col("k") < F.col("n")).withColumn(
-        "score",
+    # r14 (verdict ask #2): the S^2 products run in DECIMAL(38,0) (oracle:
+    # HUGEINT) instead of raw BIGINT, and the BIGINT score emit FAILS LOUD
+    # on overflow in BOTH engines — DuckDB's CAST(HUGEINT AS BIGINT)
+    # throws natively; Spark's non-ANSI IntegralDivide on decimals
+    # silently WRAPS (probe: 8.1e21 DIV 9 emitted a negative long, no
+    # NULL), so the guard is an explicit magnitude gate BEFORE the DIV:
+    # the non-negative numerator must not exceed maxlong * denominator.
+    # A numerator past DECIMAL(38,0) entirely (|S| ~ 1e17 milli-units)
+    # nulls, fails the <= test, and lands in the same raise branch.
+    num_dec = F.expr(
+        "(cast(sl as decimal(38,0)) * sl * (n - k)"
+        " + cast(st - sl as decimal(38,0)) * (st - sl) * k) * 100"
+    )
+    fits_bigint = num_dec <= F.expr(
+        "cast(9223372036854775807 as decimal(38,0)) * (k * (n - k))"
+    )
+    num_ok = F.when(fits_bigint, num_dec).otherwise(
         F.expr(
-            "(sl * sl * (n - k) + (st - sl) * (st - sl) * k) * 100"
-            " DIV (k * (n - k))"
-        ),
+            "raise_error('changepoint_by_type: split score overflowed"
+            " BIGINT — series magnitude beyond the 2^63 envelope;"
+            " rescale the milli-unit quantization')"
+        ).cast("decimal(38,0)")
+    )
+    cand = (
+        seq.filter(F.col("k") < F.col("n"))
+        .withColumn("num_ok", num_ok)
+        .withColumn("score", F.expr("num_ok DIV (k * (n - k))"))
+        .drop("num_ok")
     )
     wbest = Window.partitionBy("event_type").orderBy(
         F.desc("score"), F.asc("day")
@@ -9375,7 +9418,25 @@ def linear_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical sufficient statistics.  y scales to exact 1e-4
     # integers via ROUND(value*10000): the products sit within 1e-9 of
     # an integer, so both engines round identically.
-    y4 = F.expr("CAST(ROUND(value * 10000) AS BIGINT)")
+    # r14 (verdict ask #2 audit): the documented 2^63 bound is now
+    # ENFORCED, not assumed — |x|,|y4| <= 3e9 keeps both per-row BIGINT
+    # products within 9e18; beyond that (a timestamp ~95 years from the
+    # 2024 epoch or |value| > ~300k) Spark would silently WRAP where
+    # DuckDB throws, so the plan raises first.  One scan-level branch.
+    y4_raw = F.expr("CAST(ROUND(value * 10000) AS BIGINT)")
+    _bound = F.lit(3_000_000_000)
+
+    def _enforced(col, what):
+        return F.when(F.abs(col) <= _bound, col).otherwise(
+            F.expr(
+                f"raise_error('linear_trend_per_type: {what} beyond the"
+                " +-3e9 product envelope — BIGINT x*x / x*y4 would"
+                " overflow; rescale the quantization')"
+            ).cast("long")
+        )
+
+    x = _enforced(x, "x (seconds since 2024-01-01)")
+    y4 = _enforced(y4_raw, "y*1e4")
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
@@ -9609,12 +9670,21 @@ def cusum_drift_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cusum4"),
     )
     flag = F.col("cusum4") > (F.col("n") * F.lit(4_000_000))
+    # r14 (verdict ask #2 audit): the "~135k rows/user" BIGINT emit bound
+    # is enforced — a decimal cusum4 past (2^63-1)/100 would NULL through
+    # Spark's non-ANSI CAST (silently blanking max_cusum) where DuckDB
+    # throws; raise_error makes both engines loud at the same boundary.
     return c.groupBy("user_id").agg(
         F.max("n").alias("n_events"),
         (
             F.expr(
-                "CAST((CAST(max(cusum4) AS BIGINT) * 100)"
-                " DIV max(n) AS DOUBLE)"
+                "CAST((CAST(CASE WHEN max(cusum4) <="
+                " CAST(92233720368547758 AS DECIMAL(38,0))"
+                " THEN max(cusum4)"
+                " ELSE raise_error('cusum_drift_per_user: cusum magnitude"
+                " beyond the BIGINT emit envelope (n^2*v4 > ~9.2e16) —"
+                " rescale or shard the timeline') END"
+                " AS BIGINT) * 100) DIV max(n) AS DOUBLE)"
             )
             / F.lit(1_000_000.0)
         ).alias("max_cusum"),
@@ -9811,10 +9881,24 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rev.select(
         "nationkey", "r", F.row_number().over(w).alias("i")
     )
+    # r14 (verdict ask #2 audit): i*r runs in decimal(38,2) (int rank x
+    # decimal revenue); per-row overflow past 1e36 would NULL in
+    # non-ANSI Spark and the SUM would silently SKIP those rows — an
+    # undercounted sir reads as a perfectly plausible (wrong) Gini.
+    # DuckDB widens to HUGEINT/DECIMAL and throws.  Raise on the
+    # signature instead: product null while both factors are non-null.
+    ir = F.col("i") * F.col("r")
+    ir_checked = F.when(ir.isNotNull() | F.col("r").isNull(), ir).otherwise(
+        F.expr(
+            "raise_error('gini_revenue_by_nation: rank x revenue product"
+            " overflowed decimal(38,2) — revenue scale beyond the 1e36"
+            " envelope')"
+        ).cast("decimal(38,2)")
+    )
     s = ranked.groupBy("nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("r").cast("double").alias("sr"),
-        F.sum(F.col("i") * F.col("r")).cast("double").alias("sir"),
+        F.sum(ir_checked).cast("double").alias("sir"),
     )
     return s.filter(F.col("n") >= 10).select(
         "nationkey",
@@ -13287,7 +13371,11 @@ def _ivfpq_store_path(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
-        mtime = int(os.path.getmtime(src))
+        # st_mtime_ns, not int(getmtime): second-resolution keys let a
+        # fixture regenerated within the same second (or restored with a
+        # preserved whole-second mtime) silently serve a stale base+delta
+        # index (r13 ADVICE #1); nanosecond identity matches _trained_book.
+        mtime = os.stat(src).st_mtime_ns
     except OSError:
         mtime = 0
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
