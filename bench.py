@@ -313,6 +313,75 @@ def _calibration_probe(spark) -> float:
     return round(best, 4)
 
 
+def _calibration_probe_streaming(spark) -> float:
+    """STREAMING session-speed calibration (r13 verdict ask #3): the
+    stream_* bench rows time micro-batch machinery (state store,
+    watermark advance, per-batch planning) whose per-session overhead
+    moves independently of scan speed, so the scan calibration could not
+    de-noise them — r13's normalized flags on stream rows were all
+    session noise.  This probe runs a FIXED availableNow job — 5M rows
+    of frozen parquet (1 ms cadence, written once per machine, validated
+    by row count) through a watermarked 1-minute tumbling window
+    aggregate to a noop sink — i.e. the same shape as the stream_*
+    headline rows with the engine's code held constant.  min-of-3; the
+    record carries it as `calibration_streaming`, and stream_* floors
+    normalize by THIS value where both records have one."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    n_cal = 5_000_000
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bench_scal_v1_u{os.geteuid()}"
+    )
+
+    def _write_cal() -> None:
+        (
+            spark.range(0, n_cal)
+            .select(
+                F.timestamp_micros(
+                    F.lit(1_704_067_200_000_000) + F.col("id") * 1000
+                ).alias("ts"),
+                (F.col("id") % 997).alias("k"),
+                ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"),
+            )
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _write_cal()
+    try:
+        ok = spark.read.parquet(path).count() == n_cal
+    except Exception:
+        ok = False
+    if not ok:
+        _write_cal()
+    schema = spark.read.parquet(path).schema
+    best = float("inf")
+    for _ in range(3):
+        ckpt = tempfile.mkdtemp(prefix="spark_graft_scal_ckpt_")
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(path)
+            .withWatermark("ts", "5 seconds")
+            .groupBy(F.window("ts", "1 minute"), "k")
+            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("c"))
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        best = min(best, time.time() - t0)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
@@ -349,7 +418,15 @@ def main() -> None:
     # (r5 verdict ask #4: the multi-second dedup rows were the only
     # 1-rep entries; two repetitions per pass removes single-execution
     # jitter from the slowest, most variance-prone rows too).
+    # stream_* rows get a HIGHER floor (r13 verdict ask #3): micro-batch
+    # scheduling noise dominates their 2-rep minima — 4 reps for the
+    # headline stream rows, 3 for the extended ones (bounding added cost).
     min_reps = 2
+
+    def _min_reps_for(name: str) -> int:
+        if not name.startswith("stream_"):
+            return min_reps
+        return 4 if name in HEADLINE else 3
 
     def measure(names: list[str]) -> tuple[dict[str, float], dict[str, int]]:
         timings: dict[str, float] = {}
@@ -357,10 +434,13 @@ def main() -> None:
         for name in names:
             spec = registry.QUERIES[name]
             fn = BENCH_FORMS.get(name, spec.fn)
+            floor_reps = _min_reps_for(name)
             t0 = time.time()
             _materialize(fn(spark, sf_dir))
             t_cal = time.time() - t0
-            reps = min(max_reps, max(min_reps, math.ceil(target_s / max(t_cal, 0.05))))
+            reps = min(
+                max_reps, max(floor_reps, math.ceil(target_s / max(t_cal, 0.05)))
+            )
             # Measure min-of-3 at the chosen rep count; if the steady-state
             # minimum drifts below the noise floor the calibration targeted
             # (cold calibration pass >> warm passes — seen round 3 on
@@ -376,7 +456,10 @@ def main() -> None:
                     _materialize(fn(spark, sf_dir))
                 best = min(best, (time.time() - t0) / reps)
                 passes += 1
-                needed = min(max_reps, max(min_reps, math.ceil(target_s / max(best, 0.05))))
+                needed = min(
+                    max_reps,
+                    max(floor_reps, math.ceil(target_s / max(best, 0.05))),
+                )
                 if needed > reps:
                     reps = needed
                     best = float("inf")
@@ -386,6 +469,7 @@ def main() -> None:
         return timings, reps_used
 
     calibration = _calibration_probe(spark)
+    calibration_streaming = _calibration_probe_streaming(spark)
 
     # Local-iteration subset (debug only — the driver never sets this):
     # SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,minhash_lsh_pairs" times
@@ -445,6 +529,7 @@ def main() -> None:
                 rec = json.load(f)
                 rec_q = rec.get("queries", {})
                 rec_cal = rec.get("calibration")
+                rec_scal = rec.get("calibration_streaming")
         except (OSError, ValueError):
             continue
         scale = (
@@ -452,13 +537,22 @@ def main() -> None:
             if isinstance(rec_cal, (int, float)) and rec_cal > 0
             else None
         )
+        # stream_* rows normalize by the STREAMING probe where both
+        # records carry one (r13 ask #3: micro-batch overhead moves
+        # independently of scan speed); scan-probe scale otherwise.
+        scale_stream = (
+            calibration_streaming / float(rec_scal)
+            if isinstance(rec_scal, (int, float)) and rec_scal > 0
+            else scale
+        )
         for name, b in rec_q.items():
             if isinstance(b, (int, float)) and b > 0:
                 floor_q[name] = min(floor_q.get(name, float("inf")), float(b))
                 latest_q[name] = float(b)  # paths sorted: last wins
-                if scale is not None:
+                s = scale_stream if name.startswith("stream_") else scale
+                if s is not None:
                     norm_floor_q[name] = min(
-                        norm_floor_q.get(name, float("inf")), float(b) * scale
+                        norm_floor_q.get(name, float("inf")), float(b) * s
                     )
     regressions_norm: dict[str, float] = {}
     for name, t in timings.items():
@@ -498,6 +592,7 @@ def main() -> None:
             "extended_total": round(sum(ext_timings.values()), 3),
             "regressions_vs_baseline": regressions,
             "calibration": calibration,
+            "calibration_streaming": calibration_streaming,
             "regressions_normalized": regressions_norm,
             "sf": sf,
         }
