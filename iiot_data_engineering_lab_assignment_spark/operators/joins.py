@@ -18,7 +18,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["join_dim", "join_fact", "semi_join", "anti_join", "fuzzy_block_join"]
+__all__ = [
+    "join_dim",
+    "join_fact",
+    "semi_join",
+    "anti_join",
+    "fuzzy_block_join",
+    "profile_salted_join",
+]
 
 
 def fuzzy_block_join(
@@ -135,6 +142,63 @@ def salted_join(
         how,
     )
     return out.drop(salted_l["_salt"]).drop(salted_r["_salt"])
+
+
+def profile_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    parallelism: int = 32,
+    top_k: int = 20,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-ADAPTIVE equi-join: profile the left key with
+    :func:`~..aggregates.key_skew_profile`, salt ONLY the keys whose
+    ``needs_salt`` predicate fires (a single key outweighing a fair
+    1/``parallelism`` reducer slice), and send every cold key through the
+    plain shuffle — the decision :func:`salted_join` hard-codes, made by
+    the measurement that exists to make it (r13 verdict ask #5).
+
+    Why not salt everything: salting replicates the right side
+    ``salt_buckets``x and forbids right/full joins; paying that tax on a
+    uniformly-distributed key is pure overhead.  Why not salt nothing:
+    one 5%-share key at 1000-way parallelism is a 50x straggler AQE can
+    only split AFTER materializing the skewed map output.  The profile
+    is one map-side-combinable aggregate over the left relation —
+    counting a hot key is cheap even when joining on it is not — and the
+    hot-key list that comes back to the driver is parameter-sized
+    (<= ``top_k`` rows, the pinned-centroid convention).
+
+    Result rows are identical to the plain join for ``inner``/``left``
+    (the hot/cold split partitions the left relation exactly; salt
+    columns stay internal), proven against the all-plain oracle by the
+    registered row.  The physical plan carries BOTH strategies: a
+    salted join over the hot slice (right side filtered to hot keys —
+    usually broadcast-small) unioned with a plain join over the cold
+    slice.  When no key needs salt the plain join IS the plan.
+    """
+    from .aggregates import key_skew_profile
+
+    prof = key_skew_profile(left, left_key, top_k=top_k, parallelism=parallelism)
+    hot = [
+        r["key_value"] for r in prof.filter(F.col("needs_salt")).collect()
+    ]
+    if not hot:
+        return left.join(right, left[left_key] == right[right_key], how)
+    left_hot = left.filter(F.col(left_key).isin(hot))
+    left_cold = left.filter(
+        ~F.col(left_key).isin(hot) | F.col(left_key).isNull()
+    )
+    right_hot = right.filter(F.col(right_key).isin(hot))
+    hot_joined = salted_join(
+        left_hot, right_hot, left_key, right_key, salt_buckets=salt_buckets, how=how
+    )
+    cold_joined = left_cold.join(
+        right, left_cold[left_key] == right[right_key], how
+    )
+    return hot_joined.unionByName(cold_joined)
 
 
 def asof_join(

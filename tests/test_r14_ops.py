@@ -86,6 +86,42 @@ def test_changepoint_in_envelope_still_locates_shift(spark, tmp_path):
     assert str(r["split_day"]) == "2024-01-05"
 
 
+def test_changepoint2_locates_two_planted_shifts(spark, tmp_path):
+    """ask #6 done-criterion: a 10/200/500 three-level series — depth 1
+    finds ONE of the shifts, depth 2 finds the other inside its segment,
+    and every segment mean is exact in milli-units."""
+    levels = [10.0] * 10 + [200.0] * 10 + [500.0] * 10
+    rows = [
+        (i, _BASE_US + i * _DAY_US, 1, "view", v) for i, v in enumerate(levels)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = QUERIES["changepoint2_by_type"].fn(spark, sf).collect()
+    by_depth = {}
+    for r in got:
+        by_depth.setdefault(r["depth"], []).append(r)
+    (d1,) = by_depth[1]
+    # depth-1 picks the variance-maximizing single split of 10/200/500:
+    # after day 20 (before-mean 105, after-mean 500)
+    assert str(d1["split_day"]) == "2024-01-20"
+    assert d1["mean_before_milli"] == 105_000
+    assert d1["mean_after_milli"] == 500_000
+    d2 = {r["segment"]: r for r in by_depth[2]}
+    # segment 0 (days 1-20) contains the 10 -> 200 shift at day 10
+    assert str(d2[0]["split_day"]) == "2024-01-10"
+    assert d2[0]["mean_before_milli"] == 10_000
+    assert d2[0]["mean_after_milli"] == 200_000
+    # segment 1 (days 21-30) is constant: tie -> earliest day, equal means
+    assert d2[1]["mean_before_milli"] == d2[1]["mean_after_milli"] == 500_000
+    assert str(d2[1]["split_day"]) == "2024-01-21"
+
+
+def test_changepoint2_overflow_raises_spark(spark, tmp_path):
+    """Depth-2 inherits the depth-1 fail-loud envelope."""
+    sf = _write_events(spark, tmp_path, _overflow_series())
+    with pytest.raises(Exception, match="overflowed"):
+        QUERIES["changepoint2_by_type"].fn(spark, sf).collect()
+
+
 def test_linear_trend_value_envelope_raises(spark, tmp_path):
     """|y4| > 3e9 (value > ~300k) would push per-row BIGINT x*y4 toward
     silent wrap territory — the documented 2^63 bound is now enforced."""
@@ -118,6 +154,67 @@ def test_cusum_emit_envelope_raises(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     with pytest.raises(Exception, match="BIGINT emit envelope"):
         QUERIES["cusum_drift_per_user"].fn(spark, sf).collect()
+
+
+def _skewed_pair(spark):
+    """left: key 1 carries 60% of 10k rows; right: 4001-key dim."""
+    hot = spark.range(6000).select(F.lit(1).alias("k"), F.col("id").alias("payload"))
+    cold = spark.range(2, 4002).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("payload")
+    )
+    left = hot.unionByName(cold)
+    right = spark.range(1, 4002).select(
+        F.col("id").alias("rk"), F.concat(F.lit("d"), F.col("id")).alias("label")
+    )
+    return left, right
+
+
+def test_profile_salted_join_both_strategies_one_plan(spark):
+    """ask #5 done-criterion: with a planted 60%-share key at 4-way
+    parallelism, the physical plan must carry a Union of TWO joins (the
+    salted hot slice and the plain cold slice)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import (
+        profile_salted_join,
+    )
+
+    left, right = _skewed_pair(spark)
+    joined = profile_salted_join(left, right, "k", "rk", parallelism=4)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    n_joins = sum(
+        plan.count(j)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins >= 2, plan
+
+
+def test_profile_salted_join_equals_plain(spark):
+    """Hot/cold split + salting must be row-identical to the plain join."""
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import (
+        profile_salted_join,
+    )
+
+    left, right = _skewed_pair(spark)
+    adaptive = profile_salted_join(left, right, "k", "rk", parallelism=4)
+    plain = left.join(right, left["k"] == right["rk"])
+    key = lambda r: (r["k"], r["payload"], r["rk"], r["label"])  # noqa: E731
+    assert sorted(map(key, adaptive.collect())) == sorted(
+        map(key, plain.collect())
+    )
+
+
+def test_profile_salted_join_uniform_stays_plain(spark):
+    """No needs_salt key -> the plain join IS the plan (no Union, one join)."""
+    from iiot_data_engineering_lab_assignment_spark.operators.joins import (
+        profile_salted_join,
+    )
+
+    left = spark.range(1000).select((F.col("id") % 100).alias("k"), "id")
+    right = spark.range(100).select(F.col("id").alias("rk"))
+    joined = profile_salted_join(left, right, "k", "rk", parallelism=4)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert joined.count() == 1000
 
 
 def test_cusum_in_envelope_unchanged(spark, tmp_path):
