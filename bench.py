@@ -242,6 +242,14 @@ EXTENDED = [
     "bpe_compression_by_source",
     "changepoint_by_type",
     "kmeans_inertia_fixed",
+    # round-14 additions: the profile-driven salted join, depth-2
+    # segmentation, the sharded index build, the 16-merge BPE trainer,
+    # and the planted PageRank quality envelope
+    "profile_salted_join_revenue",
+    "changepoint2_by_type",
+    "pagerank_planted_quality",
+    "inverted_index_sharded",
+    "bpe_learned_merges16",
 ]
 
 

@@ -119,34 +119,22 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-13 rotation (r12 verdict ask #1): the nine r13 registrations
-    # under first driver check, the semantics-touched re-checks, then
-    # the complete r03-r05 staleness cohort and most of r06
+    # round-14 rotation (r13 verdict ask #1): the five r14 registrations
+    # under first driver check, then the complete r6 staleness cohort
+    # and 39 of the 41 r7-stale rows
     required = [
-        # r13 new registrations under first driver check
-        "pq_codebook_trained_gemm", "lpa_planted_quality",
-        "corpus_curation_pipeline_spans", "bpe_merge_pair_counts",
-        "bpe_learned_merges", "bpe_segment_counts", "inverted_index_gaps",
-        "event_key_skew_profile", "dynamic_gap_sessions",
-        "stream_dynamic_sessions", "bpe_compression_by_source",
-        "changepoint_by_type", "kmeans_inertia_fixed",
-        # r13 semantics-touched re-checks (basket cap, envelope slack,
-        # overflow guard, delta caching, fold-order GEMM tiers)
-        "triangle_counts_copurchase", "profile_documents_approx",
-        "mixture_temperature_sample", "ivf_pq_topk_upsert",
-        "pq_codes_gemm", "pq_adc_topk_gemm",
-        # the complete r03-r05 staleness cohort (r12 verdict's 17)
-        "lag_delta_per_user", "rollup_order_totals",
-        "semi_join_customers", "top_orders", "union_high_value_parties",
-        "cohort_weekly_retention", "decontaminate_eval_overlap",
-        "events_passthrough", "gapfill_locf_daily",
-        "grouping_sets_revenue", "media_dedup_hash", "moving_avg_per_user",
-        "q14_promo_revenue", "q3_shipping_priority",
-        "q9_product_type_profit", "set_intersect_buyers",
-        "token_length_histogram",
-        # r06 burn-down spot-checks
-        "asof_join_purchase_click", "dedup_keep_best",
-        "q5_local_supplier_volume", "q8_market_share",
+        # r14 new registrations under first driver check
+        "profile_salted_join_revenue", "changepoint2_by_type",
+        "pagerank_planted_quality", "inverted_index_sharded",
+        "bpe_learned_merges16",
+        # the complete r6 staleness cohort (r13 verdict's 6)
+        "left_join_order_counts", "near_dup_clusters",
+        "q6_forecast_revenue", "semantic_dedup_pairs_fixed",
+        "source_mixture_weights", "stream_session_5m",
+        # r7 burn-down spot-checks
+        "asof_join_tolerance", "cosine_dup_pairs_lsh",
+        "kmeans_assignments_fixed", "multimodal_frames",
+        "stream_static_enrich", "winnowing_fingerprints_md5",
     ]
     for name in required:
         assert name in registry.DRIVER_WINDOW, name

@@ -156,6 +156,62 @@ def test_cusum_emit_envelope_raises(spark, tmp_path):
         QUERIES["cusum_drift_per_user"].fn(spark, sf).collect()
 
 
+def test_inverted_index_sharded_merge_equals_unsharded(spark, documents):
+    """ask #8 cap-composition proof: the doc-sharded build (per-shard cap
+    128, merged) must reproduce the unsharded index exactly — same df,
+    same gap list — for every term."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        inverted_index_postings,
+        inverted_index_sharded,
+    )
+
+    flat = {
+        r["term"]: (r["df"], r["gap_list"])
+        for r in inverted_index_postings(documents, max_postings=128).collect()
+    }
+    sharded = inverted_index_sharded(
+        documents, n_doc_shards=4, max_postings=128
+    ).collect()
+    assert {r["term"]: (r["df"], r["gap_list"]) for r in sharded} == flat
+    assert all(1 <= r["shards_with_term"] <= 4 for r in sharded)
+    assert all(0 <= r["shard"] <= 3 for r in sharded)
+
+
+def test_inverted_index_sharded_cap_binds_per_shard(spark):
+    """A term in every doc: per-shard lists cap at max_postings, the
+    merged prefix is the true smallest-ids prefix, df stays exact."""
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        inverted_index_sharded,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("stopword").alias("text")
+    )
+    (row,) = inverted_index_sharded(
+        docs, n_doc_shards=4, max_postings=16
+    ).collect()
+    assert row["df"] == 1000
+    assert row["shards_with_term"] == 4
+    gaps = [int(g) for g in row["gap_list"].split(",")]
+    assert len(gaps) == 16
+    # prefix of the global sorted ids: 0..15 -> gaps [0, 1, 1, ...]
+    ids = [sum(gaps[: i + 1]) for i in range(len(gaps))]
+    assert ids == list(range(16))
+
+
+def test_pagerank_planted_quality_booleans(spark):
+    """ask #7: the provable rank order must actually hold — hub above
+    ring above spoke, ring/spokes internally uniform, and spokes at the
+    EXACT teleport floor 0.15/31 (no in-links -> no propagated mass)."""
+    r = QUERIES["pagerank_planted_quality"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["hub_top"] and r["ring_uniform"]
+    assert r["spoke_uniform"] and r["ring_above_spoke"]
+    assert r["n_nodes"] == 31
+    assert r["spoke_min_pr8"] == round(0.15 / 31 * 1e8)
+    # the directed ring's fixed point is exactly 1/n from the uniform init
+    assert r["ring_min_pr8"] == round(1.0 / 31 * 1e8)
+
+
 def _skewed_pair(spark):
     """left: key 1 carries 60% of 10k rows; right: 4001-key dim."""
     hot = spark.range(6000).select(F.lit(1).alias("k"), F.col("id").alias("payload"))
