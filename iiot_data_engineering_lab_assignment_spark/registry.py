@@ -14536,13 +14536,12 @@ def bpe_learned_merges16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pq_codebook_trained_gemm`` precedent: when an operator's honest
     production shape is bigger than its minimal oracle-expressible
     unroll, the bigger shape gets its own driver row).  Same loop as
-    ``bpe_learned_merges`` (shared code), now exercising the
-    re-persist-every-8 lineage checkpoint the r13 docstring only
-    promised: at merge 8 the re-segmented symbol table is
-    localCheckpoint'ed, truncating the nested-fold plan Catalyst would
-    otherwise re-optimize one-fold-deeper every iteration (probe at 64
-    merges: per-iteration plan text resets each cycle and wall-clock
-    stays flat — tools/bpe_deep_probe.py, SCALE.md).  Oracle: the same
+    ``bpe_learned_merges`` (shared code), now exercising the lineage
+    checkpoint the r13 docstring only promised — and MEASURING it
+    corrected the guidance: nested-fold execution turns superlinear
+    past depth ~5 (22.7 s at depth 7 vs 0.7 s flat), so the policy is
+    re-persist every 4 merges, not the promised ~8
+    (tools/bpe_deep_probe.py, SCALE.md).  Oracle: the same
     16 iterations unrolled programmatically as DuckDB CTEs
     (_bpe_learn_ctes_n — the _PAGERANK_ITER convention), every merge
     decision value-hashed.  Assumes the corpus supports 16 merges
@@ -14552,7 +14551,7 @@ def bpe_learned_merges16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import bpe_learned_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    return bpe_learned_merges(docs, n_merges=16, repersist_every=8)
+    return bpe_learned_merges(docs, n_merges=16, repersist_every=4)
 
 
 @register(

@@ -6,11 +6,13 @@ optimized-plan size, with and without the lineage checkpoint.
 Two arms over the same deterministic corpus (bpe_scale_probe's bounded
 20k-word vocabulary):
 
-* checkpointed: n_merges=64, repersist_every=8 — the policy as shipped;
-  plan size must RESET every cycle and per-iteration time stay flat.
-* unchecked:    n_merges=16, repersist_every=0 — the counterfactual;
-  plan size compounds one nested fold per merge (capped at 16 merges so
-  the probe terminates in bounded time).
+* checkpointed: n_merges=64, repersist_every=4 — the policy as shipped;
+  per-iteration time must stay flat through all 64 merges.
+* unchecked:    n_merges=8, repersist_every=0 — the counterfactual;
+  each iteration re-executes every prior fold and the nested-fold
+  codegen turns superlinear past depth ~5 (measured 22.7 s at depth 7,
+  which is why this arm is capped at 8 merges — and why the r13
+  docstring's "every ~8" guidance was corrected to every 4).
 
 Usage: python tools/bpe_deep_probe.py [n_docs]
 Prints one JSON line per arm with the per-iteration series.
@@ -44,14 +46,17 @@ def synth_docs(spark, n: int):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    spark = get_spark("bpe-deep-probe")
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    spark = get_spark(
+        "bpe-deep-probe",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     docs = synth_docs(spark, n).persist()
     docs.count()
     for label, merges, every in (
-        ("checkpoint_every_8", 64, 8),
-        ("no_checkpoint", 16, 0),
+        ("checkpoint_every_4", 64, 4),
+        ("no_checkpoint", 8, 0),
     ):
         stats: list[dict] = []
         got = bpe_learned_merges(
