@@ -5812,318 +5812,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "kmeans_assignments",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           TRUE AS assigned_once,
-           TRUE AS cells_in_range,
-           TRUE AS inertia_le_variance
-    FROM embeddings
-    """,
-)
-def kmeans_assignments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embeddings table (k=8, <=5
-    iterations): per-iteration cost is one scan + one scalar-row shuffle;
-    centroids move driver-side as parameters (k x d).
-
-    r9 upgrade rows-only -> envelope oracle (r8 verdict ask #7, the
-    HLL/approx_top_k pattern): the adaptive iteration path stays adaptive
-    (assignment VALUES are engine-internal, hence not hashed — the
-    hash-checked assignment surface is ``kmeans_assignments_fixed``), and
-    the oracle-checked claim is the Lloyd CONTRACT itself, asserted as
-    booleans the oracle emits as TRUE: every vector assigned exactly once
-    (n_vecs is the exact embeddings count), every cell id in [0, k), and
-    final inertia <= total variance around the global mean — a theorem
-    for any Lloyd output (each cluster's mean minimizes its within-SSE
-    and the final re-assignment only shrinks it), so a broken trainer
-    (empty assignment, runaway cells, diverging objective) flips the
-    hash while a legitimate seeding change cannot.  Cluster-recovery
-    quality on planted clusters stays pinned in
-    tests/test_dedup_similarity.py."""
-    from .operators.similarity import _as_double, dot, kmeans_train
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned, cents, _ = kmeans_train(emb, k=8, max_iter=5)
-    e = _as_double(F.col("embedding"))
-    vnorm = dot(e, e)
-    entries = []
-    for cell, c in sorted(cents.items()):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cnorm = float(sum(x * x for x in c))
-        entries.append(
-            F.struct(
-                (vnorm - F.lit(2.0) * dot(e, carr) + F.lit(cnorm)).alias("d2"),
-                F.lit(cell).alias("cell"),
-            )
-        )
-    best = F.array_min(F.array(*entries))
-    # r11 (r10 verdict ask #7): the global-mean term no longer needs its
-    # own posexplode full-corpus scan + collect — with S_i the per-dim
-    # sums, sum||v - m||^2 = sum|v|^2 - (S.S)/n, so the d per-dim sums
-    # ride along as columns of the SAME single-pass aggregate (d comes
-    # from the already-collected k x d centroid matrix, not a scan)
-    d_dim = len(next(iter(cents.values())))
-    n_emb = emb.count()  # parquet metadata count, not a data scan
-    scored = assigned.select(
-        "vec_id",
-        "cell",
-        F.greatest(best["d2"], F.lit(0.0)).alias("d2"),
-        vnorm.alias("vnorm"),
-        _as_double(F.col("embedding")).alias("ev"),
-    )
-    stats = scored.agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.count_distinct(F.col("vec_id")).alias("n_ids"),
-        F.bool_and((F.col("cell") >= 0) & (F.col("cell") < 8)).alias(
-            "cells_in_range"
-        ),
-        F.sum("d2").alias("inertia"),
-        F.sum("vnorm").alias("svn"),
-        *[
-            F.sum(F.element_at("ev", i + 1)).alias(f"s{i}")
-            for i in range(d_dim)
-        ],
-    )
-    ss = F.lit(0.0)
-    for i in range(d_dim):
-        ss = ss + F.col(f"s{i}") * F.col(f"s{i}")
-    stats = stats.withColumn(
-        "total_var", F.col("svn") - ss / F.col("n_vecs")
-    )
-    return stats.select(
-        F.col("n_vecs").cast("long").alias("n_vecs"),
-        ((F.col("n_ids") == F.col("n_vecs")) & (F.col("n_vecs") == n_emb)).alias(
-            "assigned_once"
-        ),
-        "cells_in_range",
-        (F.col("inertia") <= F.col("total_var")).alias("inertia_le_variance"),
-    )
-
-
-# the pinned 2-iteration Lloyd trainer as shared CTEs (seeds = embeddings
-# of vec_id 0..7, two exact-decimal centroid updates with previous-centroid
-# fallback for emptied cells) — the prefix of both the assignment twin
-# (kmeans_assignments_fixed) and the centroid-matrix twin
-# (kmeans_centroids_fixed), so the two oracles cannot drift
-_KMEANS2_CTES = """
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-    ), cents0 AS (
-      SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8
-    ), a1 AS (
-      SELECT vec_id, ev, cell FROM (
-        SELECT e.vec_id, e.ev, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.ev, e.ev)
-                 - 2.0 * list_dot_product(e.ev, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
-        FROM e CROSS JOIN cents0 c)
-      WHERE rn = 1
-    ), u1 AS (
-      SELECT cell, i - 1 AS pos,
-             CAST(ROUND((CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
-                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
-      FROM (SELECT cell, unnest(ev) AS v, generate_subscripts(ev, 1) AS i FROM a1)
-      GROUP BY cell, i
-    ), c1 AS (
-      SELECT s.cell, COALESCE(u.cv, s.cv) AS cv
-      FROM cents0 s
-      LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS cv FROM u1 GROUP BY cell) u
-        USING (cell)
-    ), a2 AS (
-      SELECT vec_id, ev, cell FROM (
-        SELECT e.vec_id, e.ev, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.ev, e.ev)
-                 - 2.0 * list_dot_product(e.ev, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
-        FROM e CROSS JOIN c1 c)
-      WHERE rn = 1
-    ), u2 AS (
-      SELECT cell, i - 1 AS pos,
-             CAST(ROUND((CAST(SUM(CAST(v AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
-                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
-      FROM (SELECT cell, unnest(ev) AS v, generate_subscripts(ev, 1) AS i FROM a2)
-      GROUP BY cell, i
-    ), c2 AS (
-      -- empty-cell fallback is the PREVIOUS iteration's centroid (c1),
-      -- not the seed: the engine dict-carries iteration-1 state
-      SELECT s.cell, COALESCE(u.cv, s.cv) AS cv
-      FROM c1 s
-      LEFT JOIN (SELECT cell, list(cv ORDER BY pos) AS cv FROM u2 GROUP BY cell) u
-        USING (cell)
-    )
-"""
-
-
-@register(
-    "kmeans_assignments_fixed",
-    _KMEANS2_CTES
-    + """
-    SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
-      SELECT e.vec_id, c.cell,
-             row_number() OVER (PARTITION BY e.vec_id ORDER BY
-               list_dot_product(e.ev, e.ev)
-               - 2.0 * list_dot_product(e.ev, c.cv)
-               + list_dot_product(c.cv, c.cv), c.cell) AS rn
-      FROM e CROSS JOIN c2 c)
-    WHERE rn = 1
-    """,
-)
-def kmeans_assignments_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r7: hash-checkable twin of ``kmeans_assignments`` (r6 verdict
-    ask #4) — the same pattern that landed semantic_dedup_pairs_fixed.
-    The adaptive loop's two non-SQL ingredients are pinned: the
-    farthest-first/xxhash64 seeding becomes the embeddings of vec_id
-    0..7, and the iteration count is FIXED at two Lloyd updates.  Every
-    remaining stage is deterministic arithmetic both engines reproduce:
-    assignment is argmin of |v|^2 - 2 v.c + |c|^2 with a (d2, cell)
-    tiebreak (sequential-fold dot products == list_dot_product); the
-    update is the oracle-backed exact-decimal centroid aggregate
-    (DECIMAL(28,14) sum -> double -> micro-unit round, order-independent
-    so partitioning cannot flip a borderline assignment); a cell that
-    loses all members retains its previous centroid (COALESCE in the
-    oracle, dict-carry in the engine).  Scale shape identical to the
-    production trainer: per iteration one assignment scan (centroids
-    broadcast as literals) + one scalar (cell, pos) shuffle; only the
-    k x d parameter table ever collects."""
-    from .operators.similarity import assign_cells
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _kmeans2_cents(emb, k=8, iters=2)
-    return assign_cells(emb, cents).select(
-        "vec_id", F.col("cell").cast("int").alias("cell")
-    )
-
-
-def _kmeans2_cents(
-    emb: DataFrame, k: int = 8, iters: int = 2
-) -> dict[int, list[float]]:
-    """The pinned-seed fixed-iteration Lloyd trainer shared by the two
-    hash-checked k-means twins: seeds = embeddings of vec_id < k, each
-    iteration one distributed assignment scan (centroids broadcast as
-    literals) + one exact-decimal centroid aggregate; an emptied cell
-    keeps its previous centroid.  Returns the k x d parameter dict."""
-    from .operators.similarity import assign_cells, centroids
-
-    cents = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < k).collect()
-    }
-    for _ in range(iters):
-        assigned = assign_cells(emb, cents)
-        new = {c: list(v) for c, v in cents.items()}
-        for r in centroids(assigned, "cell").collect():
-            new[r["cell"]][r["pos"]] = r["centroid_v"]
-        cents = new
-    return cents
-
-
-@register(
-    "kmeans_centroids_fixed",
-    _KMEANS2_CTES
-    + """
-    SELECT cell, i - 1 AS pos,
-           ROUND(v, 6) AS centroid
-    FROM (SELECT CAST(cell AS INTEGER) AS cell, unnest(cv) AS v,
-                 generate_subscripts(cv, 1) AS i
-          FROM c2)
-    """,
-)
-def kmeans_centroids_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12 (r11 verdict ask #7): value-hash coverage for the Lloyd
-    TRAINER's output itself — ``kmeans_assignments_fixed`` hashes the
-    final ASSIGNMENTS, which could mask a centroid error that doesn't
-    flip any argmin; this twin emits the trained k x d centroid MATRIX
-    (cell, pos, centroid) after the same pinned two iterations, so the
-    update arithmetic (exact-decimal per-dimension means, previous-
-    centroid fallback for emptied cells) is hashed directly.  The
-    matrix is the trainer's parameter object (k x d = 512 values), so
-    emitting it from the driver-side dict is the parameter-server
-    convention, not a data collect; both engines round to 6 dp (the
-    engine's update values are already micro-unit rounded by the
-    shared centroid aggregate; seed-fallback float32 values are dyadic,
-    so the rounding boundary is unreachable and HALF_UP vs
-    away-from-zero cannot diverge)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _kmeans2_cents(emb, k=8, iters=2)
-    rows = [
-        (int(cell), int(pos), float(v))
-        for cell, vec in sorted(cents.items())
-        for pos, v in enumerate(vec)
-    ]
-    out = spark.createDataFrame(rows, "cell int, pos int, centroid double")
-    return out.select("cell", "pos", F.round("centroid", 6).alias("centroid"))
-
-
-@register(
-    "kmeans_inertia_fixed",
-    _KMEANS2_CTES
-    + """
-    , af AS (
-      SELECT vec_id, cell, d2 FROM (
-        SELECT e.vec_id, c.cell,
-               list_dot_product(e.ev, e.ev)
-               - 2.0 * list_dot_product(e.ev, c.cv)
-               + list_dot_product(c.cv, c.cv) AS d2,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.ev, e.ev)
-                 - 2.0 * list_dot_product(e.ev, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
-        FROM e CROSS JOIN c2 c)
-      WHERE rn = 1
-    )
-    SELECT CAST(cell AS INTEGER) AS cell,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CAST(ROUND(d2 * 1000000.0, 0) AS BIGINT)) AS BIGINT)
-             AS inertia_micro
-    FROM af GROUP BY cell
-    """,
-)
-def kmeans_inertia_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: k-means cluster QUALITY as a value-hashed fact — the
-    ``pq_recall_trained_vs_exact`` / ``lpa_planted_quality`` pattern
-    applied to the k-means family: per cell of the pinned 2-iteration
-    trained quantizer, the member count and the exact-integer INERTIA
-    (sum of micro-unit-rounded squared distances to the assigned
-    centroid).  ``kmeans_assignments_fixed`` hashes WHO lands where and
-    ``kmeans_centroids_fixed`` hashes the parameter matrix, but neither
-    states how TIGHT the clusters are — a trainer bug that degrades
-    every assignment proportionally (wrong scale factor, stale
-    centroids served) could keep both green while inertia explodes;
-    this row pins it per round.  Per-vector d2 micro-rounds BEFORE the
-    sum so the cell totals are exact integer arithmetic in both engines
-    (each d2 is the shared sequential-fold |v|^2 - 2 v.c + |c|^2).  One
-    scan with the k x d centroid matrix broadcast as literals + one
-    cell aggregate — the assign_cells plan plus a map-side-combinable
-    sum."""
-    from .operators.similarity import _as_double, dot
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _kmeans2_cents(emb, k=8, iters=2)
-    e = _as_double(F.col("embedding"))
-    vnorm = dot(e, e)
-    entries = []
-    for cell, c in sorted(cents.items()):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        cnorm = float(sum(x * x for x in c))
-        d2 = vnorm - F.lit(2.0) * dot(e, carr) + F.lit(cnorm)
-        entries.append(F.struct(d2.alias("d2"), F.lit(cell).alias("cell")))
-    best = F.array_min(F.array(*entries))
-    return (
-        emb.select(
-            best["cell"].cast("int").alias("cell"),
-            F.round(best["d2"] * F.lit(1000000.0), 0)
-            .cast("long")
-            .alias("d2_micro"),
-        )
-        .groupBy("cell")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum("d2_micro").cast("long").alias("inertia_micro"),
-        )
-    )
+# ---------------------------------------------------------------------------
+# K-means clustering family: split into registry_clustering.py (r13 verdict ask #9).  The import runs
+# the @register calls at THIS position, preserving QUERIES insertion order.
+# ---------------------------------------------------------------------------
+from . import registry_clustering  # noqa: E402,F401  (position-sensitive)
 
 
 @register(
@@ -8768,482 +8461,11 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAGERANK_SQL = """
-    WITH edges AS (
-      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), nodes AS (
-      SELECT src AS node FROM edges UNION SELECT dst FROM edges
-    ), n AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
-    ), deg AS (
-      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1
-    ), pr0 AS (
-      SELECT node, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n
-    ){iters}
-    SELECT node,
-           CAST(ROUND(pr * 100000000.0, 0) AS BIGINT) / 100000000.0 AS pagerank
-    FROM pr3
-    ORDER BY pagerank DESC, node
-    LIMIT 20
-"""
-
-_PAGERANK_ITER = """, pr{next} AS (
-      SELECT nodes.node,
-             0.15 / n.n_nodes + 0.85 * COALESCE(c.contrib, 0.0) AS pr
-      FROM nodes CROSS JOIN n
-      LEFT JOIN (
-        SELECT e.dst AS node,
-               CAST(SUM(CAST(p.pr / d.outdeg AS DECIMAL(38, 18))) AS DOUBLE)
-                 AS contrib
-        FROM edges e
-        JOIN pr{cur} p ON p.node = e.src
-        JOIN deg d ON d.src = e.src
-        GROUP BY 1
-      ) c ON c.node = nodes.node
-    )"""
-
-
-def _pagerank_bucketed_edges(
-    spark: SparkSession,
-    sf_dir: str,
-    edges_src: DataFrame,
-    prefix: str = "pr_edges",
-    bucket_col: str = "src",
-) -> DataFrame:
-    """Build-or-reuse the bucketed edge catalog table (r10 verdict ask
-    #5): bucketed + sorted on ``bucket_col``, keyed on BOTH source
-    fixtures' mtimes (the edges are lineitem JOIN orders — r11
-    code-review catch: a lineitem-only key served stale edges after an
-    orders-only fixture refresh; ns-resolution mtimes also distinguish
-    same-second regenerations).  ``prefix`` namespaces consumers with
-    different edge CONTENT over the same fixtures (r12: the LPA
-    adjacency doubles the pagerank edges and buckets on the neighbor
-    side — without the prefix the two would collide on one table name
-    and silently serve each other's rows).  Falls back to
-    repartition+localCheckpoint pinning when the catalog isn't
-    writable, when a concurrent session owns the build, or when the
-    reclaim of an orphaned table dir fails — identical values either
-    way."""
-    import hashlib
-    import os
-
-    key = os.path.abspath(sf_dir)
-    for t in ("lineitem", "orders"):
-        try:
-            key += f":{os.stat(os.path.join(sf_dir, f'{t}.parquet')).st_mtime_ns}"
-        except OSError:
-            key += ":0"
-    table = f"{prefix}_{hashlib.md5(key.encode()).hexdigest()[:12]}"
-    try:
-        if not spark.catalog.tableExists(table):
-            from .plans.lifecycle import write_bucketed
-
-            # A table dir can outlive its (per-session, in-memory)
-            # catalog entry — e.g. a prior process built it; managed-
-            # table protection then refuses the location.  Reclaim it,
-            # but WITHOUT ignore_errors: if another live session holds
-            # the same content-keyed table (rmtree fails or the write
-            # races), fall through to the checkpoint path rather than
-            # scanning a half-rewritten table — the values are
-            # identical either way, only the co-location is lost.
-            import shutil
-            from urllib.parse import urlparse
-
-            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            loc = os.path.join(wh, table)
-            if os.path.exists(loc):
-                shutil.rmtree(loc)
-            write_bucketed(
-                edges_src, table, bucket_col, num_buckets=32, sort_col=bucket_col
-            )
-        return spark.table(table)
-    except Exception:
-        return edges_src.repartition(bucket_col).localCheckpoint(eager=False)
-
-
-def _pagerank_rounds(nodes: DataFrame, edges: DataFrame, rounds: int = 3) -> DataFrame:
-    """The fixed-iteration PageRank propagation SHARED by the arithmetic
-    row (``pagerank_supplier_customer``) and the planted-graph quality
-    row (``pagerank_planted_quality``, r14) — one implementation, two
-    checks, so the quality envelope certifies the operator the real row
-    runs, not a twin.  Damping 0.85, dangling mass dropped, per-round
-    contributions summed through exact DECIMAL(38,18) (partition-order
-    independence through ``rounds`` rounds of amplification)."""
-    n_nodes = float(nodes.count())
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("outdeg")
-    )
-    pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
-    for _ in range(rounds):
-        contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(
-                F.sum((F.col("pr") / F.col("outdeg")).cast("decimal(38,18)"))
-                .cast("double")
-                .alias("contrib")
-            )
-        )
-        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (
-                F.lit(0.15) / F.lit(n_nodes)
-                + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
-        )
-    return pr
-
-
-@register(
-    "pagerank_supplier_customer",
-    _PAGERANK_SQL.format(
-        iters="".join(
-            _PAGERANK_ITER.format(cur=i, next=i + 1) for i in range(3)
-        )
-    ),
-)
-def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r8: fixed-iteration PageRank (3 rounds, damping 0.85) over the
-    supplier -> customer fulfilment graph — the link-analysis family
-    (influence/authority propagation; at corpus scale the same plan
-    scores domains for spam/quality the way harmonic-centrality runs
-    score crawl graphs).  Dangling-node mass is dropped (the simplified
-    propagation form) — deterministic and oracle-expressible as 3
-    unrolled CTE iterations, unlike the run-to-convergence form (which
-    is why the k-means-style adaptive variants are rows-only while this
-    is value-hash-checked).  Per-iteration contributions go through
-    exact DECIMAL sums (partition-order independence through 3 rounds of
-    amplification).
-
-    Scale shape (r11, r10 verdict ask #5): the loop-invariant edge list
-    is persisted ONCE as a catalog table BUCKETED on src (sorted within
-    buckets) — the scan itself then carries the src-hash distribution,
-    so every iteration's rank join and the outdeg aggregate plan with
-    ZERO edge-side Exchange (plan-asserted in tests/test_scale_plans.py;
-    A/B vs the prior localCheckpoint form in SCALE.md).  Only the
-    node-sized rank vector shuffles per round; the remaining edge-sized
-    movement is the dst-keyed contribution combine, which partial-
-    aggregates map-side.  Where no writable catalog exists (read-only
-    serving context) the build falls back to the r9
-    repartition+localCheckpoint pinning — same values, same oracle."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges_src = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = _pagerank_bucketed_edges(spark, sf_dir, edges_src)
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select(F.col("dst").alias("node"))
-    ).distinct()
-    pr = _pagerank_rounds(nodes, edges, rounds=3)
-    return (
-        pr.select(
-            "node",
-            (
-                F.round(F.col("pr") * F.lit(100000000.0), 0).cast("bigint")
-                / F.lit(100000000.0)
-            ).alias("pagerank"),
-        )
-        .orderBy(F.desc("pagerank"), F.asc("node"))
-        .limit(20)
-    )
-
-
-@register(
-    "triangle_counts_copurchase",
-    """
-    WITH lp0 AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ), hot AS (
-      SELECT ok FROM lp0 GROUP BY ok HAVING COUNT(*) > 64
-    ), lp AS (
-      SELECT lp0.ok, lp0.pk FROM lp0 ANTI JOIN hot USING (ok)
-    ), edges AS (
-      SELECT DISTINCT a.pk AS u, b.pk AS v
-      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
-    ), deg AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
-        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
-      GROUP BY node
-    ), oriented AS (
-      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
-             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
-               AS dst_deg
-      FROM edges e
-      JOIN deg du ON du.node = e.u
-      JOIN deg dv ON dv.node = e.v
-    ), tri AS (
-      SELECT o1.src AS n1, o1.dst AS n2, o2.dst AS n3
-      FROM oriented o1
-      JOIN oriented o2 ON o1.src = o2.src
-        AND ((o1.dst_deg, o1.dst) < (o2.dst_deg, o2.dst))
-      JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
-    )
-    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
-      SELECT n1 AS part FROM tri
-      UNION ALL SELECT n2 FROM tri
-      UNION ALL SELECT n3 FROM tri) c
-    GROUP BY part
-    """,
-)
-def triangle_counts_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: per-node triangle counts over the part co-purchase graph
-    (parts sharing an order) — the clustering-coefficient / community-
-    density primitive (at corpus scale the same plan scores link-farm
-    density on crawl graphs).  Uses the DEGREE-ORDERED compact-forward
-    algorithm (Schank 2007; the MapReduce classic from Suri & Vassilvitskii
-    2011): every edge is oriented from its lexicographically-smaller
-    (degree, id) endpoint, so each triangle is counted EXACTLY once at
-    its lowest-degree corner and — the scale property — every node's
-    oriented out-degree is O(sqrt(E)), bounding the wedge join that a
-    naive all-directions enumeration lets explode on hub nodes (a
-    degree-D hub contributes D^2 wedges unoriented but at most E
-    oriented).  No global rank window: orientation compares (deg, id)
-    tuples edge-locally.  Pair generation is GUARDED, not merely
-    bounded-by-fixture (r12 verdict ask #5): baskets with more than 64
-    distinct parts are dropped before the pair self-join — the
-    `_cap_postings` hot-key discipline applied to the order key, since
-    a degree-D basket contributes D^2/2 pairs and one promotional
-    mega-order would make the edge build quadratic on real basket
-    data.  The hot set is tiny under any heavy-tailed basket
-    distribution, so it broadcasts and the postings stream through a
-    broadcast anti-join (TPC-H's <= 7 lineitems/order means the cap
-    drops nothing on the fixtures — the oracle mirrors the same cold
-    `hot` CTE, so the hash is unchanged and the guard is itself
-    driver-checked).  10M-edge power-law probe of the orientation
-    bound: tools/triangle_skew_probe.py, SCALE.md round 13.  Wedge and
-    closing joins shuffle on src — co-partitionable; the final count is
-    one (part) aggregate.  Exact per-node counts, deterministic."""
-    from .operators.dedup import triangle_counts
-
-    li = load_table(spark, sf_dir, "lineitem")
-    lp0 = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    hot = (
-        lp0.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("basket"))
-        .filter(F.col("basket") > 64)
-        .select("ok")
-    )
-    lp = lp0.join(F.broadcast(hot), "ok", "left_anti")
-    a = lp.alias("a")
-    b = lp.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct()
-    )
-    return triangle_counts(edges).select(
-        F.col("node").alias("part"), "n_triangles"
-    )
-
-
-_LPA_ITER = """, lab{next} AS (
-      SELECT node, lab FROM (
-        SELECT node, lab,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY c DESC, lab) AS rn
-        FROM (
-          SELECT a.node, l.lab, COUNT(*) AS c
-          FROM adj a JOIN lab{cur} l ON l.node = a.nbr
-          GROUP BY a.node, l.lab) t) t2
-      WHERE rn = 1
-    )"""
-
-
-@register(
-    "label_propagation_communities",
-    """
-    WITH edges AS (
-      SELECT DISTINCT 's' || l.l_suppkey AS u, 'c' || o.o_custkey AS v
-      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-    ), adj AS (
-      SELECT u AS node, v AS nbr FROM edges
-      UNION ALL
-      SELECT v AS node, u AS nbr FROM edges
-    ), lab0 AS (
-      SELECT DISTINCT node, node AS lab FROM adj
-    )"""
-    + "".join(_LPA_ITER.format(cur=i, next=i + 1) for i in range(3))
-    + """
-    SELECT node, lab AS community FROM lab3
-    """,
-)
-def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: label-propagation community detection (Raghavan et al.
-    2007) over the undirected supplier-customer fulfilment graph — the
-    community-structure complement to the registered PageRank
-    (influence), k-core (engagement shells), and connected-components
-    (reachability) rows; at corpus scale the same plan groups crawl
-    domains into link communities for mixture accounting.  Fixed at 3
-    SYNCHRONOUS rounds with the deterministic tiebreak (neighbor-label
-    count DESC, label ASC) so the run is oracle-expressible as unrolled
-    CTEs — the same pin-the-iteration convention as PageRank and the
-    fixed k-means twins; the adaptive run-to-convergence form is the
-    non-checkable variant this row deliberately avoids.
-
-    Scale shape: the loop-invariant doubled adjacency persists ONCE as
-    a catalog table bucketed on the NEIGHBOR column (the per-iteration
-    join key — each round's label join plans with zero adjacency-side
-    Exchange; `lpa_adj` prefix keeps it from colliding with the
-    pagerank edge table over the same fixtures).  Per round only the
-    node-sized label vector shuffles; the edge-sized (node, lab) count
-    partial-aggregates map-side before the window's node-keyed
-    exchange."""
-    from .operators.dedup import label_propagation
-
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("u"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("v"),
-        )
-        .distinct()
-    )
-    adj_src = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-    adj = _pagerank_bucketed_edges(
-        spark, sf_dir, adj_src, prefix="lpa_adj", bucket_col="nbr"
-    )
-    return label_propagation(adj, iters=3)
-
-
-@register(
-    "lpa_planted_quality",
-    """
-    WITH nodes AS (
-      SELECT unnest(generate_series(0, 319)) AS id
-    ), intra AS (
-      SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b
-        ON a.id // 16 = b.id // 16 AND a.id < b.id
-    ), bridge AS (
-      SELECT c * 16 AS u, ((c + 1) % 20) * 16 AS v
-      FROM (SELECT unnest(generate_series(0, 19)) AS c)
-    ), edges AS (
-      SELECT u, v FROM intra UNION ALL SELECT u, v FROM bridge
-    ), adj AS (
-      SELECT u AS node, v AS nbr FROM edges
-      UNION ALL
-      SELECT v AS node, u AS nbr FROM edges
-    ), lab0 AS (
-      SELECT DISTINCT node, node AS lab FROM adj
-    )"""
-    + "".join(_LPA_ITER.format(cur=i, next=i + 1) for i in range(3))
-    + """
-    , rec AS (
-      SELECT node, lab, node // 16 AS planted FROM lab3
-    ), pp AS (
-      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_planted
-      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY planted)
-    ), rr AS (
-      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_recovered,
-             CAST(COUNT(*) AS BIGINT) AS n_communities
-      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY lab)
-    ), bb AS (
-      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_both
-      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY planted, lab)
-    ), nn AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM rec
-    )
-    SELECT n_nodes, n_communities, pairs_planted, pairs_recovered, pairs_both,
-           ROUND(pairs_both * 1.0 / pairs_recovered, 6) AS pair_precision,
-           ROUND(pairs_both * 1.0 / pairs_planted, 6) AS pair_recall,
-           (pairs_both * 100 >= 95 * pairs_recovered
-            AND pairs_both * 100 >= 95 * pairs_planted) AS quality_ok
-    FROM nn, rr, pp, bb
-    """,
-)
-def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13 (r12 verdict ask #6): community-QUALITY envelope for the
-    LPA operator — the ``pq_recall_trained_vs_exact`` pattern applied to
-    graphs.  The registered ``label_propagation_communities`` row
-    value-hashes LPA's 3-round ARITHMETIC, but a semantically-useless
-    deterministic labeling would hash green too; this row plants known
-    structure and drives the SAME operator
-    (operators/dedup.py:label_propagation, 3 synchronous rounds,
-    (count DESC, label ASC) tiebreak) over a deterministic
-    planted-partition graph — 20 communities x 16-node cliques joined
-    by a 20-edge leader ring — then scores the recovered partition
-    against the planted one by PAIR precision/recall (pairs co-labeled
-    vs pairs co-planted).  Both engines derive graph, labels, and
-    metric independently; the quality booleans compare with exact
-    integer cross-multiplies (both * 100 >= 95 * denominator).  A
-    tiebreak regression, a dropped round, or an asynchronous-update bug
-    that leaves labels fragmented flips pairs_recovered/pairs_both and
-    with them the hash — community quality becomes a per-round
-    driver-checked fact, not a docstring claim.  (The planted layout
-    recovers EXACTLY at 3 rounds — pair P/R = 1.0 — so the 0.95 bound
-    has slack against none of the fixture randomness: the graph is
-    synthesized from ranges, not fixture data, by design.)"""
-    from .operators.dedup import label_propagation
-
-    nodes = spark.range(320)
-    a = nodes.alias("a")
-    b = nodes.alias("b")
-    intra = a.join(
-        b,
-        (F.expr("a.id DIV 16") == F.expr("b.id DIV 16"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
-    bridge = spark.range(20).select(
-        (F.col("id") * 16).alias("u"),
-        ((F.col("id") + 1) % 20 * 16).alias("v"),
-    )
-    edges = intra.unionAll(bridge)
-    adj = edges.select(
-        F.col("u").alias("node"), F.col("v").alias("nbr")
-    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-    rec = label_propagation(adj, iters=3).select(
-        "node",
-        F.col("community").alias("lab"),
-        F.expr("node DIV 16").alias("planted"),
-    )
-    pair_sum = F.sum(F.expr("c * (c - 1) DIV 2")).cast("long")
-    pp = rec.groupBy("planted").agg(F.count(F.lit(1)).alias("c")).agg(
-        pair_sum.alias("pairs_planted")
-    )
-    rr = rec.groupBy("lab").agg(F.count(F.lit(1)).alias("c")).agg(
-        pair_sum.alias("pairs_recovered"),
-        F.count(F.lit(1)).alias("n_communities"),
-    )
-    bb = rec.groupBy("planted", "lab").agg(F.count(F.lit(1)).alias("c")).agg(
-        pair_sum.alias("pairs_both")
-    )
-    nn = rec.agg(F.count(F.lit(1)).alias("n_nodes"))
-    return (
-        nn.crossJoin(rr)
-        .crossJoin(pp)
-        .crossJoin(bb)
-        .select(
-            "n_nodes",
-            "n_communities",
-            "pairs_planted",
-            "pairs_recovered",
-            "pairs_both",
-            F.round(
-                F.col("pairs_both") * F.lit(1.0) / F.col("pairs_recovered"), 6
-            ).alias("pair_precision"),
-            F.round(
-                F.col("pairs_both") * F.lit(1.0) / F.col("pairs_planted"), 6
-            ).alias("pair_recall"),
-            (
-                (F.col("pairs_both") * 100 >= F.col("pairs_recovered") * 95)
-                & (F.col("pairs_both") * 100 >= F.col("pairs_planted") * 95)
-            ).alias("quality_ok"),
-        )
-    )
+# ---------------------------------------------------------------------------
+# Graph-analytics family: split into registry_graph.py (r13 verdict ask #9).  The import runs
+# the @register calls at THIS position, preserving QUERIES insertion order.
+# ---------------------------------------------------------------------------
+from . import registry_graph  # noqa: E402,F401  (position-sensitive)
 
 
 @register(
@@ -12643,869 +11865,12 @@ def dup_aware_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_CTES = """
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-    ), subs AS (
-      SELECT unnest(generate_series(0, 3)) AS sub_idx
-    ), vsub AS (
-      SELECT e.vec_id, s.sub_idx,
-             e.ev[(s.sub_idx * 16 + 1):(s.sub_idx * 16 + 16)] AS v
-      FROM e CROSS JOIN subs s
-    ), cents AS (
-      SELECT vec_id AS code, sub_idx, v AS cv FROM vsub WHERE vec_id < 8
-    ), codes AS (
-      SELECT vec_id, sub_idx, code FROM (
-        SELECT v.vec_id, v.sub_idx, c.code,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
-                 list_dot_product(v.v, v.v)
-                 - 2.0 * list_dot_product(v.v, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.code) AS rn
-        FROM vsub v JOIN cents c USING (sub_idx))
-      WHERE rn = 1
-    )"""
-
-
-@register(
-    "pq_codes_fixed",
-    _PQ_CTES
-    + """
-    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
-           CAST(code AS INTEGER) AS code
-    FROM codes
-    """,
-)
-def pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r9: product-quantization encode (Jegou et al. 2011) — the
-    compression tier of the 10^9-vector ANN stack (64 float32 dims ->
-    4 one-byte codes at m=4 subspaces): each subvector snaps to its
-    nearest subspace code vector.  The codebook is PINNED to the slices
-    of vec_id 0..7 (the kmeans_assignments_fixed convention) so every
-    code is deterministic arithmetic both engines reproduce: argmin of
-    |v|^2 - 2 v.c + |c|^2 per subspace with a (d2, code) tiebreak,
-    sequential-fold dots == list_dot_product, DuckDB list slicing ==
-    F.slice.  One scan, codebook as broadcast literals, long-form
-    (id, sub_idx, code) output so the oracle value-checks every code."""
-    from .operators.similarity import pq_codebook, pq_encode
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(emb, pq_codebook(emb, n_codes=8, m=4))
-
-
-@register(
-    "knn_label_eval",
-    """
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
-             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                   CAST(embedding AS DOUBLE[]))) AS nrm
-      FROM embeddings
-    ), q AS (
-      SELECT * FROM e WHERE vec_id < 50
-    ), sc AS (
-      SELECT q.vec_id AS query_id, q.label AS t_label,
-             e.vec_id AS neighbor_id, e.label AS n_label,
-             list_dot_product(e.ev, q.ev) / (e.nrm * q.nrm) AS c
-      FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
-    ), top AS (
-      SELECT query_id, t_label, n_label FROM (
-        SELECT query_id, t_label, n_label,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY c DESC, neighbor_id) AS rn
-        FROM sc)
-      WHERE rn <= 5
-    ), votes AS (
-      SELECT query_id, t_label, n_label, COUNT(*) AS v
-      FROM top GROUP BY 1, 2, 3
-    ), pred AS (
-      SELECT query_id, t_label, n_label AS p_label FROM (
-        SELECT query_id, t_label, n_label,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY v DESC, n_label) AS rn
-        FROM votes)
-      WHERE rn = 1
-    )
-    SELECT t_label AS label,
-           CAST(COUNT(*) AS BIGINT) AS n_probes,
-           CAST(SUM(CASE WHEN p_label = t_label THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_correct,
-           CAST((2000000 * SUM(CASE WHEN p_label = t_label THEN 1 ELSE 0 END)
-                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
-             AS accuracy
-    FROM pred GROUP BY 1
-    """,
-)
-def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r9: k-NN label-consistency evaluation (5-NN majority vote,
-    cosine, self excluded) over the labeled embeddings — the standard
-    embedding-space quality probe a training pipeline runs after
-    (re)embedding a corpus: if nearest neighbors don't share labels,
-    the space won't cluster, dedup, or retrieve well.  Probes = the 50
-    lowest ids; prediction = majority label with a (votes DESC, label)
-    tiebreak; per-class accuracy emits through the exact-integer
-    half-up DIV.  Composes the registered knn_join (broadcast query
-    slab x corpus scan — the corpus never shuffles for scoring);
-    neighbor ranks use raw-double cosine with an id tiebreak, so both
-    engines pick the identical neighbor sets."""
-    from .operators.similarity import knn_join
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < 50)
-    nn = knn_join(probes, emb, k=5)
-    labels = emb.select(F.col("vec_id"), F.col("label"))
-    nn_lab = (
-        nn.join(
-            labels.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("n_label"),
-            ),
-            "neighbor_id",
-        )
-        .join(
-            F.broadcast(
-                labels.select(
-                    F.col("vec_id").alias("query_id"),
-                    F.col("label").alias("t_label"),
-                )
-            ),
-            "query_id",
-        )
-    )
-    votes = nn_lab.groupBy("query_id", "t_label", "n_label").agg(
-        F.count(F.lit(1)).alias("v")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
-    pred = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "t_label", F.col("n_label").alias("p_label"))
-    )
-    agg = pred.groupBy(F.col("t_label").alias("label")).agg(
-        F.count(F.lit(1)).alias("n_probes"),
-        F.sum(
-            F.when(F.col("p_label") == F.col("t_label"), 1).otherwise(0)
-        ).alias("n_correct"),
-    )
-    return agg.select(
-        "label",
-        "n_probes",
-        "n_correct",
-        F.expr(
-            "CAST((2000000 * n_correct + n_probes) DIV (2 * n_probes)"
-            " AS DOUBLE) / 1000000.0"
-        ).alias("accuracy"),
-    )
-
-
-@register(
-    "pq_codes_gemm",
-    _PQ_CTES
-    + """
-    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
-           CAST(code AS INTEGER) AS code
-    FROM codes
-    """,
-)
-def pq_codes_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r9: the Arrow-batched GEMM tier of the PQ encoder — per batch,
-    one (n x 16) @ (16 x 8) matrix product per subspace replaces the
-    m*k interpreted fold expressions per row (probe-measured ~10x at 1M
-    vectors; SCALE.md round 9).  Registered against the SAME value-hash
-    oracle as ``pq_codes_fixed``: the output is exact integer codes and
-    the argmin is invariant to GEMM-vs-fold accumulation order (a flip
-    would need two centroids equidistant to the accumulation ulp,
-    excluded by distinct seeds) — the rare python=1 entry where the
-    vectorized path wins AND stays bit-checkable."""
-    from .operators.similarity import pq_codebook, pq_encode_gemm
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode_gemm(emb, pq_codebook(emb, n_codes=8, m=4))
-
-
-# shared by the fold form (pq_adc_topk) and the Arrow/GEMM tier
-# (pq_adc_topk_gemm) — bit-identical outputs, one oracle
-_ADC_TAIL = """, q AS (
-      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
-    ), lut AS (
-      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
-             list_dot_product(q.qv, q.qv)
-             - 2.0 * list_dot_product(q.qv, c.cv)
-             + list_dot_product(c.cv, c.cv) AS dist
-      FROM cents c JOIN q USING (sub_idx)
-    ), scored AS (
-      SELECT codes.vec_id,
-             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
-      FROM codes JOIN lut l USING (sub_idx, code)
-      GROUP BY codes.vec_id
-    )
-    SELECT vec_id, ROUND(adc_raw, 6) AS adc
-    FROM scored ORDER BY adc_raw, vec_id LIMIT 10
-    """
-
-
-@register("pq_adc_topk", _PQ_CTES + _ADC_TAIL)
-def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r9: asymmetric distance computation over the PQ codes — the
-    FAISS IVF-PQ serving path: the uncompressed query precomputes one
-    m x n_codes lookup table and every stored vector costs m lookups +
-    adds, never a d-element fold.  The lookup table is itself a tiny
-    Spark plan over the 8 codebook rows (both engines derive its
-    doubles from the identical float32 slices), broadcast into the
-    codes join; the per-vector total sums in FIXED subspace order
-    (conditional sums, not shuffle-order SUM), so ADC distances are
-    bit-reproducible and the ascending (distance, id) top-10 value-hash
-    checks end to end.  Scale: codes table is the only corpus-sized
-    input — 4 bytes/vector scanned, corpus never re-folded per query."""
-    from .operators.similarity import pq_adc_topk, pq_codebook
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, pq_codebook(emb, n_codes=8, m=4), query_id=0, k=10)
-
-
-@register("pq_adc_topk_gemm", _PQ_CTES + _ADC_TAIL)
-def pq_adc_topk_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r11 (r10 verdict ask #8): the Arrow/GEMM tier of the ADC
-    scorer — per Arrow batch each subspace is one (n x dsub) @ (dsub x
-    n_codes) matrix product, the m lookups gather via numpy indexing in
-    FIXED subspace order (the exact add tree of the fold form's
-    adc_raw), and only k rows per batch cross back.  The LUT is
-    collected from the SAME tiny Spark plan the fold form broadcasts,
-    so every emitted double is bit-identical to pq_adc_topk's and the
-    two share one oracle (shortlist equality is also pinned in
-    tests/test_r9_ops.py; throughput A/B at 1M vectors in SCALE.md)."""
-    from .operators.similarity import pq_adc_topk_gemm, pq_codebook
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk_gemm(emb, pq_codebook(emb, n_codes=8, m=4), query_id=0, k=10)
-
-
-# the trained-PQ CTEs: _PQ_CTES' pinned slices become Lloyd SEEDS and two
-# per-subspace exact-decimal update iterations follow (the _KMEANS2_CTES
-# convention keyed by sub_idx) — the shared prefix of the trained
-# codebook-matrix, encode, and ADC-serving twins, so the three oracles
-# cannot drift from one another
-def _pqt_ctes(n_codes: int, m: int, dsub: int) -> str:
-    """The trained-PQ oracle prefix, parameterized by code budget and
-    subspace split (r12 registered the 8-code x 4-subspace form; r13
-    adds the 64 x 8 GEMM-tier config — same unrolled 2-iteration
-    pinned-Lloyd arithmetic, only the constants differ)."""
-    return f"""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
-    ), subs AS (
-      SELECT unnest(generate_series(0, {m - 1})) AS sub_idx
-    ), vsub AS (
-      SELECT e.vec_id, s.sub_idx,
-             e.ev[(s.sub_idx * {dsub} + 1):(s.sub_idx * {dsub} + {dsub})] AS v
-      FROM e CROSS JOIN subs s
-    ), cents0 AS (
-      SELECT sub_idx, vec_id AS code, v AS cv FROM vsub WHERE vec_id < {n_codes}
-    ), a1 AS (
-      SELECT sub_idx, vec_id, v, code FROM (
-        SELECT v.sub_idx, v.vec_id, v.v, c.code,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
-                 list_dot_product(v.v, v.v)
-                 - 2.0 * list_dot_product(v.v, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.code) AS rn
-        FROM vsub v JOIN cents0 c USING (sub_idx))
-      WHERE rn = 1
-    ), u1 AS (
-      SELECT sub_idx, code, i - 1 AS pos,
-             CAST(ROUND((CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
-                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
-      FROM (SELECT sub_idx, code, unnest(v) AS x,
-                   generate_subscripts(v, 1) AS i FROM a1)
-      GROUP BY sub_idx, code, i
-    ), c1 AS (
-      SELECT s.sub_idx, s.code, COALESCE(u.cv, s.cv) AS cv
-      FROM cents0 s
-      LEFT JOIN (SELECT sub_idx, code, list(cv ORDER BY pos) AS cv
-                 FROM u1 GROUP BY sub_idx, code) u
-        USING (sub_idx, code)
-    ), a2 AS (
-      SELECT sub_idx, vec_id, v, code FROM (
-        SELECT v.sub_idx, v.vec_id, v.v, c.code,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
-                 list_dot_product(v.v, v.v)
-                 - 2.0 * list_dot_product(v.v, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.code) AS rn
-        FROM vsub v JOIN c1 c USING (sub_idx))
-      WHERE rn = 1
-    ), u2 AS (
-      SELECT sub_idx, code, i - 1 AS pos,
-             CAST(ROUND((CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
-                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
-      FROM (SELECT sub_idx, code, unnest(v) AS x,
-                   generate_subscripts(v, 1) AS i FROM a2)
-      GROUP BY sub_idx, code, i
-    ), ct AS (
-      -- empty-code fallback is the PREVIOUS iteration's centroid (c1),
-      -- not the seed: the engine dict-carries iteration-1 state
-      SELECT s.sub_idx, s.code, COALESCE(u.cv, s.cv) AS cv
-      FROM c1 s
-      LEFT JOIN (SELECT sub_idx, code, list(cv ORDER BY pos) AS cv
-                 FROM u2 GROUP BY sub_idx, code) u
-        USING (sub_idx, code)
-    )"""
-
-
-_PQT_CTES = _pqt_ctes(8, 4, 16)
-
-
-_TRAINED_BOOK_CACHE: dict = {}
-
-
-def _trained_book(
-    spark: SparkSession,
-    sf_dir: str,
-    n_codes: int = 8,
-    m: int = 4,
-    gemm: bool = False,
-):
-    """mtime-keyed cache for the pinned trained PQ codebook (the
-    ivf_pq_topk_stored convention): five registered rows train the same
-    deterministic 8x4 2-iteration book over the same fixture (and one
-    more trains the 64x8 GEMM-tier book) — a book is a k x d parameter
-    object, so caching it per (path, mtime, config) is the
-    parameter-server move, not a data cache; a fixture regeneration
-    (new mtime) invalidates automatically."""
-    import os
-
-    from .operators.similarity import pq_codebook_train
-
-    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
-    try:
-        key = (path, os.stat(path).st_mtime_ns, n_codes, m, gemm)
-    except OSError:
-        key = (path, 0, n_codes, m, gemm)
-    if key not in _TRAINED_BOOK_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _TRAINED_BOOK_CACHE[key] = pq_codebook_train(
-            emb, n_codes=n_codes, m=m, iters=2, gemm=gemm
-        )
-    return _TRAINED_BOOK_CACHE[key]
-
-
-@register(
-    "pq_codebook_trained",
-    _PQT_CTES
-    + """
-    SELECT CAST(sub_idx AS INTEGER) AS sub_idx,
-           CAST(code AS INTEGER) AS code,
-           i - 1 AS pos, ROUND(x, 6) AS centroid
-    FROM (SELECT sub_idx, code, unnest(cv) AS x,
-                 generate_subscripts(cv, 1) AS i FROM ct)
-    """,
-)
-
-
-
-
-def pq_codebook_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: the TRAINED product-quantization codebook — per-subspace
-    Lloyd refinement of the pinned ``pq_codes_fixed`` seeds (the step
-    ``pq_codebook``'s docstring deferred to "a production trainer").
-    The ``kmeans_centroids_fixed`` recipe applies per subspace: seeds =
-    the vec_id 0..7 slices, exactly two exact-decimal update iterations,
-    an emptied code keeps its previous centroid — but ALL m subspaces
-    train in one scan per iteration (one corpus pass computing every
-    subspace's argmin and carrying its subvector, then one scalar
-    (sub_idx, code, pos) shuffle; only the m x k x dsub = 512-value
-    parameter matrix collects).  Emitting the matrix itself hashes the
-    trainer's update arithmetic directly, the lesson of the k-means
-    centroid twin: an assignment hash can mask a centroid error that
-    flips no argmin.  Both engines round to 6 dp (engine values are
-    already micro-unit rounded by the shared update; seed-fallback
-    float32 values are dyadic, so the boundary is unreachable)."""
-
-    book = _trained_book(spark, sf_dir)
-    return _book_matrix_df(spark, book)
-
-
-def _book_matrix_df(spark: SparkSession, book) -> DataFrame:
-    """Emit a trained codebook as the (sub_idx, code, pos, centroid)
-    long-form parameter matrix both trained-codebook rows hash."""
-    rows = [
-        (int(s), int(code), int(pos), float(v))
-        for s, cents in sorted(book.items())
-        for code, vec in cents
-        for pos, v in enumerate(vec)
-    ]
-    out = spark.createDataFrame(
-        rows, "sub_idx int, code int, pos int, centroid double"
-    )
-    return out.select(
-        "sub_idx", "code", "pos", F.round("centroid", 6).alias("centroid")
-    )
-
-
-@register(
-    "pq_codebook_trained_gemm",
-    _pqt_ctes(64, 8, 8)
-    + """
-    SELECT CAST(sub_idx AS INTEGER) AS sub_idx,
-           CAST(code AS INTEGER) AS code,
-           i - 1 AS pos, ROUND(x, 6) AS centroid
-    FROM (SELECT sub_idx, code, unnest(cv) AS x,
-                 generate_subscripts(cv, 1) AS i FROM ct)
-    """,
-)
-def pq_codebook_trained_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13 (r12 verdict ask #3): the GEMM-tier PQ trainer
-    driver-checked AT THE CONFIG THE FOLD TIER CANNOT PLAN — 64 codes x
-    8 subspaces (m*k = 512; SCALE.md round-12 probe: the literal-struct
-    argmin tree hangs Catalyst in analysis at this size), 2 pinned-Lloyd
-    iterations over the same vec_id-slice seeds.  The assignment scan is
-    the Arrow tier (operators/similarity.py:_gemm_assign_values), whose
-    distance matrix now replays the JVM fold's accumulation order
-    bit-for-bit (_fold_d2_matrix, r12 ADVICE #1), so the oracle — the
-    SAME unrolled 2-iteration CTE arithmetic as ``pq_codebook_trained``,
-    just re-parameterized to 64x8 — value-hashes the at-scale tier's
-    update arithmetic directly: this row turns "the GEMM tier trains the
-    same codebook" from a pytest pin at a toy config into a per-round
-    driver-checked fact at the config that matters.  Only the
-    m x k x dsub = 4096-value parameter matrix ever collects."""
-    book = _trained_book(spark, sf_dir, n_codes=64, m=8, gemm=True)
-    return _book_matrix_df(spark, book)
-
-
-@register(
-    "pq_codes_trained",
-    _PQT_CTES
-    + """
-    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
-           CAST(code AS INTEGER) AS code
-    FROM (
-      SELECT v.vec_id, v.sub_idx, c.code,
-             row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
-               list_dot_product(v.v, v.v)
-               - 2.0 * list_dot_product(v.v, c.cv)
-               + list_dot_product(c.cv, c.cv), c.code) AS rn
-      FROM vsub v JOIN ct c USING (sub_idx))
-    WHERE rn = 1
-    """,
-)
-def pq_codes_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: PQ encode against the TRAINED codebook — the storage tier
-    a production pipeline actually ships (train once, encode the corpus
-    against the frozen parameters).  The encode plumbing is byte-for-byte
-    ``pq_codes_fixed``'s (:func:`pq_encode`: one scan, codebook broadcast
-    as literals, (d2, code) argmin tiebreak); only the parameter values
-    differ, and because the trained centroids are micro-unit-rounded
-    doubles both engines dict-carry identically, every emitted code
-    value-hashes.  Quality effect probed in tests: trained quantization
-    error <= fixed-seed quantization error on the same corpus (Lloyd
-    iterations never increase inertia)."""
-    from .operators.similarity import pq_encode
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(emb, _trained_book(spark, sf_dir))
-
-
-@register(
-    "pq_adc_topk_trained",
-    _PQT_CTES
-    + """, q AS (
-      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
-    ), lut AS (
-      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
-             list_dot_product(q.qv, q.qv)
-             - 2.0 * list_dot_product(q.qv, c.cv)
-             + list_dot_product(c.cv, c.cv) AS dist
-      FROM ct c JOIN q USING (sub_idx)
-    ), codes_t AS (
-      SELECT vec_id, sub_idx, CAST(code AS INTEGER) AS code FROM (
-        SELECT v.vec_id, v.sub_idx, c.code,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
-                 list_dot_product(v.v, v.v)
-                 - 2.0 * list_dot_product(v.v, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.code) AS rn
-        FROM vsub v JOIN ct c USING (sub_idx))
-      WHERE rn = 1
-    ), scored AS (
-      SELECT codes_t.vec_id,
-             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
-      FROM codes_t JOIN lut l USING (sub_idx, code)
-      GROUP BY codes_t.vec_id
-    )
-    SELECT vec_id, ROUND(adc_raw, 6) AS adc
-    FROM scored ORDER BY adc_raw, vec_id LIMIT 10
-    """,
-)
-def pq_adc_topk_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: ADC serving over the TRAINED codes — the full trained
-    IVF-PQ serving arithmetic end to end (train -> encode -> LUT ->
-    m-lookup scoring) under one value-hash.  Exercises the r11
-    ``_adc_parts`` fix in production direction: the LUT derives from the
-    PASSED trained codebook (the pre-fix form would silently score
-    against the pinned seed slices — exactly the bug class this row now
-    driver-checks every round).  Plan shape identical to ``pq_adc_topk``:
-    LUT broadcast into the codes join, fixed-subspace-order conditional
-    sums, ascending (distance, id) top-10."""
-    from .operators.similarity import pq_adc_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, _trained_book(spark, sf_dir), query_id=0, k=10)
-
-
-# the bulk-ADC tail: every probe's LUT in one relation, one pass over the
-# corpus codes, per-probe (distance, id) top-10 — shared by the bulk
-# serving row and the recall-evaluation row so the two cannot drift
-_PQT_BULK = _PQT_CTES + """, probes AS (
-      SELECT vec_id AS query_id, sub_idx, v AS qv FROM vsub WHERE vec_id < 20
-    ), lut AS (
-      SELECT p.query_id, p.sub_idx, CAST(c.code AS INTEGER) AS code,
-             list_dot_product(p.qv, p.qv)
-             - 2.0 * list_dot_product(p.qv, c.cv)
-             + list_dot_product(c.cv, c.cv) AS dist
-      FROM ct c JOIN probes p USING (sub_idx)
-    ), codes_t AS (
-      SELECT vec_id, sub_idx, CAST(code AS INTEGER) AS code FROM (
-        SELECT v.vec_id, v.sub_idx, c.code,
-               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
-                 list_dot_product(v.v, v.v)
-                 - 2.0 * list_dot_product(v.v, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.code) AS rn
-        FROM vsub v JOIN ct c USING (sub_idx))
-      WHERE rn = 1
-    ), scored AS (
-      SELECT l.query_id, codes_t.vec_id,
-             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
-      FROM codes_t JOIN lut l USING (sub_idx, code)
-      GROUP BY l.query_id, codes_t.vec_id
-    ), adc_top AS (
-      SELECT query_id, vec_id, adc_raw FROM (
-        SELECT query_id, vec_id, adc_raw,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY adc_raw, vec_id) AS rn
-        FROM scored)
-      WHERE rn <= 10
-    )"""
-
-
-@register(
-    "pq_adc_knn_trained",
-    _PQT_BULK
-    + """
-    SELECT query_id, vec_id, ROUND(adc_raw, 6) AS adc FROM adc_top
-    """,
-)
-def pq_adc_knn_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: BULK ADC k-NN join over the trained codes — the batch
-    serving shape (:func:`pq_adc_knn_join`): re-ranking a feed or
-    evaluating an index needs thousands of probes per pass, and the
-    single-query row would re-scan the codes table per probe.  All 20
-    probes' lookup tables build in one tiny plan (probes x codebook —
-    q*m*k rows, parameters), broadcast into ONE pass over the corpus
-    codes; per-(query, vector) distances sum in fixed subspace order so
-    every double is bit-identical to the single-query path's; per-query
-    ascending (distance, id) top-10 via one window.  The only
-    corpus-sized shuffle is the (query_id, vec_id) aggregate — corpus
-    codes never re-fold per probe."""
-    from .operators.similarity import pq_adc_knn_join
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    book = _trained_book(spark, sf_dir)
-    probes = emb.filter(F.col("vec_id") < 20)
-    return pq_adc_knn_join(probes, emb, book, k=10)
-
-
-@register(
-    "pq_recall_trained_vs_exact",
-    _PQT_BULK
-    + """, exact_top AS (
-      SELECT query_id, vec_id FROM (
-        SELECT p.vec_id AS query_id, e.vec_id,
-               row_number() OVER (PARTITION BY p.vec_id ORDER BY
-                 list_dot_product(e.ev, e.ev)
-                 - 2.0 * list_dot_product(e.ev, p.ev)
-                 + list_dot_product(p.ev, p.ev), e.vec_id) AS rn
-        FROM e CROSS JOIN (SELECT vec_id, ev FROM e WHERE vec_id < 20) p)
-      WHERE rn <= 10
-    )
-    SELECT a.query_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
-           CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall
-    FROM adc_top a
-    LEFT JOIN exact_top x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
-    GROUP BY a.query_id
-    """,
-)
-def pq_recall_trained_vs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12: recall@10 of the trained-PQ ADC serving path against the
-    exact L2 top-10 — the quality gate a pipeline runs after (re)training
-    a quantizer, and the first driver row where an ANN tier's QUALITY
-    (not just its arithmetic) is value-hash-checked: both engines derive
-    the ADC shortlist AND the brute-force ground truth and count the
-    overlap, so a recall regression (bad codebook, broken encode, LUT
-    drift) flips the hash even when each side is internally consistent.
-    Exact side uses the same |e|^2 - 2 e.q + |q|^2 expansion as the ADC
-    arithmetic (NOT dot(e-q, e-q) — different doubles) with the (d2, id)
-    tiebreak, so ranks agree cross-engine bit for bit.  Probe slab (20
-    queries) broadcasts; the corpus scans once per side."""
-    from pyspark.sql import Window
-
-    from .operators.similarity import _as_double, dot, pq_adc_knn_join
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    book = _trained_book(spark, sf_dir)
-    probes = emb.filter(F.col("vec_id") < 20)
-    adc = pq_adc_knn_join(probes, emb, book, k=10)
-    corpus = emb.select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("ev")
-    )
-    pr = probes.select(
-        F.col("vec_id").alias("query_id"),
-        _as_double(F.col("embedding")).alias("pv"),
-    )
-    d2 = (
-        dot(F.col("ev"), F.col("ev"))
-        - F.lit(2.0) * dot(F.col("ev"), F.col("pv"))
-        + dot(F.col("pv"), F.col("pv"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
-    exact_top = (
-        corpus.crossJoin(F.broadcast(pr))
-        .select("query_id", "vec_id", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("query_id", "vec_id", F.lit(1).alias("hit"))
-    )
-    return (
-        adc.join(exact_top, ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(F.count("hit").alias("n_hits"))
-        .select(
-            "query_id",
-            "n_hits",
-            (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall"),
-        )
-    )
-
-
-# the IVF-PQ oracle tail is shared by the inline demo (ivf_pq_topk) and
-# the stored-index serving form (ivf_pq_topk_stored) — both produce the
-# identical top-10, so they value-hash against the same SQL
-_IVF_PQ_TAIL = """, cellsfull AS (
-      SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8
-    ), assign AS (
-      SELECT vec_id, cell FROM (
-        SELECT e.vec_id, c.cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 list_dot_product(e.ev, e.ev)
-                 - 2.0 * list_dot_product(e.ev, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
-        FROM e CROSS JOIN cellsfull c)
-      WHERE rn = 1
-    ), qfull AS (
-      SELECT ev AS qv FROM e WHERE vec_id = 0
-    ), probed AS (
-      SELECT cell FROM (
-        SELECT c.cell,
-               row_number() OVER (ORDER BY
-                 list_dot_product(q.qv, q.qv)
-                 - 2.0 * list_dot_product(q.qv, c.cv)
-                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
-        FROM cellsfull c CROSS JOIN qfull q)
-      WHERE rn <= 3
-    ), q AS (
-      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
-    ), lut AS (
-      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
-             list_dot_product(q.qv, q.qv)
-             - 2.0 * list_dot_product(q.qv, c.cv)
-             + list_dot_product(c.cv, c.cv) AS dist
-      FROM cents c JOIN q USING (sub_idx)
-    ), scored AS (
-      SELECT codes.vec_id,
-             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
-             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
-      FROM codes
-      JOIN assign a ON a.vec_id = codes.vec_id
-      JOIN probed p ON p.cell = a.cell
-      JOIN lut l USING (sub_idx, code)
-      GROUP BY codes.vec_id
-    ), short AS (
-      SELECT vec_id FROM (
-        SELECT vec_id, row_number() OVER (ORDER BY adc_raw, vec_id) AS rn
-        FROM scored)
-      WHERE rn <= 50
-    ), rerank AS (
-      SELECT e.vec_id,
-             list_dot_product(e.ev, e.ev)
-             - 2.0 * list_dot_product(e.ev, q.qv)
-             + list_dot_product(q.qv, q.qv) AS d2_raw
-      FROM short JOIN e USING (vec_id) CROSS JOIN qfull q
-    )
-    SELECT vec_id, ROUND(d2_raw, 6) AS d2
-    FROM rerank ORDER BY d2_raw, vec_id LIMIT 10
-    """
-
-
-@register("ivf_pq_topk", _PQ_CTES + _IVF_PQ_TAIL)
-def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r9: the complete FAISS IVF-PQ serving stack in ONE plan —
-    coarse-cell pruning (IVF: vectors in the query's 3 nearest of 8
-    fixed cells), PQ asymmetric-distance shortlist (top-50 by the m=4
-    lookup-table distance over 4-byte codes), exact re-rank of the
-    survivors (true squared L2, top-10).  This is the 10^9-vector
-    architecture end to end: at real cell counts the probe prunes
-    ~(1 - nprobe/k_cells) of the corpus before any distance math, the
-    shortlist pass touches only the m-byte codes, and full vectors are
-    read for 50 rows.  Coarse centroids = full vectors of vec_id 0..7,
-    PQ codebook = their slices (the pinned-seed convention), so every
-    stage — cell argmin, probe choice, ADC sums in fixed subspace
-    order, exact re-rank — is deterministic arithmetic the oracle
-    replays; driver-side probe selection uses the same left-fold sums
-    as list_dot_product (parameter math, not data)."""
-    from .operators.similarity import ivf_pq_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_pq_topk(emb, query_id=0, k=10, nprobe=3, shortlist=50)
-
-
-def _ivfpq_store_path(sf_dir: str) -> str:
-    """Deterministic store location keyed on the corpus identity AND the
-    source parquet mtime — a regenerated fixture invalidates the store
-    automatically (stale codes would silently flip the top-k)."""
-    import hashlib
-    import os
-    import tempfile
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        # st_mtime_ns, not int(getmtime): second-resolution keys let a
-        # fixture regenerated within the same second (or restored with a
-        # preserved whole-second mtime) silently serve a stale base+delta
-        # index (r13 ADVICE #1); nanosecond identity matches _trained_book.
-        mtime = os.stat(src).st_mtime_ns
-    except OSError:
-        mtime = 0
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}_{mtime}"
-    )
-
-
-@register("ivf_pq_topk_stored", _PQ_CTES + _IVF_PQ_TAIL)
-def ivf_pq_topk_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r11 (r10 verdict ask #3): the stored-index IVF-PQ SERVING
-    query — the operational shape the inline ``ivf_pq_topk`` only
-    demos.  Build amortization: the corpus is cell-assigned and
-    PQ-encoded ONCE into a parquet index PARTITIONED BY cell
-    (build_ivfpq_store; rebuilt only when missing or when the source
-    fixture's mtime changes); each query then reads ONLY its nprobe
-    probed cell directories — ``cell IN (...)`` lands in the scan's
-    PartitionFilters, i.e. pruning at file listing, before any IO
-    (plan-asserted in tests/test_scale_plans.py).  r9 probe at 1M
-    vectors: 0.84 s/query stored vs 34.1 s inline (SCALE.md).  Same
-    pinned centroids/codebook and fixed-subspace-order ADC arithmetic
-    as the inline form, so the top-10 is value-identical and shares
-    its oracle SQL verbatim."""
-    import os
-
-    from .operators.similarity import build_ivfpq_store, ivf_pq_topk_stored
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    store = _ivfpq_store_path(sf_dir)
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        build_ivfpq_store(emb, store, n_cells=8, m=4)
-    return ivf_pq_topk_stored(
-        emb, store, query_id=0, k=10, nprobe=3, shortlist=50, n_cells=8, m=4
-    )
-
-
-@register("ivf_pq_topk_upsert", _PQ_CTES + _IVF_PQ_TAIL)
-def ivf_pq_topk_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12 (r11 verdict ask #5): INCREMENTAL index maintenance for
-    the stored IVF-PQ serving path — the operational gap
-    ``ivf_pq_topk_stored`` left open (its index only rebuilds whole).
-    The corpus's first half builds the base index offline; the second
-    half then arrives as a MULTI-MICRO-BATCH stream
-    (maxFilesPerTrigger=1 file replay) whose batches are encoded
-    against the quantizer FROZEN at build time and appended to
-    cell-partitioned delta directories with the overwrite-own-batch_id
-    exactly-once contract (streaming/jobs.py:run_stream_ivfpq_upsert;
-    operators/similarity.py:ivfpq_store_upsert).  Serving unions base +
-    delta cells — ``cell IN (probed)`` prunes BOTH scans at file
-    listing (plan-asserted) — and, because encoding is per-vector
-    deterministic under a fixed quantizer, the result is
-    value-identical to a full rebuild over the whole corpus: this row
-    therefore shares the inline/stored oracle SQL verbatim, making the
-    upsert path's zero recall drift a driver-checked fact rather than a
-    claim.
-
-    Cost shape per invocation: base index AND delta batches are both
-    mtime-cached like ``ivf_pq_topk_stored``'s store (r12 verdict ask
-    #4 — the deltas were re-written on every gate invocation, ~5.6 s of
-    fixed cost compounding across 265-query gate runs; the upsert
-    WRITE path stays exercised by the cold build here plus the
-    Structured-Streaming form of the same writer, which is
-    retry-idempotence-pinned in tests/test_r9_ops.py, so warm
-    invocations measure SERVING, which is what the row registers).  A
-    fixture regeneration (new mtime) rebuilds base and deltas
-    automatically via the shared path key."""
-    import os
-
-    from .operators.similarity import (
-        _pinned_seeds,
-        build_ivfpq_store,
-        ivf_pq_topk_upsert,
-        ivfpq_store_upsert,
-        pq_codebook,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    cut = max(8, n // 2)
-    base = _ivfpq_store_path(sf_dir) + "_upsertbase"
-    if not os.path.exists(os.path.join(base, "_SUCCESS")):
-        build_ivfpq_store(emb.filter(F.col("vec_id") < cut), base, n_cells=8, m=4)
-    cents = _pinned_seeds(emb, 8, "vec_id", "embedding")
-    book = pq_codebook(emb, n_codes=8, m=4, seeds=cents)
-    delta_root = _ivfpq_store_path(sf_dir) + "_upsertdelta"
-    mid = cut + (n - cut) // 2
-    batches = ((0, cut, mid), (1, mid, n))
-    # The per-batch overwrite leaves a _SUCCESS inside each batch_id dir;
-    # both present (for THIS fixture mtime — stale roots have different
-    # paths) means the deltas are complete and warm serving can skip the
-    # writes.  A torn earlier run (batch 0 written, batch 1 not) re-runs
-    # both: overwrite-own-batch_id makes the redo idempotent.
-    if not all(
-        os.path.exists(os.path.join(delta_root, f"batch_id={bid}", "_SUCCESS"))
-        for bid, _, _ in batches
-    ):
-        for bid, lo, hi in batches:
-            ivfpq_store_upsert(
-                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
-                base,
-                cents,
-                book,
-                bid,
-                delta_root=delta_root,
-            )
-    return ivf_pq_topk_upsert(
-        emb,
-        base,
-        query_id=0,
-        k=10,
-        nprobe=3,
-        shortlist=50,
-        n_cells=8,
-        m=4,
-        delta_root=delta_root,
-    )
+# ---------------------------------------------------------------------------
+# PQ / IVF-PQ similarity family: split into registry_similarity.py (r13
+# verdict ask #9).  The import runs the @register calls at THIS position,
+# so QUERIES insertion order is identical to the pre-split module.
+# ---------------------------------------------------------------------------
+from . import registry_similarity  # noqa: E402,F401  (position-sensitive)
 
 
 @register(
@@ -14200,813 +12565,14 @@ def stream_cascade_1m_to_5m_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_cascade_rollup(spark, sf_dir)
 
 
-# the positional-fingerprint-chain substring dedup as shared CTEs: k=8
-# word-gram md5 fingerprints, corpus-first-occurrence via min(doc*2^20+pos),
-# redundant occurrences island-merged with gap stitching (break at
-# pos - prev > k + gap = 16), spans >= 50 tokens qualify — the prefix of
-# both the span-finding and the span-removal oracle
-_SUBSTR_SPAN_CTES = """
-    WITH t AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 8
-    ), g AS (
-      SELECT doc_id, i AS pos,
-             substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16) AS fp
-      FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 7)) AS i) r
-    ), f AS (
-      SELECT fp, MIN(doc_id * 1048576 + pos) AS min_ord FROM g
-      GROUP BY 1 HAVING COUNT(*) > 1
-    ), red AS (
-      SELECT g.doc_id, g.pos FROM g JOIN f USING (fp)
-      WHERE g.doc_id * 1048576 + g.pos > f.min_ord
-    ), isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 16
-                  THEN 1 ELSE 0 END AS brk
-      FROM red WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-    ), grp AS (
-      SELECT doc_id, pos,
-             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      FROM isl
-    ), sp AS (
-      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
-      FROM grp GROUP BY doc_id, island
-    ), qual AS (
-      SELECT doc_id, span_start, span_end FROM sp
-      WHERE span_end - span_start >= 50
-    )
-"""
+# ---------------------------------------------------------------------------
+# Corpus-curation / tokenizer-training family: split into registry_curation_text.py (r13 verdict ask #9).  The import runs
+# the @register calls at THIS position, preserving QUERIES insertion order.
+# ---------------------------------------------------------------------------
+from . import registry_curation_text  # noqa: E402,F401  (position-sensitive)
 
 
-@register(
-    "exact_substring_spans",
-    _SUBSTR_SPAN_CTES
-    + """
-    SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
-           CAST(span_end AS BIGINT) AS span_end,
-           CAST(span_end - span_start AS BIGINT) AS span_len
-    FROM qual
-    """,
-)
-def exact_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12 (r11 verdict ask #4): exact duplicated-SUBSTRING spans via
-    positional k-gram fingerprint chains with gap stitching — the
-    practical distributed tier of Lee et al.'s suffix-array substring
-    dedup (arXiv:2107.06499), which the interval-union
-    ``dup_span_coverage`` only approximates as a coverage FRACTION: this
-    operator emits the spans themselves (keep-one semantics: the
-    corpus-wide first occurrence of a duplicated substring is not
-    flagged), and chain stitching merges a long duplicated span across
-    internal edits of <= gap tokens, which no fixed-n-gram coverage
-    form can do.  Parameters: k=8-token grams, gap=8, min_span=50 (the
-    Lee et al. operating point).  Scale: fingerprint first-occurrence
-    is ONE hash aggregate (min of an encoded (doc, pos) ordinal —
-    skew-immune where a row_number window would serialize the hottest
-    boilerplate gram); the island merge windows are bounded by document
-    length.  See operators/dedup.py:duplicate_spans."""
-    from .operators.dedup import duplicate_spans
-
-    docs = load_table(spark, sf_dir, "documents")
-    return duplicate_spans(docs, k=8, min_span=50, gap=8)
-
-
-@register(
-    "exact_substring_dedup",
-    _SUBSTR_SPAN_CTES
-    + """
-    , spl AS (
-      SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spns
-      FROM qual GROUP BY doc_id
-    ), alltoks AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE text IS NOT NULL
-    ), keptt AS (
-      SELECT a.doc_id, a.toks,
-             list_filter(a.toks, (x, i) -> spns IS NULL OR
-               len(list_filter(spns, s -> i - 1 >= s.s AND i - 1 < s.e)) = 0)
-               AS kept
-      FROM alltoks a LEFT JOIN spl USING (doc_id)
-    )
-    SELECT doc_id,
-           -- a fully-removed doc: DuckDB's array_to_string([]) is NULL,
-           -- Spark's array_join([]) is '' — normalize to ''
-           COALESCE(array_to_string(kept, ' '), '') AS clean_text,
-           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
-    FROM keptt
-    """,
-)
-def exact_substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r12 (r11 verdict ask #4, the done-criterion form): span
-    REMOVAL — every token covered by a >= 50-token duplicated span is
-    dropped, the corpus-wide first occurrence survives (keep-one).  The
-    removal itself is a narrow projection (per-doc span array via one
-    aggregate + left join; token filtering is a nested higher-order
-    filter/exists — no explode of the token array, no Python), so at
-    100 TB the cost is the fingerprint aggregate + one doc-keyed join,
-    both linear.  Planted-span recall (every >= 50-token duplicated
-    span dropped, internal-edit stitching included) is pytest-pinned;
-    the 1M-doc A/B vs dup_span_coverage is in SCALE.md.  See
-    operators/dedup.py:remove_duplicate_spans."""
-    from .operators.dedup import remove_duplicate_spans
-
-    docs = load_table(spark, sf_dir, "documents")
-    return remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
-
-
-@register(
-    "corpus_curation_pipeline_spans",
-    _SUBSTR_SPAN_CTES
-    + """
-    , spl AS (
-      SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spns
-      FROM qual GROUP BY doc_id
-    ), alltoks AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-      WHERE text IS NOT NULL
-    ), clean AS (
-      SELECT a.doc_id,
-             COALESCE(array_to_string(
-               list_filter(a.toks, (x, i) -> spns IS NULL OR
-                 len(list_filter(spns, s -> i - 1 >= s.s AND i - 1 < s.e)) = 0),
-               ' '), '') AS text
-      FROM alltoks a LEFT JOIN spl USING (doc_id)
-    ), scored AS (
-      SELECT doc_id, text,
-             len(string_split(text, ' ')) AS n_tok,
-             len(list_distinct(string_split(text, ' '))) AS n_dis
-      FROM clean WHERE text <> ''
-    ), gated AS (
-      SELECT doc_id, text, n_tok FROM scored
-      WHERE LEAST(1.0, n_tok / 50.0) * 0.5 + (n_dis / n_tok) * 0.3
-            + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2
-            >= 0.5
-    ), deduped AS (
-      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens
-      FROM gated
-      QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-        ORDER BY doc_id) = 1
-    )
-    SELECT doc_id, n_tokens,
-           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
-           CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-            - n_tokens) // 10000 AS BIGINT) AS shard_id
-    FROM deduped
-    """,
-)
-def corpus_curation_pipeline_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13 (r12 verdict ask #7): the curation flagship with
-    exact-substring SPAN removal composed in FRONT — span dedup runs
-    BEFORE document-level dedup in real pipelines (Lee et al.
-    arXiv:2107.06499 §5: removing duplicated substrings first changes
-    which documents survive the downstream gates), and until this row
-    the composition was unproven.  One fused plan: span removal
-    (operators/dedup.py:remove_duplicate_spans — fingerprint aggregate
-    + one doc-keyed join, the clean_text projection) -> drop
-    fully-deduplicated docs (empty clean_text; both engines skip the
-    empty-string tokenize edge identically) -> quality gate (score >=
-    0.5 over the CLEANED text, so a doc whose padding was duplicated
-    boilerplate is now judged on what remains) -> md5-fingerprint exact
-    dedup keep-first -> token-budget shard assignment.  Catalyst fuses
-    the stages: the quality filter evaluates in the span-removal
-    projection's output, the dedup semi-join and shard windows share
-    the survivor relation — no intermediate materialization.  Scale is
-    the sum of its parts, each audited separately: two linear scans +
-    one fingerprint aggregate (spans), then the flagship pipeline's
-    fingerprint-keyed shuffle; nothing quadratic, no raw-text shuffle
-    beyond the span stage's own."""
-    from .operators.dedup import exact_dedup_keep_first_fp, remove_duplicate_spans
-    from .operators.text import token_budget_shards
-
-    docs = load_table(spark, sf_dir, "documents")
-    clean = (
-        remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
-        .select("doc_id", F.col("clean_text").alias("text"))
-        .filter(F.col("text") != "")
-    )
-    gated = quality_score(clean).filter(F.col("quality_score") >= 0.5)
-    deduped = exact_dedup_keep_first_fp(gated.select("doc_id", "text"))
-    return token_budget_shards(deduped, budget=10_000)
-
-
-@register(
-    "bpe_merge_pair_counts",
-    """
-    WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ), vocab AS (
-      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
-    ), pairs AS (
-      SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym,
-             freq
-      FROM vocab, LATERAL (SELECT unnest(range(1, len(w))) AS i) r
-    )
-    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
-    FROM pairs GROUP BY 1, 2
-    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 50
-    """,
-)
-def bpe_merge_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: adjacent symbol-pair frequencies — the inner statistic of
-    one BPE tokenizer-TRAINING iteration (Sennrich et al. 2016; the
-    registered ``bpe_token_count`` only applies a tokenizer, this is the
-    operator that builds one).  The scale story is the standard trainer
-    factoring the operator encodes (operators/text.py:bpe_pair_counts):
-    the corpus collapses to the word-frequency table first — the ONLY
-    corpus-sized shuffle — and pair explosion runs per DISTINCT word
-    weighted by frequency, so counting is vocabulary-sized work at any
-    corpus size.  Top-50 with the total (count DESC, left, right) order
-    a merge-table builder consumes; the length >= 2 filter is applied
-    identically in both engines (Spark's sequence(1, 0) would DESCEND
-    rather than return empty — the cross-engine trap)."""
-    from .operators.text import bpe_pair_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_pair_counts(docs, top_k=50)
-
-
-# The two-iteration BPE merge-learning pipeline as shared CTEs: word
-# frequencies (length >= 2), char symbols, pair counts -> top-1 merge t1,
-# greedy re-segmentation (delimiter-aware list_reduce fold), recount ->
-# top-1 merge t2.  Prefix of both the merge-table and the segmentation
-# oracle.
-_BPE_LEARN_CTES = """
-    WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ), vocab AS (
-      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
-    ), chars AS (
-      SELECT w, freq,
-             list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
-      FROM vocab
-    ), p1 AS (
-      SELECT p.l AS l, p.r AS r, SUM(freq) AS c
-      FROM chars, LATERAL (
-        SELECT unnest(list_transform(range(1, len(syms)),
-               i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p)
-      GROUP BY 1, 2
-    ), t1 AS (
-      SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1
-    ), seg2 AS (
-      SELECT freq,
-             string_split(
-               list_reduce(syms, (acc, x) ->
-                 CASE WHEN (acc = t1.l OR ends_with(acc, '|' || t1.l))
-                           AND x = t1.r
-                      THEN acc || t1.r
-                      ELSE acc || '|' || x END), '|') AS syms2
-      FROM chars, t1
-    ), p2 AS (
-      SELECT p.l AS l, p.r AS r, SUM(freq) AS c
-      FROM seg2, LATERAL (
-        SELECT unnest(list_transform(range(1, len(syms2)),
-               i -> struct_pack(l := syms2[i], r := syms2[i + 1]))) AS p)
-      WHERE len(syms2) >= 2
-      GROUP BY 1, 2
-    ), t2 AS (
-      SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1
-    )"""
-
-
-def _bpe_learn_ctes_n(n_merges: int) -> str:
-    """Generate the n-iteration BPE merge-learning CTE chain (the
-    _BPE_LEARN_CTES pattern unrolled programmatically — the
-    _PAGERANK_ITER convention): seg1 = char symbols of the weighted
-    vocabulary, then per merge k: pair counts p{k} over seg{k}, top-1
-    merge t{k}, greedy delimiter-aware re-segmentation seg{k+1}."""
-    # seg{k} is referenced TWICE per level (by p{k} and seg{k+1}), so
-    # DuckDB's default CTE inlining would copy the chain exponentially —
-    # 2^16 base scans blew the fd limit.  MATERIALIZED pins each stage to
-    # one evaluation, which is also what the Spark loop does (the symbol
-    # table is a concrete DataFrame per iteration).
-    parts = [
-        """
-    WITH words AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ), vocab AS (
-      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) >= 2 GROUP BY w
-    ), seg1 AS MATERIALIZED (
-      SELECT freq,
-             list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
-      FROM vocab
-    )"""
-    ]
-    for k in range(1, n_merges + 1):
-        parts.append(
-            f""", p{k} AS (
-      SELECT p.l AS l, p.r AS r, SUM(freq) AS c
-      FROM seg{k}, LATERAL (
-        SELECT unnest(list_transform(range(1, len(syms)),
-               i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p)
-      WHERE len(syms) >= 2
-      GROUP BY 1, 2
-    ), t{k} AS MATERIALIZED (
-      SELECT l, r, c FROM p{k} ORDER BY c DESC, l, r LIMIT 1
-    )"""
-        )
-        if k < n_merges:
-            parts.append(
-                f""", seg{k + 1} AS MATERIALIZED (
-      SELECT freq,
-             string_split(
-               list_reduce(syms, (acc, x) ->
-                 CASE WHEN (acc = t{k}.l OR ends_with(acc, '|' || t{k}.l))
-                           AND x = t{k}.r
-                      THEN acc || t{k}.r
-                      ELSE acc || '|' || x END), '|') AS syms
-      FROM seg{k}, t{k})"""
-            )
-    return "".join(parts)
-
-
-@register(
-    "bpe_learned_merges16",
-    _bpe_learn_ctes_n(16)
-    + "\n    "
-    + "\n    UNION ALL\n    ".join(
-        f"SELECT {k} AS merge_rank, l AS left_sym, r AS right_sym,"
-        f" CAST(c AS BIGINT) AS pair_count FROM t{k}"
-        for k in range(1, 17)
-    ),
-)
-def bpe_learned_merges16_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r14 (r13 verdict ask #4): the BPE trainer at a REAL merge
-    budget — 16 learned merges, the at-scale configuration row (the
-    ``pq_codebook_trained_gemm`` precedent: when an operator's honest
-    production shape is bigger than its minimal oracle-expressible
-    unroll, the bigger shape gets its own driver row).  Same loop as
-    ``bpe_learned_merges`` (shared code), now exercising the lineage
-    checkpoint the r13 docstring only promised — and MEASURING it
-    corrected the guidance: nested-fold execution turns superlinear
-    past depth ~5 (22.7 s at depth 7 vs 0.7 s flat), so the policy is
-    re-persist every 4 merges, not the promised ~8
-    (tools/bpe_deep_probe.py, SCALE.md).  Oracle: the same
-    16 iterations unrolled programmatically as DuckDB CTEs
-    (_bpe_learn_ctes_n — the _PAGERANK_ITER convention), every merge
-    decision value-hashed.  Assumes the corpus supports 16 merges
-    (true for the fixtures; the Spark loop would stop early on
-    exhaustion while the SQL emits empty t{k} rows — a row-count
-    mismatch, i.e. loud)."""
-    from .operators.text import bpe_learned_merges
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_learned_merges(docs, n_merges=16, repersist_every=4)
-
-
-@register(
-    "bpe_learned_merges",
-    _BPE_LEARN_CTES
-    + """
-    SELECT 1 AS merge_rank, l AS left_sym, r AS right_sym,
-           CAST(c AS BIGINT) AS pair_count FROM t1
-    UNION ALL
-    SELECT 2, l, r, CAST(c AS BIGINT) FROM t2
-    """,
-)
-def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: BPE tokenizer training ITERATED — the first two learned
-    merge rules over the documents corpus, i.e. the actual training
-    loop (count pairs -> adopt top pair -> re-segment -> recount), not
-    just one iteration's statistic (``bpe_merge_pair_counts``).  Merge
-    application is a left-to-right greedy fold over each distinct
-    word's delimited symbol string, expressed with the SAME fold in
-    both engines (F.aggregate / list_reduce over identical strings —
-    the delimiter-aware last-symbol test gives non-overlapping leftmost
-    semantics and stops a just-merged ``l||r`` from re-matching ``l``),
-    so every merge decision value-hashes.  Each iteration is
-    vocabulary-sized work; the only driver round-trip is the 1-row top
-    pair (a parameter, the pinned-centroid convention).  The fixed
-    2-merge unroll keeps the run oracle-expressible — the PQ-trainer /
-    PageRank / LPA pin-the-iteration convention.  See
-    operators/text.py:bpe_learned_merges."""
-    from .operators.text import bpe_learned_merges
-
-    docs = load_table(spark, sf_dir, "documents")
-    return bpe_learned_merges(docs, n_merges=2)
-
-
-@register(
-    "bpe_segment_counts",
-    _BPE_LEARN_CTES
-    + """
-    , dwords AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> ''
-    ), sv AS (
-      SELECT DISTINCT w FROM dwords
-    ), svchars AS (
-      SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
-               AS syms
-      FROM sv
-    ), sv2 AS (
-      SELECT w,
-             string_split(
-               list_reduce(syms, (acc, x) ->
-                 CASE WHEN (acc = t1.l OR ends_with(acc, '|' || t1.l))
-                           AND x = t1.r
-                      THEN acc || t1.r
-                      ELSE acc || '|' || x END), '|') AS syms2
-      FROM svchars, t1
-    ), sv3 AS (
-      SELECT w,
-             CAST(len(string_split(
-               list_reduce(syms2, (acc, x) ->
-                 CASE WHEN (acc = t2.l OR ends_with(acc, '|' || t2.l))
-                           AND x = t2.r
-                      THEN acc || t2.r
-                      ELSE acc || '|' || x END), '|')) AS BIGINT) AS w_syms
-      FROM sv2, t2
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(w_syms) AS BIGINT) AS n_symbols
-    FROM dwords JOIN sv3 USING (w)
-    GROUP BY doc_id
-    """,
-)
-def bpe_segment_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: APPLY the learned tokenizer — segment every document
-    under the two merges ``bpe_learned_merges`` trains and emit per-doc
-    (n_words, n_symbols), the "how many tokens is this corpus under OUR
-    tokenizer" number that drives token budgets, packing, and shard
-    sizing.  Train -> apply is the full tokenizer loop under one
-    value-hash: the merge table is learned inside the query (1-row
-    driver collects per merge, the parameter convention), then
-    segmentation runs once per DISTINCT word (same greedy
-    delimiter-aware fold as training) and documents join their words
-    back against the vocabulary-sized (word -> symbol count) table —
-    re-segmenting every occurrence would redo the fold corpus-many
-    times.  Single-char words pass through as one symbol (the fold's
-    seed).  See operators/text.py:bpe_segment_counts."""
-    from .operators.text import bpe_learned_merges, bpe_segment_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_learned_merges(docs, n_merges=2).collect()
-    ]
-    return bpe_segment_counts(docs, merges)
-
-
-@register(
-    "bpe_compression_by_source",
-    _BPE_LEARN_CTES
-    + """
-    , dwords AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> ''
-    ), sv AS (
-      SELECT DISTINCT w FROM dwords
-    ), svchars AS (
-      SELECT w, list_transform(range(1, len(w) + 1), i -> substr(w, i, 1))
-               AS syms
-      FROM sv
-    ), sv2 AS (
-      SELECT w,
-             string_split(
-               list_reduce(syms, (acc, x) ->
-                 CASE WHEN (acc = t1.l OR ends_with(acc, '|' || t1.l))
-                           AND x = t1.r
-                      THEN acc || t1.r
-                      ELSE acc || '|' || x END), '|') AS syms2
-      FROM svchars, t1
-    ), sv3 AS (
-      SELECT w, CAST(len(w) AS BIGINT) AS w_chars,
-             CAST(len(string_split(
-               list_reduce(syms2, (acc, x) ->
-                 CASE WHEN (acc = t2.l OR ends_with(acc, '|' || t2.l))
-                           AND x = t2.r
-                      THEN acc || t2.r
-                      ELSE acc || '|' || x END), '|')) AS BIGINT) AS w_syms
-      FROM sv2, t2
-    )
-    SELECT d.source,
-           CAST(SUM(s.w_chars) AS BIGINT) AS n_chars,
-           CAST(SUM(s.w_syms) AS BIGINT) AS n_symbols,
-           CAST(SUM(s.w_chars) * 1000000 // SUM(s.w_syms) AS BIGINT)
-             AS chars_per_symbol_ppm
-    FROM dwords dw
-    JOIN sv3 s USING (w)
-    JOIN documents d USING (doc_id)
-    GROUP BY d.source
-    """,
-)
-def bpe_compression_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: per-SOURCE compression under the corpus's own learned
-    tokenizer — chars per emitted symbol, exact ppm (integer
-    cross-multiply).  The data-quality read: a source whose text
-    compresses poorly under merges learned from the whole corpus is
-    distributionally unusual (noise, another language, machine junk) —
-    the same signal DSIR/KL rows estimate with explicit LMs, here as a
-    byproduct of tokenizer training (Gopher's compression-filter
-    heuristic).  Reuses the segmentation factoring: distinct words
-    segment once, the per-source rollup is one broadcast-joinable
-    aggregate over (doc word -> symbol count)."""
-    from .operators.text import bpe_learned_merges, bpe_segment_counts
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in bpe_learned_merges(docs, n_merges=2).collect()
-    ]
-    words_all = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
-    vs = words_all.select("w").distinct().select(
-        "w",
-        F.expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
-        ).alias("syms"),
-    )
-    for lv, rv in merges:
-        l, r = F.lit(lv), F.lit(rv)
-        folded = F.aggregate(
-            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
-            F.element_at("syms", 1),
-            lambda acc, x: F.when(
-                ((acc == l) | acc.endswith(F.concat(F.lit("|"), l)))
-                & (x == r),
-                F.concat(acc, r),
-            ).otherwise(F.concat(acc, F.lit("|"), x)),
-        )
-        vs = vs.select("w", F.split(folded, "[|]").alias("syms"))
-    counts = vs.select(
-        "w",
-        F.length("w").cast("long").alias("w_chars"),
-        F.size("syms").cast("long").alias("w_syms"),
-    )
-    return (
-        words_all.join(counts, "w")
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.sum("w_chars").cast("long").alias("n_chars"),
-            F.sum("w_syms").cast("long").alias("n_symbols"),
-        )
-        .select(
-            "source",
-            "n_chars",
-            "n_symbols",
-            F.expr("n_chars * 1000000 DIV n_symbols").alias(
-                "chars_per_symbol_ppm"
-            ),
-        )
-    )
-
-
-@register(
-    "inverted_index_gaps",
-    """
-    WITH tok0 AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), tok AS (
-      SELECT DISTINCT doc_id, term FROM tok0 WHERE term <> ''
-    ), post AS (
-      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
-             list(doc_id ORDER BY doc_id) AS ids
-      FROM tok GROUP BY term
-    )
-    SELECT term, df,
-           array_to_string(list_transform(ids[1:128],
-             (x, i) -> CAST(x - CASE WHEN i = 1 THEN 0 ELSE ids[i - 1] END
-                            AS VARCHAR)), ',') AS gap_list
-    FROM post
-    """,
-)
-def inverted_index_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: inverted-index build with DELTA-ENCODED posting lists
-    (gap lists — the storage form every IR engine ships, Manning et al.
-    IIR ch. 5) — the materialized-index complement to the registered
-    BM25/TF-IDF rows, which re-derive postings per query.  One
-    term-keyed shuffle after a per-doc DISTINCT; posting lists CAP at
-    128 ids while df keeps the true count — the stopword guard: a term
-    in every document would otherwise collect a corpus-sized array onto
-    one reducer (`_cap_postings`' failure mode in storage form).  Gaps
-    emit as a comma-joined string from the SORTED id array (first
-    element = smallest doc id, then deltas), so every value is
-    deterministic and the whole index value-hashes cross-engine.  See
-    operators/text.py:inverted_index_postings."""
-    from .operators.text import inverted_index_postings
-
-    docs = load_table(spark, sf_dir, "documents")
-    return inverted_index_postings(docs, max_postings=128)
-
-
-@register(
-    "event_key_skew_profile",
-    """
-    WITH c AS (
-      SELECT user_id AS key_value, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM events GROUP BY 1
-    ), t AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM events
-    )
-    SELECT key_value, cnt, total_rows,
-           cnt * 1000000 // total_rows AS share_ppm,
-           cnt * 32 > total_rows AS needs_salt
-    FROM c, t
-    ORDER BY cnt DESC, key_value LIMIT 20
-    """,
-)
-def event_key_skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r13: shuffle-key skew reconnaissance over the events join key
-    (user_id) — the measurement that decides between plain shuffle,
-    broadcast, and salted join BEFORE a 1000-executor stage hits the
-    straggler (the decision ``salted_join_revenue`` hard-codes, made
-    data-driven; at 100 TB you run this at sample or full scale as a
-    planning pass).  Top-20 heavy keys with exact row count, exact-ppm
-    corpus share (integer cross-multiply, no float division), and the
-    ``needs_salt`` straggler predicate: key count x 32-way parallelism
-    > total rows, i.e. this one key outweighs a fair reducer slice.
-    One hash aggregate whose map-side partial combine absorbs exactly
-    the skew being measured (counting a hot key is cheap even when
-    joining on it is not) + a broadcast 1-row total.  See
-    operators/aggregates.py:key_skew_profile."""
-    from .operators.aggregates import key_skew_profile
-
-    ev = load_table(spark, sf_dir, "events")
-    return key_skew_profile(ev, "user_id", top_k=20, parallelism=32)
-
-
-@register(
-    "inverted_index_sharded",
-    """
-    WITH tok0 AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
-    ), tok AS (
-      SELECT DISTINCT doc_id, term FROM tok0 WHERE term <> ''
-    ), sh AS (
-      SELECT doc_id, term,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS BIGINT) % 4 AS dsh
-      FROM tok
-    ), pshard AS (
-      SELECT term, dsh, CAST(COUNT(*) AS BIGINT) AS df_s,
-             (list(doc_id ORDER BY doc_id))[1:128] AS ids_s
-      FROM sh GROUP BY term, dsh
-    ), merged AS (
-      SELECT term,
-             CAST(SUM(df_s) AS BIGINT) AS df,
-             CAST(COUNT(*) AS BIGINT) AS shards_with_term,
-             (list_sort(flatten(list(ids_s))))[1:128] AS ids
-      FROM pshard GROUP BY term
-    )
-    SELECT CAST(('0x' || substr(md5(substr(term, 1, 2)), 1, 8))
-                AS BIGINT) % 4 AS shard,
-           term, df, shards_with_term,
-           array_to_string(list_transform(ids,
-             (x, i) -> CAST(x - CASE WHEN i = 1 THEN 0 ELSE ids[i - 1] END
-                            AS VARCHAR)), ',') AS gap_list
-    FROM merged
-    """,
-)
-def inverted_index_sharded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r14 (r13 verdict ask #8): the SHARDED inverted-index build —
-    per-doc-shard capped posting lists (md5(doc_id) % 4) merged per term
-    into the same capped gap-encoded index ``inverted_index_gaps``
-    builds unsharded, plus the serving shard key (md5 of the 2-char
-    term prefix % 4, computable by a query router from the term alone)
-    and per-term shard-coverage observability.  The merge exactness —
-    a per-shard cap of 128 composes into the true global first-128 —
-    is proven twice: the twin-equality pytest against the unsharded
-    build, and this oracle row where DuckDB derives shards, caps, and
-    merge independently.  The hot-term reducer's load divides by the
-    doc-shard count (which scales with the cluster — the unsharded hot
-    reducer does not) and the merge stage handles only (<= cap)-sized
-    lists; probe at 1M docs / 3000-df terms: 1.6x the unsharded build's
-    wall-clock for the divided-reducer guarantee
-    (tools/invindex_scale_probe.py).  See
-    operators/text.py:inverted_index_sharded."""
-    from .operators.text import inverted_index_sharded
-
-    docs = load_table(spark, sf_dir, "documents")
-    return inverted_index_sharded(
-        docs, n_doc_shards=4, n_term_shards=4, max_postings=128
-    )
-
-
-@register(
-    "pagerank_planted_quality",
-    """
-    WITH spokes AS (
-      SELECT unnest(generate_series(1, 10)) AS s
-    ), ringn AS (
-      SELECT unnest(generate_series(11, 30)) AS r
-    ), edges AS (
-      SELECT 'n' || CAST(s AS VARCHAR) AS src, 'n0' AS dst FROM spokes
-      UNION ALL
-      SELECT 'n' || CAST(r AS VARCHAR) AS src,
-             'n' || CAST(11 + ((r - 10) % 20) AS VARCHAR) AS dst
-      FROM ringn
-    ), nodes AS (
-      SELECT src AS node FROM edges UNION SELECT dst FROM edges
-    ), n AS (
-      SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
-    ), deg AS (
-      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1
-    ), pr0 AS (
-      SELECT node, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n
-    )"""
-    + "".join(_PAGERANK_ITER.format(cur=i, next=i + 1) for i in range(3))
-    + """
-    , cls AS (
-      SELECT CASE WHEN node = 'n0' THEN 'hub'
-                  WHEN CAST(substr(node, 2) AS BIGINT) <= 10 THEN 'spoke'
-                  ELSE 'ring' END AS role,
-             CAST(ROUND(pr * 100000000.0, 0) AS BIGINT) AS pr8
-      FROM pr3
-    ), agg AS (
-      SELECT role, CAST(COUNT(*) AS BIGINT) AS n_role,
-             MIN(pr8) AS min_pr8, MAX(pr8) AS max_pr8
-      FROM cls GROUP BY role
-    )
-    SELECT h.n_role + r.n_role + s.n_role AS n_nodes,
-           h.min_pr8 AS hub_pr8,
-           r.min_pr8 AS ring_min_pr8, r.max_pr8 AS ring_max_pr8,
-           s.min_pr8 AS spoke_min_pr8, s.max_pr8 AS spoke_max_pr8,
-           (h.min_pr8 > r.max_pr8) AS hub_top,
-           (r.min_pr8 = r.max_pr8) AS ring_uniform,
-           (s.min_pr8 = s.max_pr8) AS spoke_uniform,
-           (r.min_pr8 > s.max_pr8) AS ring_above_spoke
-    FROM (SELECT * FROM agg WHERE role = 'hub') h,
-         (SELECT * FROM agg WHERE role = 'ring') r,
-         (SELECT * FROM agg WHERE role = 'spoke') s
-    """,
-)
-def pagerank_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEW r14 (r13 verdict ask #7): rank-ORDER quality envelope for the
-    PageRank operator — the ``lpa_planted_quality`` pattern applied to
-    the last graph operator that had only arithmetic checks.  The
-    registered ``pagerank_supplier_customer`` row value-hashes the
-    3-round propagation, but a rank vector that is numerically stable
-    and semantically wrong (e.g. a dropped damping term that preserves
-    relative magnitudes on the fixture) could hash green; this row
-    plants a graph whose EXACT rank order is provable and drives the
-    SAME propagation (``_pagerank_rounds`` — shared code, not a twin):
-    a 10-spoke hub (every spoke points at n0), plus a directed 20-node
-    ring.  Provably, after any number of rounds: spokes (no in-links)
-    sit at exactly the teleport floor 0.15/n and are uniform; ring
-    nodes each inherit one equal neighbor, stay uniform, and sit above
-    the floor; the hub collects ten spokes' mass and dominates
-    everything.  The booleans (hub_top / ring_uniform / spoke_uniform /
-    ring_above_spoke) are exact integer comparisons on ROUND(pr*1e8)
-    and both engines derive graph, ranks, and verdicts independently —
-    rank order becomes a driver-checked fact.  Graph is synthesized
-    from ranges (no fixture randomness), matching the LPA row's
-    convention."""
-    spokes = spark.range(1, 11).select(
-        F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
-        F.lit("n0").alias("dst"),
-    )
-    ring = spark.range(11, 31).select(
-        F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
-        F.concat(
-            F.lit("n"),
-            (F.lit(11) + ((F.col("id") - 10) % 20)).cast("string"),
-        ).alias("dst"),
-    )
-    edges = spokes.unionAll(ring)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    pr = _pagerank_rounds(nodes, edges, rounds=3)
-    cls = pr.select(
-        F.when(F.col("node") == "n0", "hub")
-        .when(F.expr("CAST(substr(node, 2) AS BIGINT)") <= 10, "spoke")
-        .otherwise("ring")
-        .alias("role"),
-        F.round(F.col("pr") * F.lit(100000000.0), 0).cast("bigint").alias("pr8"),
-    )
-    agg = cls.groupBy("role").agg(
-        F.count(F.lit(1)).alias("n_role"),
-        F.min("pr8").alias("min_pr8"),
-        F.max("pr8").alias("max_pr8"),
-    )
-    h = agg.filter(F.col("role") == "hub").alias("h")
-    r = agg.filter(F.col("role") == "ring").alias("r")
-    s = agg.filter(F.col("role") == "spoke").alias("s")
-    return (
-        h.crossJoin(r)
-        .crossJoin(s)
-        .select(
-            (F.col("h.n_role") + F.col("r.n_role") + F.col("s.n_role")).alias(
-                "n_nodes"
-            ),
-            F.col("h.min_pr8").alias("hub_pr8"),
-            F.col("r.min_pr8").alias("ring_min_pr8"),
-            F.col("r.max_pr8").alias("ring_max_pr8"),
-            F.col("s.min_pr8").alias("spoke_min_pr8"),
-            F.col("s.max_pr8").alias("spoke_max_pr8"),
-            (F.col("h.min_pr8") > F.col("r.max_pr8")).alias("hub_top"),
-            (F.col("r.min_pr8") == F.col("r.max_pr8")).alias("ring_uniform"),
-            (F.col("s.min_pr8") == F.col("s.max_pr8")).alias("spoke_uniform"),
-            (F.col("r.min_pr8") > F.col("s.max_pr8")).alias("ring_above_spoke"),
-        )
-    )
+# (pagerank_planted_quality registers in registry_graph.py, with its family)
 
 
 @register(

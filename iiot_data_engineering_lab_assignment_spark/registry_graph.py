@@ -1,0 +1,626 @@
+"""Graph-analytics registrations (split from registry.py, r13 verdict
+ask #9): fixed-iteration PageRank (+ the bucketed edge catalog and the
+shared _pagerank_rounds propagation), degree-ordered triangle counting
+with the hot-basket cap, label propagation, and the two planted-graph
+quality envelopes (LPA pair precision/recall; PageRank rank order —
+the r14 row registers here, next to the family it certifies).
+Imported by ``registry`` at the position the r8 graph block occupied;
+pre-r14 QUERIES order is unchanged (tests/test_registry_split.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.readers import load_table
+
+__all__ = ["MODULE_QUERIES"]
+
+#: registration order within this module (order-preserving anchor)
+MODULE_QUERIES = [
+    "pagerank_supplier_customer",
+    "triangle_counts_copurchase",
+    "label_propagation_communities",
+    "lpa_planted_quality",
+    "pagerank_planted_quality",
+]
+
+_PAGERANK_SQL = """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS src, 'c' || o.o_custkey AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1
+    ), pr0 AS (
+      SELECT node, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n
+    ){iters}
+    SELECT node,
+           CAST(ROUND(pr * 100000000.0, 0) AS BIGINT) / 100000000.0 AS pagerank
+    FROM pr3
+    ORDER BY pagerank DESC, node
+    LIMIT 20
+"""
+
+_PAGERANK_ITER = """, pr{next} AS (
+      SELECT nodes.node,
+             0.15 / n.n_nodes + 0.85 * COALESCE(c.contrib, 0.0) AS pr
+      FROM nodes CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM(CAST(p.pr / d.outdeg AS DECIMAL(38, 18))) AS DOUBLE)
+                 AS contrib
+        FROM edges e
+        JOIN pr{cur} p ON p.node = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY 1
+      ) c ON c.node = nodes.node
+    )"""
+
+
+def _pagerank_bucketed_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    edges_src: DataFrame,
+    prefix: str = "pr_edges",
+    bucket_col: str = "src",
+) -> DataFrame:
+    """Build-or-reuse the bucketed edge catalog table (r10 verdict ask
+    #5): bucketed + sorted on ``bucket_col``, keyed on BOTH source
+    fixtures' mtimes (the edges are lineitem JOIN orders — r11
+    code-review catch: a lineitem-only key served stale edges after an
+    orders-only fixture refresh; ns-resolution mtimes also distinguish
+    same-second regenerations).  ``prefix`` namespaces consumers with
+    different edge CONTENT over the same fixtures (r12: the LPA
+    adjacency doubles the pagerank edges and buckets on the neighbor
+    side — without the prefix the two would collide on one table name
+    and silently serve each other's rows).  Falls back to
+    repartition+localCheckpoint pinning when the catalog isn't
+    writable, when a concurrent session owns the build, or when the
+    reclaim of an orphaned table dir fails — identical values either
+    way."""
+    import hashlib
+    import os
+
+    key = os.path.abspath(sf_dir)
+    for t in ("lineitem", "orders"):
+        try:
+            key += f":{os.stat(os.path.join(sf_dir, f'{t}.parquet')).st_mtime_ns}"
+        except OSError:
+            key += ":0"
+    table = f"{prefix}_{hashlib.md5(key.encode()).hexdigest()[:12]}"
+    try:
+        if not spark.catalog.tableExists(table):
+            from .plans.lifecycle import write_bucketed
+
+            # A table dir can outlive its (per-session, in-memory)
+            # catalog entry — e.g. a prior process built it; managed-
+            # table protection then refuses the location.  Reclaim it,
+            # but WITHOUT ignore_errors: if another live session holds
+            # the same content-keyed table (rmtree fails or the write
+            # races), fall through to the checkpoint path rather than
+            # scanning a half-rewritten table — the values are
+            # identical either way, only the co-location is lost.
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            loc = os.path.join(wh, table)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            write_bucketed(
+                edges_src, table, bucket_col, num_buckets=32, sort_col=bucket_col
+            )
+        return spark.table(table)
+    except Exception:
+        return edges_src.repartition(bucket_col).localCheckpoint(eager=False)
+
+
+def _pagerank_rounds(nodes: DataFrame, edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """The fixed-iteration PageRank propagation SHARED by the arithmetic
+    row (``pagerank_supplier_customer``) and the planted-graph quality
+    row (``pagerank_planted_quality``, r14) — one implementation, two
+    checks, so the quality envelope certifies the operator the real row
+    runs, not a twin.  Damping 0.85, dangling mass dropped, per-round
+    contributions summed through exact DECIMAL(38,18) (partition-order
+    independence through ``rounds`` rounds of amplification)."""
+    n_nodes = float(nodes.count())
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    pr = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
+    for _ in range(rounds):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("pr") / F.col("outdeg")).cast("decimal(38,18)"))
+                .cast("double")
+                .alias("contrib")
+            )
+        )
+        pr = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(0.15) / F.lit(n_nodes)
+                + F.lit(0.85) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return pr
+
+
+@register(
+    "pagerank_supplier_customer",
+    _PAGERANK_SQL.format(
+        iters="".join(
+            _PAGERANK_ITER.format(cur=i, next=i + 1) for i in range(3)
+        )
+    ),
+)
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r8: fixed-iteration PageRank (3 rounds, damping 0.85) over the
+    supplier -> customer fulfilment graph — the link-analysis family
+    (influence/authority propagation; at corpus scale the same plan
+    scores domains for spam/quality the way harmonic-centrality runs
+    score crawl graphs).  Dangling-node mass is dropped (the simplified
+    propagation form) — deterministic and oracle-expressible as 3
+    unrolled CTE iterations, unlike the run-to-convergence form (which
+    is why the k-means-style adaptive variants are rows-only while this
+    is value-hash-checked).  Per-iteration contributions go through
+    exact DECIMAL sums (partition-order independence through 3 rounds of
+    amplification).
+
+    Scale shape (r11, r10 verdict ask #5): the loop-invariant edge list
+    is persisted ONCE as a catalog table BUCKETED on src (sorted within
+    buckets) — the scan itself then carries the src-hash distribution,
+    so every iteration's rank join and the outdeg aggregate plan with
+    ZERO edge-side Exchange (plan-asserted in tests/test_scale_plans.py;
+    A/B vs the prior localCheckpoint form in SCALE.md).  Only the
+    node-sized rank vector shuffles per round; the remaining edge-sized
+    movement is the dst-keyed contribution combine, which partial-
+    aggregates map-side.  Where no writable catalog exists (read-only
+    serving context) the build falls back to the r9
+    repartition+localCheckpoint pinning — same values, same oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges_src = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = _pagerank_bucketed_edges(spark, sf_dir, edges_src)
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    pr = _pagerank_rounds(nodes, edges, rounds=3)
+    return (
+        pr.select(
+            "node",
+            (
+                F.round(F.col("pr") * F.lit(100000000.0), 0).cast("bigint")
+                / F.lit(100000000.0)
+            ).alias("pagerank"),
+        )
+        .orderBy(F.desc("pagerank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@register(
+    "triangle_counts_copurchase",
+    """
+    WITH lp0 AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), hot AS (
+      SELECT ok FROM lp0 GROUP BY ok HAVING COUNT(*) > 64
+    ), lp AS (
+      SELECT lp0.ok, lp0.pk FROM lp0 ANTI JOIN hot USING (ok)
+    ), edges AS (
+      SELECT DISTINCT a.pk AS u, b.pk AS v
+      FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges) t
+      GROUP BY node
+    ), oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+               AS dst_deg
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT o1.src AS n1, o1.dst AS n2, o2.dst AS n3
+      FROM oriented o1
+      JOIN oriented o2 ON o1.src = o2.src
+        AND ((o1.dst_deg, o1.dst) < (o2.dst_deg, o2.dst))
+      JOIN oriented o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT n1 AS part FROM tri
+      UNION ALL SELECT n2 FROM tri
+      UNION ALL SELECT n3 FROM tri) c
+    GROUP BY part
+    """,
+)
+def triangle_counts_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: per-node triangle counts over the part co-purchase graph
+    (parts sharing an order) — the clustering-coefficient / community-
+    density primitive (at corpus scale the same plan scores link-farm
+    density on crawl graphs).  Uses the DEGREE-ORDERED compact-forward
+    algorithm (Schank 2007; the MapReduce classic from Suri & Vassilvitskii
+    2011): every edge is oriented from its lexicographically-smaller
+    (degree, id) endpoint, so each triangle is counted EXACTLY once at
+    its lowest-degree corner and — the scale property — every node's
+    oriented out-degree is O(sqrt(E)), bounding the wedge join that a
+    naive all-directions enumeration lets explode on hub nodes (a
+    degree-D hub contributes D^2 wedges unoriented but at most E
+    oriented).  No global rank window: orientation compares (deg, id)
+    tuples edge-locally.  Pair generation is GUARDED, not merely
+    bounded-by-fixture (r12 verdict ask #5): baskets with more than 64
+    distinct parts are dropped before the pair self-join — the
+    `_cap_postings` hot-key discipline applied to the order key, since
+    a degree-D basket contributes D^2/2 pairs and one promotional
+    mega-order would make the edge build quadratic on real basket
+    data.  The hot set is tiny under any heavy-tailed basket
+    distribution, so it broadcasts and the postings stream through a
+    broadcast anti-join (TPC-H's <= 7 lineitems/order means the cap
+    drops nothing on the fixtures — the oracle mirrors the same cold
+    `hot` CTE, so the hash is unchanged and the guard is itself
+    driver-checked).  10M-edge power-law probe of the orientation
+    bound: tools/triangle_skew_probe.py, SCALE.md round 13.  Wedge and
+    closing joins shuffle on src — co-partitionable; the final count is
+    one (part) aggregate.  Exact per-node counts, deterministic."""
+    from .operators.dedup import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lp0 = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    hot = (
+        lp0.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("basket"))
+        .filter(F.col("basket") > 64)
+        .select("ok")
+    )
+    lp = lp0.join(F.broadcast(hot), "ok", "left_anti")
+    a = lp.alias("a")
+    b = lp.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part"), "n_triangles"
+    )
+
+
+_LPA_ITER = """, lab{next} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rn
+        FROM (
+          SELECT a.node, l.lab, COUNT(*) AS c
+          FROM adj a JOIN lab{cur} l ON l.node = a.nbr
+          GROUP BY a.node, l.lab) t) t2
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "label_propagation_communities",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l.l_suppkey AS u, 'c' || o.o_custkey AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM edges
+    ), lab0 AS (
+      SELECT DISTINCT node, node AS lab FROM adj
+    )"""
+    + "".join(_LPA_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + """
+    SELECT node, lab AS community FROM lab3
+    """,
+)
+def label_propagation_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: label-propagation community detection (Raghavan et al.
+    2007) over the undirected supplier-customer fulfilment graph — the
+    community-structure complement to the registered PageRank
+    (influence), k-core (engagement shells), and connected-components
+    (reachability) rows; at corpus scale the same plan groups crawl
+    domains into link communities for mixture accounting.  Fixed at 3
+    SYNCHRONOUS rounds with the deterministic tiebreak (neighbor-label
+    count DESC, label ASC) so the run is oracle-expressible as unrolled
+    CTEs — the same pin-the-iteration convention as PageRank and the
+    fixed k-means twins; the adaptive run-to-convergence form is the
+    non-checkable variant this row deliberately avoids.
+
+    Scale shape: the loop-invariant doubled adjacency persists ONCE as
+    a catalog table bucketed on the NEIGHBOR column (the per-iteration
+    join key — each round's label join plans with zero adjacency-side
+    Exchange; `lpa_adj` prefix keeps it from colliding with the
+    pagerank edge table over the same fixtures).  Per round only the
+    node-sized label vector shuffles; the edge-sized (node, lab) count
+    partial-aggregates map-side before the window's node-keyed
+    exchange."""
+    from .operators.dedup import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("u"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("v"),
+        )
+        .distinct()
+    )
+    adj_src = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    adj = _pagerank_bucketed_edges(
+        spark, sf_dir, adj_src, prefix="lpa_adj", bucket_col="nbr"
+    )
+    return label_propagation(adj, iters=3)
+
+
+@register(
+    "lpa_planted_quality",
+    """
+    WITH nodes AS (
+      SELECT unnest(generate_series(0, 319)) AS id
+    ), intra AS (
+      SELECT a.id AS u, b.id AS v FROM nodes a JOIN nodes b
+        ON a.id // 16 = b.id // 16 AND a.id < b.id
+    ), bridge AS (
+      SELECT c * 16 AS u, ((c + 1) % 20) * 16 AS v
+      FROM (SELECT unnest(generate_series(0, 19)) AS c)
+    ), edges AS (
+      SELECT u, v FROM intra UNION ALL SELECT u, v FROM bridge
+    ), adj AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL
+      SELECT v AS node, u AS nbr FROM edges
+    ), lab0 AS (
+      SELECT DISTINCT node, node AS lab FROM adj
+    )"""
+    + "".join(_LPA_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + """
+    , rec AS (
+      SELECT node, lab, node // 16 AS planted FROM lab3
+    ), pp AS (
+      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_planted
+      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY planted)
+    ), rr AS (
+      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_recovered,
+             CAST(COUNT(*) AS BIGINT) AS n_communities
+      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY lab)
+    ), bb AS (
+      SELECT CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS pairs_both
+      FROM (SELECT COUNT(*) AS c FROM rec GROUP BY planted, lab)
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM rec
+    )
+    SELECT n_nodes, n_communities, pairs_planted, pairs_recovered, pairs_both,
+           ROUND(pairs_both * 1.0 / pairs_recovered, 6) AS pair_precision,
+           ROUND(pairs_both * 1.0 / pairs_planted, 6) AS pair_recall,
+           (pairs_both * 100 >= 95 * pairs_recovered
+            AND pairs_both * 100 >= 95 * pairs_planted) AS quality_ok
+    FROM nn, rr, pp, bb
+    """,
+)
+def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13 (r12 verdict ask #6): community-QUALITY envelope for the
+    LPA operator — the ``pq_recall_trained_vs_exact`` pattern applied to
+    graphs.  The registered ``label_propagation_communities`` row
+    value-hashes LPA's 3-round ARITHMETIC, but a semantically-useless
+    deterministic labeling would hash green too; this row plants known
+    structure and drives the SAME operator
+    (operators/dedup.py:label_propagation, 3 synchronous rounds,
+    (count DESC, label ASC) tiebreak) over a deterministic
+    planted-partition graph — 20 communities x 16-node cliques joined
+    by a 20-edge leader ring — then scores the recovered partition
+    against the planted one by PAIR precision/recall (pairs co-labeled
+    vs pairs co-planted).  Both engines derive graph, labels, and
+    metric independently; the quality booleans compare with exact
+    integer cross-multiplies (both * 100 >= 95 * denominator).  A
+    tiebreak regression, a dropped round, or an asynchronous-update bug
+    that leaves labels fragmented flips pairs_recovered/pairs_both and
+    with them the hash — community quality becomes a per-round
+    driver-checked fact, not a docstring claim.  (The planted layout
+    recovers EXACTLY at 3 rounds — pair P/R = 1.0 — so the 0.95 bound
+    has slack against none of the fixture randomness: the graph is
+    synthesized from ranges, not fixture data, by design.)"""
+    from .operators.dedup import label_propagation
+
+    nodes = spark.range(320)
+    a = nodes.alias("a")
+    b = nodes.alias("b")
+    intra = a.join(
+        b,
+        (F.expr("a.id DIV 16") == F.expr("b.id DIV 16"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
+    bridge = spark.range(20).select(
+        (F.col("id") * 16).alias("u"),
+        ((F.col("id") + 1) % 20 * 16).alias("v"),
+    )
+    edges = intra.unionAll(bridge)
+    adj = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    rec = label_propagation(adj, iters=3).select(
+        "node",
+        F.col("community").alias("lab"),
+        F.expr("node DIV 16").alias("planted"),
+    )
+    pair_sum = F.sum(F.expr("c * (c - 1) DIV 2")).cast("long")
+    pp = rec.groupBy("planted").agg(F.count(F.lit(1)).alias("c")).agg(
+        pair_sum.alias("pairs_planted")
+    )
+    rr = rec.groupBy("lab").agg(F.count(F.lit(1)).alias("c")).agg(
+        pair_sum.alias("pairs_recovered"),
+        F.count(F.lit(1)).alias("n_communities"),
+    )
+    bb = rec.groupBy("planted", "lab").agg(F.count(F.lit(1)).alias("c")).agg(
+        pair_sum.alias("pairs_both")
+    )
+    nn = rec.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        nn.crossJoin(rr)
+        .crossJoin(pp)
+        .crossJoin(bb)
+        .select(
+            "n_nodes",
+            "n_communities",
+            "pairs_planted",
+            "pairs_recovered",
+            "pairs_both",
+            F.round(
+                F.col("pairs_both") * F.lit(1.0) / F.col("pairs_recovered"), 6
+            ).alias("pair_precision"),
+            F.round(
+                F.col("pairs_both") * F.lit(1.0) / F.col("pairs_planted"), 6
+            ).alias("pair_recall"),
+            (
+                (F.col("pairs_both") * 100 >= F.col("pairs_recovered") * 95)
+                & (F.col("pairs_both") * 100 >= F.col("pairs_planted") * 95)
+            ).alias("quality_ok"),
+        )
+    )
+
+
+@register(
+    "pagerank_planted_quality",
+    """
+    WITH spokes AS (
+      SELECT unnest(generate_series(1, 10)) AS s
+    ), ringn AS (
+      SELECT unnest(generate_series(11, 30)) AS r
+    ), edges AS (
+      SELECT 'n' || CAST(s AS VARCHAR) AS src, 'n0' AS dst FROM spokes
+      UNION ALL
+      SELECT 'n' || CAST(r AS VARCHAR) AS src,
+             'n' || CAST(11 + ((r - 10) % 20) AS VARCHAR) AS dst
+      FROM ringn
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM edges GROUP BY 1
+    ), pr0 AS (
+      SELECT node, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n
+    )"""
+    + "".join(_PAGERANK_ITER.format(cur=i, next=i + 1) for i in range(3))
+    + """
+    , cls AS (
+      SELECT CASE WHEN node = 'n0' THEN 'hub'
+                  WHEN CAST(substr(node, 2) AS BIGINT) <= 10 THEN 'spoke'
+                  ELSE 'ring' END AS role,
+             CAST(ROUND(pr * 100000000.0, 0) AS BIGINT) AS pr8
+      FROM pr3
+    ), agg AS (
+      SELECT role, CAST(COUNT(*) AS BIGINT) AS n_role,
+             MIN(pr8) AS min_pr8, MAX(pr8) AS max_pr8
+      FROM cls GROUP BY role
+    )
+    SELECT h.n_role + r.n_role + s.n_role AS n_nodes,
+           h.min_pr8 AS hub_pr8,
+           r.min_pr8 AS ring_min_pr8, r.max_pr8 AS ring_max_pr8,
+           s.min_pr8 AS spoke_min_pr8, s.max_pr8 AS spoke_max_pr8,
+           (h.min_pr8 > r.max_pr8) AS hub_top,
+           (r.min_pr8 = r.max_pr8) AS ring_uniform,
+           (s.min_pr8 = s.max_pr8) AS spoke_uniform,
+           (r.min_pr8 > s.max_pr8) AS ring_above_spoke
+    FROM (SELECT * FROM agg WHERE role = 'hub') h,
+         (SELECT * FROM agg WHERE role = 'ring') r,
+         (SELECT * FROM agg WHERE role = 'spoke') s
+    """,
+)
+def pagerank_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r14 (r13 verdict ask #7): rank-ORDER quality envelope for the
+    PageRank operator — the ``lpa_planted_quality`` pattern applied to
+    the last graph operator that had only arithmetic checks.  The
+    registered ``pagerank_supplier_customer`` row value-hashes the
+    3-round propagation, but a rank vector that is numerically stable
+    and semantically wrong (e.g. a dropped damping term that preserves
+    relative magnitudes on the fixture) could hash green; this row
+    plants a graph whose EXACT rank order is provable and drives the
+    SAME propagation (``_pagerank_rounds`` — shared code, not a twin):
+    a 10-spoke hub (every spoke points at n0), plus a directed 20-node
+    ring.  Provably, after any number of rounds: spokes (no in-links)
+    sit at exactly the teleport floor 0.15/n and are uniform; ring
+    nodes each inherit one equal neighbor, stay uniform, and sit above
+    the floor; the hub collects ten spokes' mass and dominates
+    everything.  The booleans (hub_top / ring_uniform / spoke_uniform /
+    ring_above_spoke) are exact integer comparisons on ROUND(pr*1e8)
+    and both engines derive graph, ranks, and verdicts independently —
+    rank order becomes a driver-checked fact.  Graph is synthesized
+    from ranges (no fixture randomness), matching the LPA row's
+    convention."""
+    spokes = spark.range(1, 11).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
+        F.lit("n0").alias("dst"),
+    )
+    ring = spark.range(11, 31).select(
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"),
+            (F.lit(11) + ((F.col("id") - 10) % 20)).cast("string"),
+        ).alias("dst"),
+    )
+    edges = spokes.unionAll(ring)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pr = _pagerank_rounds(nodes, edges, rounds=3)
+    cls = pr.select(
+        F.when(F.col("node") == "n0", "hub")
+        .when(F.expr("CAST(substr(node, 2) AS BIGINT)") <= 10, "spoke")
+        .otherwise("ring")
+        .alias("role"),
+        F.round(F.col("pr") * F.lit(100000000.0), 0).cast("bigint").alias("pr8"),
+    )
+    agg = cls.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_role"),
+        F.min("pr8").alias("min_pr8"),
+        F.max("pr8").alias("max_pr8"),
+    )
+    h = agg.filter(F.col("role") == "hub").alias("h")
+    r = agg.filter(F.col("role") == "ring").alias("r")
+    s = agg.filter(F.col("role") == "spoke").alias("s")
+    return (
+        h.crossJoin(r)
+        .crossJoin(s)
+        .select(
+            (F.col("h.n_role") + F.col("r.n_role") + F.col("s.n_role")).alias(
+                "n_nodes"
+            ),
+            F.col("h.min_pr8").alias("hub_pr8"),
+            F.col("r.min_pr8").alias("ring_min_pr8"),
+            F.col("r.max_pr8").alias("ring_max_pr8"),
+            F.col("s.min_pr8").alias("spoke_min_pr8"),
+            F.col("s.max_pr8").alias("spoke_max_pr8"),
+            (F.col("h.min_pr8") > F.col("r.max_pr8")).alias("hub_top"),
+            (F.col("r.min_pr8") == F.col("r.max_pr8")).alias("ring_uniform"),
+            (F.col("s.min_pr8") == F.col("s.max_pr8")).alias("spoke_uniform"),
+            (F.col("r.min_pr8") > F.col("s.max_pr8")).alias("ring_above_spoke"),
+        )
+    )

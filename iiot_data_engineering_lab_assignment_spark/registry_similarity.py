@@ -1,0 +1,908 @@
+"""PQ / IVF-PQ similarity-family registrations (split from registry.py,
+r13 verdict ask #9 — the main module was past 15k LoC).
+
+This module is imported by ``registry`` at the exact position the block
+previously occupied, so QUERIES insertion order is byte-identical to the
+pre-split registry (order-preserving test in tests/test_registry_split.py).
+At import time ``registry`` is partially initialized but ``register`` /
+``load_table`` / the F alias are already bound, so the import-back is
+safe; nothing here runs Spark at import.
+
+Family contents (all oracle-backed): the pinned PQ encoder and its GEMM
+tier, ADC serving (fold + GEMM), the trained-codebook family
+(train/encode/serve/kNN/recall + the 64x8 GEMM trainer), the kNN label
+eval, and the IVF-PQ serving stack (inline / stored / incremental
+upsert) with their mtime-keyed store helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.readers import load_table
+
+__all__ = ["SIMILARITY_QUERIES"]
+
+#: registration order within this module (order-preserving test anchor)
+SIMILARITY_QUERIES = [
+    "pq_codes_fixed",
+    "knn_label_eval",
+    "pq_codes_gemm",
+    "pq_adc_topk",
+    "pq_adc_topk_gemm",
+    "pq_codebook_trained",
+    "pq_codebook_trained_gemm",
+    "pq_codes_trained",
+    "pq_adc_topk_trained",
+    "pq_adc_knn_trained",
+    "pq_recall_trained_vs_exact",
+    "ivf_pq_topk",
+    "ivf_pq_topk_stored",
+    "ivf_pq_topk_upsert",
+]
+
+_PQ_CTES = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), subs AS (
+      SELECT unnest(generate_series(0, 3)) AS sub_idx
+    ), vsub AS (
+      SELECT e.vec_id, s.sub_idx,
+             e.ev[(s.sub_idx * 16 + 1):(s.sub_idx * 16 + 16)] AS v
+      FROM e CROSS JOIN subs s
+    ), cents AS (
+      SELECT vec_id AS code, sub_idx, v AS cv FROM vsub WHERE vec_id < 8
+    ), codes AS (
+      SELECT vec_id, sub_idx, code FROM (
+        SELECT v.vec_id, v.sub_idx, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN cents c USING (sub_idx))
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "pq_codes_fixed",
+    _PQ_CTES
+    + """
+    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code
+    FROM codes
+    """,
+)
+def pq_codes_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: product-quantization encode (Jegou et al. 2011) — the
+    compression tier of the 10^9-vector ANN stack (64 float32 dims ->
+    4 one-byte codes at m=4 subspaces): each subvector snaps to its
+    nearest subspace code vector.  The codebook is PINNED to the slices
+    of vec_id 0..7 (the kmeans_assignments_fixed convention) so every
+    code is deterministic arithmetic both engines reproduce: argmin of
+    |v|^2 - 2 v.c + |c|^2 per subspace with a (d2, code) tiebreak,
+    sequential-fold dots == list_dot_product, DuckDB list slicing ==
+    F.slice.  One scan, codebook as broadcast literals, long-form
+    (id, sub_idx, code) output so the oracle value-checks every code."""
+    from .operators.similarity import pq_codebook, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, pq_codebook(emb, n_codes=8, m=4))
+
+
+@register(
+    "knn_label_eval",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < 50
+    ), sc AS (
+      SELECT q.vec_id AS query_id, q.label AS t_label,
+             e.vec_id AS neighbor_id, e.label AS n_label,
+             list_dot_product(e.ev, q.ev) / (e.nrm * q.nrm) AS c
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.vec_id
+    ), top AS (
+      SELECT query_id, t_label, n_label FROM (
+        SELECT query_id, t_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id) AS rn
+        FROM sc)
+      WHERE rn <= 5
+    ), votes AS (
+      SELECT query_id, t_label, n_label, COUNT(*) AS v
+      FROM top GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, t_label, n_label AS p_label FROM (
+        SELECT query_id, t_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, n_label) AS rn
+        FROM votes)
+      WHERE rn = 1
+    )
+    SELECT t_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN p_label = t_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((2000000 * SUM(CASE WHEN p_label = t_label THEN 1 ELSE 0 END)
+                 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+             AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: k-NN label-consistency evaluation (5-NN majority vote,
+    cosine, self excluded) over the labeled embeddings — the standard
+    embedding-space quality probe a training pipeline runs after
+    (re)embedding a corpus: if nearest neighbors don't share labels,
+    the space won't cluster, dedup, or retrieve well.  Probes = the 50
+    lowest ids; prediction = majority label with a (votes DESC, label)
+    tiebreak; per-class accuracy emits through the exact-integer
+    half-up DIV.  Composes the registered knn_join (broadcast query
+    slab x corpus scan — the corpus never shuffles for scoring);
+    neighbor ranks use raw-double cosine with an id tiebreak, so both
+    engines pick the identical neighbor sets."""
+    from .operators.similarity import knn_join
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 50)
+    nn = knn_join(probes, emb, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    nn_lab = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("t_label"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    votes = nn_lab.groupBy("query_id", "t_label", "n_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("v"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "t_label", F.col("n_label").alias("p_label"))
+    )
+    agg = pred.groupBy(F.col("t_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(
+            F.when(F.col("p_label") == F.col("t_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    return agg.select(
+        "label",
+        "n_probes",
+        "n_correct",
+        F.expr(
+            "CAST((2000000 * n_correct + n_probes) DIV (2 * n_probes)"
+            " AS DOUBLE) / 1000000.0"
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "pq_codes_gemm",
+    _PQ_CTES
+    + """
+    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code
+    FROM codes
+    """,
+)
+def pq_codes_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: the Arrow-batched GEMM tier of the PQ encoder — per batch,
+    one (n x 16) @ (16 x 8) matrix product per subspace replaces the
+    m*k interpreted fold expressions per row (probe-measured ~10x at 1M
+    vectors; SCALE.md round 9).  Registered against the SAME value-hash
+    oracle as ``pq_codes_fixed``: the output is exact integer codes and
+    the argmin is invariant to GEMM-vs-fold accumulation order (a flip
+    would need two centroids equidistant to the accumulation ulp,
+    excluded by distinct seeds) — the rare python=1 entry where the
+    vectorized path wins AND stays bit-checkable."""
+    from .operators.similarity import pq_codebook, pq_encode_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode_gemm(emb, pq_codebook(emb, n_codes=8, m=4))
+
+
+# shared by the fold form (pq_adc_topk) and the Arrow/GEMM tier
+# (pq_adc_topk_gemm) — bit-identical outputs, one oracle
+_ADC_TAIL = """, q AS (
+      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(q.qv, q.qv)
+             - 2.0 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM cents c JOIN q USING (sub_idx)
+    ), scored AS (
+      SELECT codes.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes JOIN lut l USING (sub_idx, code)
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, ROUND(adc_raw, 6) AS adc
+    FROM scored ORDER BY adc_raw, vec_id LIMIT 10
+    """
+
+
+@register("pq_adc_topk", _PQ_CTES + _ADC_TAIL)
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: asymmetric distance computation over the PQ codes — the
+    FAISS IVF-PQ serving path: the uncompressed query precomputes one
+    m x n_codes lookup table and every stored vector costs m lookups +
+    adds, never a d-element fold.  The lookup table is itself a tiny
+    Spark plan over the 8 codebook rows (both engines derive its
+    doubles from the identical float32 slices), broadcast into the
+    codes join; the per-vector total sums in FIXED subspace order
+    (conditional sums, not shuffle-order SUM), so ADC distances are
+    bit-reproducible and the ascending (distance, id) top-10 value-hash
+    checks end to end.  Scale: codes table is the only corpus-sized
+    input — 4 bytes/vector scanned, corpus never re-folded per query."""
+    from .operators.similarity import pq_adc_topk, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, pq_codebook(emb, n_codes=8, m=4), query_id=0, k=10)
+
+
+@register("pq_adc_topk_gemm", _PQ_CTES + _ADC_TAIL)
+def pq_adc_topk_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11 (r10 verdict ask #8): the Arrow/GEMM tier of the ADC
+    scorer — per Arrow batch each subspace is one (n x dsub) @ (dsub x
+    n_codes) matrix product, the m lookups gather via numpy indexing in
+    FIXED subspace order (the exact add tree of the fold form's
+    adc_raw), and only k rows per batch cross back.  The LUT is
+    collected from the SAME tiny Spark plan the fold form broadcasts,
+    so every emitted double is bit-identical to pq_adc_topk's and the
+    two share one oracle (shortlist equality is also pinned in
+    tests/test_r9_ops.py; throughput A/B at 1M vectors in SCALE.md)."""
+    from .operators.similarity import pq_adc_topk_gemm, pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk_gemm(emb, pq_codebook(emb, n_codes=8, m=4), query_id=0, k=10)
+
+
+# the trained-PQ CTEs: _PQ_CTES' pinned slices become Lloyd SEEDS and two
+# per-subspace exact-decimal update iterations follow (the _KMEANS2_CTES
+# convention keyed by sub_idx) — the shared prefix of the trained
+# codebook-matrix, encode, and ADC-serving twins, so the three oracles
+# cannot drift from one another
+def _pqt_ctes(n_codes: int, m: int, dsub: int) -> str:
+    """The trained-PQ oracle prefix, parameterized by code budget and
+    subspace split (r12 registered the 8-code x 4-subspace form; r13
+    adds the 64 x 8 GEMM-tier config — same unrolled 2-iteration
+    pinned-Lloyd arithmetic, only the constants differ)."""
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+    ), subs AS (
+      SELECT unnest(generate_series(0, {m - 1})) AS sub_idx
+    ), vsub AS (
+      SELECT e.vec_id, s.sub_idx,
+             e.ev[(s.sub_idx * {dsub} + 1):(s.sub_idx * {dsub} + {dsub})] AS v
+      FROM e CROSS JOIN subs s
+    ), cents0 AS (
+      SELECT sub_idx, vec_id AS code, v AS cv FROM vsub WHERE vec_id < {n_codes}
+    ), a1 AS (
+      SELECT sub_idx, vec_id, v, code FROM (
+        SELECT v.sub_idx, v.vec_id, v.v, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN cents0 c USING (sub_idx))
+      WHERE rn = 1
+    ), u1 AS (
+      SELECT sub_idx, code, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (SELECT sub_idx, code, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS i FROM a1)
+      GROUP BY sub_idx, code, i
+    ), c1 AS (
+      SELECT s.sub_idx, s.code, COALESCE(u.cv, s.cv) AS cv
+      FROM cents0 s
+      LEFT JOIN (SELECT sub_idx, code, list(cv ORDER BY pos) AS cv
+                 FROM u1 GROUP BY sub_idx, code) u
+        USING (sub_idx, code)
+    ), a2 AS (
+      SELECT sub_idx, vec_id, v, code FROM (
+        SELECT v.sub_idx, v.vec_id, v.v, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN c1 c USING (sub_idx))
+      WHERE rn = 1
+    ), u2 AS (
+      SELECT sub_idx, code, i - 1 AS pos,
+             CAST(ROUND((CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+                        * 1000000.0, 0) AS BIGINT) / 1000000.0 AS cv
+      FROM (SELECT sub_idx, code, unnest(v) AS x,
+                   generate_subscripts(v, 1) AS i FROM a2)
+      GROUP BY sub_idx, code, i
+    ), ct AS (
+      -- empty-code fallback is the PREVIOUS iteration's centroid (c1),
+      -- not the seed: the engine dict-carries iteration-1 state
+      SELECT s.sub_idx, s.code, COALESCE(u.cv, s.cv) AS cv
+      FROM c1 s
+      LEFT JOIN (SELECT sub_idx, code, list(cv ORDER BY pos) AS cv
+                 FROM u2 GROUP BY sub_idx, code) u
+        USING (sub_idx, code)
+    )"""
+
+
+_PQT_CTES = _pqt_ctes(8, 4, 16)
+
+
+_TRAINED_BOOK_CACHE: dict = {}
+
+
+def _trained_book(
+    spark: SparkSession,
+    sf_dir: str,
+    n_codes: int = 8,
+    m: int = 4,
+    gemm: bool = False,
+):
+    """mtime-keyed cache for the pinned trained PQ codebook (the
+    ivf_pq_topk_stored convention): five registered rows train the same
+    deterministic 8x4 2-iteration book over the same fixture (and one
+    more trains the 64x8 GEMM-tier book) — a book is a k x d parameter
+    object, so caching it per (path, mtime, config) is the
+    parameter-server move, not a data cache; a fixture regeneration
+    (new mtime) invalidates automatically."""
+    import os
+
+    from .operators.similarity import pq_codebook_train
+
+    path = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        key = (path, os.stat(path).st_mtime_ns, n_codes, m, gemm)
+    except OSError:
+        key = (path, 0, n_codes, m, gemm)
+    if key not in _TRAINED_BOOK_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _TRAINED_BOOK_CACHE[key] = pq_codebook_train(
+            emb, n_codes=n_codes, m=m, iters=2, gemm=gemm
+        )
+    return _TRAINED_BOOK_CACHE[key]
+
+
+@register(
+    "pq_codebook_trained",
+    _PQT_CTES
+    + """
+    SELECT CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code,
+           i - 1 AS pos, ROUND(x, 6) AS centroid
+    FROM (SELECT sub_idx, code, unnest(cv) AS x,
+                 generate_subscripts(cv, 1) AS i FROM ct)
+    """,
+)
+
+
+
+
+def pq_codebook_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: the TRAINED product-quantization codebook — per-subspace
+    Lloyd refinement of the pinned ``pq_codes_fixed`` seeds (the step
+    ``pq_codebook``'s docstring deferred to "a production trainer").
+    The ``kmeans_centroids_fixed`` recipe applies per subspace: seeds =
+    the vec_id 0..7 slices, exactly two exact-decimal update iterations,
+    an emptied code keeps its previous centroid — but ALL m subspaces
+    train in one scan per iteration (one corpus pass computing every
+    subspace's argmin and carrying its subvector, then one scalar
+    (sub_idx, code, pos) shuffle; only the m x k x dsub = 512-value
+    parameter matrix collects).  Emitting the matrix itself hashes the
+    trainer's update arithmetic directly, the lesson of the k-means
+    centroid twin: an assignment hash can mask a centroid error that
+    flips no argmin.  Both engines round to 6 dp (engine values are
+    already micro-unit rounded by the shared update; seed-fallback
+    float32 values are dyadic, so the boundary is unreachable)."""
+
+    book = _trained_book(spark, sf_dir)
+    return _book_matrix_df(spark, book)
+
+
+def _book_matrix_df(spark: SparkSession, book) -> DataFrame:
+    """Emit a trained codebook as the (sub_idx, code, pos, centroid)
+    long-form parameter matrix both trained-codebook rows hash."""
+    rows = [
+        (int(s), int(code), int(pos), float(v))
+        for s, cents in sorted(book.items())
+        for code, vec in cents
+        for pos, v in enumerate(vec)
+    ]
+    out = spark.createDataFrame(
+        rows, "sub_idx int, code int, pos int, centroid double"
+    )
+    return out.select(
+        "sub_idx", "code", "pos", F.round("centroid", 6).alias("centroid")
+    )
+
+
+@register(
+    "pq_codebook_trained_gemm",
+    _pqt_ctes(64, 8, 8)
+    + """
+    SELECT CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code,
+           i - 1 AS pos, ROUND(x, 6) AS centroid
+    FROM (SELECT sub_idx, code, unnest(cv) AS x,
+                 generate_subscripts(cv, 1) AS i FROM ct)
+    """,
+)
+def pq_codebook_trained_gemm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r13 (r12 verdict ask #3): the GEMM-tier PQ trainer
+    driver-checked AT THE CONFIG THE FOLD TIER CANNOT PLAN — 64 codes x
+    8 subspaces (m*k = 512; SCALE.md round-12 probe: the literal-struct
+    argmin tree hangs Catalyst in analysis at this size), 2 pinned-Lloyd
+    iterations over the same vec_id-slice seeds.  The assignment scan is
+    the Arrow tier (operators/similarity.py:_gemm_assign_values), whose
+    distance matrix now replays the JVM fold's accumulation order
+    bit-for-bit (_fold_d2_matrix, r12 ADVICE #1), so the oracle — the
+    SAME unrolled 2-iteration CTE arithmetic as ``pq_codebook_trained``,
+    just re-parameterized to 64x8 — value-hashes the at-scale tier's
+    update arithmetic directly: this row turns "the GEMM tier trains the
+    same codebook" from a pytest pin at a toy config into a per-round
+    driver-checked fact at the config that matters.  Only the
+    m x k x dsub = 4096-value parameter matrix ever collects."""
+    book = _trained_book(spark, sf_dir, n_codes=64, m=8, gemm=True)
+    return _book_matrix_df(spark, book)
+
+
+@register(
+    "pq_codes_trained",
+    _PQT_CTES
+    + """
+    SELECT vec_id, CAST(sub_idx AS INTEGER) AS sub_idx,
+           CAST(code AS INTEGER) AS code
+    FROM (
+      SELECT v.vec_id, v.sub_idx, c.code,
+             row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+               list_dot_product(v.v, v.v)
+               - 2.0 * list_dot_product(v.v, c.cv)
+               + list_dot_product(c.cv, c.cv), c.code) AS rn
+      FROM vsub v JOIN ct c USING (sub_idx))
+    WHERE rn = 1
+    """,
+)
+def pq_codes_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: PQ encode against the TRAINED codebook — the storage tier
+    a production pipeline actually ships (train once, encode the corpus
+    against the frozen parameters).  The encode plumbing is byte-for-byte
+    ``pq_codes_fixed``'s (:func:`pq_encode`: one scan, codebook broadcast
+    as literals, (d2, code) argmin tiebreak); only the parameter values
+    differ, and because the trained centroids are micro-unit-rounded
+    doubles both engines dict-carry identically, every emitted code
+    value-hashes.  Quality effect probed in tests: trained quantization
+    error <= fixed-seed quantization error on the same corpus (Lloyd
+    iterations never increase inertia)."""
+    from .operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, _trained_book(spark, sf_dir))
+
+
+@register(
+    "pq_adc_topk_trained",
+    _PQT_CTES
+    + """, q AS (
+      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(q.qv, q.qv)
+             - 2.0 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM ct c JOIN q USING (sub_idx)
+    ), codes_t AS (
+      SELECT vec_id, sub_idx, CAST(code AS INTEGER) AS code FROM (
+        SELECT v.vec_id, v.sub_idx, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN ct c USING (sub_idx))
+      WHERE rn = 1
+    ), scored AS (
+      SELECT codes_t.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes_t JOIN lut l USING (sub_idx, code)
+      GROUP BY codes_t.vec_id
+    )
+    SELECT vec_id, ROUND(adc_raw, 6) AS adc
+    FROM scored ORDER BY adc_raw, vec_id LIMIT 10
+    """,
+)
+def pq_adc_topk_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: ADC serving over the TRAINED codes — the full trained
+    IVF-PQ serving arithmetic end to end (train -> encode -> LUT ->
+    m-lookup scoring) under one value-hash.  Exercises the r11
+    ``_adc_parts`` fix in production direction: the LUT derives from the
+    PASSED trained codebook (the pre-fix form would silently score
+    against the pinned seed slices — exactly the bug class this row now
+    driver-checks every round).  Plan shape identical to ``pq_adc_topk``:
+    LUT broadcast into the codes join, fixed-subspace-order conditional
+    sums, ascending (distance, id) top-10."""
+    from .operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, _trained_book(spark, sf_dir), query_id=0, k=10)
+
+
+# the bulk-ADC tail: every probe's LUT in one relation, one pass over the
+# corpus codes, per-probe (distance, id) top-10 — shared by the bulk
+# serving row and the recall-evaluation row so the two cannot drift
+_PQT_BULK = _PQT_CTES + """, probes AS (
+      SELECT vec_id AS query_id, sub_idx, v AS qv FROM vsub WHERE vec_id < 20
+    ), lut AS (
+      SELECT p.query_id, p.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(p.qv, p.qv)
+             - 2.0 * list_dot_product(p.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM ct c JOIN probes p USING (sub_idx)
+    ), codes_t AS (
+      SELECT vec_id, sub_idx, CAST(code AS INTEGER) AS code FROM (
+        SELECT v.vec_id, v.sub_idx, c.code,
+               row_number() OVER (PARTITION BY v.vec_id, v.sub_idx ORDER BY
+                 list_dot_product(v.v, v.v)
+                 - 2.0 * list_dot_product(v.v, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.code) AS rn
+        FROM vsub v JOIN ct c USING (sub_idx))
+      WHERE rn = 1
+    ), scored AS (
+      SELECT l.query_id, codes_t.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes_t JOIN lut l USING (sub_idx, code)
+      GROUP BY l.query_id, codes_t.vec_id
+    ), adc_top AS (
+      SELECT query_id, vec_id, adc_raw FROM (
+        SELECT query_id, vec_id, adc_raw,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_raw, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 10
+    )"""
+
+
+@register(
+    "pq_adc_knn_trained",
+    _PQT_BULK
+    + """
+    SELECT query_id, vec_id, ROUND(adc_raw, 6) AS adc FROM adc_top
+    """,
+)
+def pq_adc_knn_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: BULK ADC k-NN join over the trained codes — the batch
+    serving shape (:func:`pq_adc_knn_join`): re-ranking a feed or
+    evaluating an index needs thousands of probes per pass, and the
+    single-query row would re-scan the codes table per probe.  All 20
+    probes' lookup tables build in one tiny plan (probes x codebook —
+    q*m*k rows, parameters), broadcast into ONE pass over the corpus
+    codes; per-(query, vector) distances sum in fixed subspace order so
+    every double is bit-identical to the single-query path's; per-query
+    ascending (distance, id) top-10 via one window.  The only
+    corpus-sized shuffle is the (query_id, vec_id) aggregate — corpus
+    codes never re-fold per probe."""
+    from .operators.similarity import pq_adc_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _trained_book(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 20)
+    return pq_adc_knn_join(probes, emb, book, k=10)
+
+
+@register(
+    "pq_recall_trained_vs_exact",
+    _PQT_BULK
+    + """, exact_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, p.ev)
+                 + list_dot_product(p.ev, p.ev), e.vec_id) AS rn
+        FROM e CROSS JOIN (SELECT vec_id, ev FROM e WHERE vec_id < 20) p)
+      WHERE rn <= 10
+    )
+    SELECT a.query_id, CAST(COUNT(x.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(x.vec_id) AS DOUBLE) / 10.0 AS recall
+    FROM adc_top a
+    LEFT JOIN exact_top x ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+    GROUP BY a.query_id
+    """,
+)
+def pq_recall_trained_vs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12: recall@10 of the trained-PQ ADC serving path against the
+    exact L2 top-10 — the quality gate a pipeline runs after (re)training
+    a quantizer, and the first driver row where an ANN tier's QUALITY
+    (not just its arithmetic) is value-hash-checked: both engines derive
+    the ADC shortlist AND the brute-force ground truth and count the
+    overlap, so a recall regression (bad codebook, broken encode, LUT
+    drift) flips the hash even when each side is internally consistent.
+    Exact side uses the same |e|^2 - 2 e.q + |q|^2 expansion as the ADC
+    arithmetic (NOT dot(e-q, e-q) — different doubles) with the (d2, id)
+    tiebreak, so ranks agree cross-engine bit for bit.  Probe slab (20
+    queries) broadcasts; the corpus scans once per side."""
+    from pyspark.sql import Window
+
+    from .operators.similarity import _as_double, dot, pq_adc_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = _trained_book(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 20)
+    adc = pq_adc_knn_join(probes, emb, book, k=10)
+    corpus = emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("ev")
+    )
+    pr = probes.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("pv"),
+    )
+    d2 = (
+        dot(F.col("ev"), F.col("ev"))
+        - F.lit(2.0) * dot(F.col("ev"), F.col("pv"))
+        + dot(F.col("pv"), F.col("pv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    exact_top = (
+        corpus.crossJoin(F.broadcast(pr))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        adc.join(exact_top, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(10.0)).alias("recall"),
+        )
+    )
+
+
+# the IVF-PQ oracle tail is shared by the inline demo (ivf_pq_topk) and
+# the stored-index serving form (ivf_pq_topk_stored) — both produce the
+# identical top-10, so they value-hash against the same SQL
+_IVF_PQ_TAIL = """, cellsfull AS (
+      SELECT vec_id AS cell, ev AS cv FROM e WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.ev, e.ev)
+                 - 2.0 * list_dot_product(e.ev, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM e CROSS JOIN cellsfull c)
+      WHERE rn = 1
+    ), qfull AS (
+      SELECT ev AS qv FROM e WHERE vec_id = 0
+    ), probed AS (
+      SELECT cell FROM (
+        SELECT c.cell,
+               row_number() OVER (ORDER BY
+                 list_dot_product(q.qv, q.qv)
+                 - 2.0 * list_dot_product(q.qv, c.cv)
+                 + list_dot_product(c.cv, c.cv), c.cell) AS rn
+        FROM cellsfull c CROSS JOIN qfull q)
+      WHERE rn <= 3
+    ), q AS (
+      SELECT sub_idx, v AS qv FROM vsub WHERE vec_id = 0
+    ), lut AS (
+      SELECT c.sub_idx, CAST(c.code AS INTEGER) AS code,
+             list_dot_product(q.qv, q.qv)
+             - 2.0 * list_dot_product(q.qv, c.cv)
+             + list_dot_product(c.cv, c.cv) AS dist
+      FROM cents c JOIN q USING (sub_idx)
+    ), scored AS (
+      SELECT codes.vec_id,
+             SUM(CASE WHEN l.sub_idx = 0 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 1 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 2 THEN l.dist END)
+             + SUM(CASE WHEN l.sub_idx = 3 THEN l.dist END) AS adc_raw
+      FROM codes
+      JOIN assign a ON a.vec_id = codes.vec_id
+      JOIN probed p ON p.cell = a.cell
+      JOIN lut l USING (sub_idx, code)
+      GROUP BY codes.vec_id
+    ), short AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY adc_raw, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 50
+    ), rerank AS (
+      SELECT e.vec_id,
+             list_dot_product(e.ev, e.ev)
+             - 2.0 * list_dot_product(e.ev, q.qv)
+             + list_dot_product(q.qv, q.qv) AS d2_raw
+      FROM short JOIN e USING (vec_id) CROSS JOIN qfull q
+    )
+    SELECT vec_id, ROUND(d2_raw, 6) AS d2
+    FROM rerank ORDER BY d2_raw, vec_id LIMIT 10
+    """
+
+
+@register("ivf_pq_topk", _PQ_CTES + _IVF_PQ_TAIL)
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r9: the complete FAISS IVF-PQ serving stack in ONE plan —
+    coarse-cell pruning (IVF: vectors in the query's 3 nearest of 8
+    fixed cells), PQ asymmetric-distance shortlist (top-50 by the m=4
+    lookup-table distance over 4-byte codes), exact re-rank of the
+    survivors (true squared L2, top-10).  This is the 10^9-vector
+    architecture end to end: at real cell counts the probe prunes
+    ~(1 - nprobe/k_cells) of the corpus before any distance math, the
+    shortlist pass touches only the m-byte codes, and full vectors are
+    read for 50 rows.  Coarse centroids = full vectors of vec_id 0..7,
+    PQ codebook = their slices (the pinned-seed convention), so every
+    stage — cell argmin, probe choice, ADC sums in fixed subspace
+    order, exact re-rank — is deterministic arithmetic the oracle
+    replays; driver-side probe selection uses the same left-fold sums
+    as list_dot_product (parameter math, not data)."""
+    from .operators.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, query_id=0, k=10, nprobe=3, shortlist=50)
+
+
+def _ivfpq_store_path(sf_dir: str) -> str:
+    """Deterministic store location keyed on the corpus identity AND the
+    source parquet mtime — a regenerated fixture invalidates the store
+    automatically (stale codes would silently flip the top-k)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        # st_mtime_ns, not int(getmtime): second-resolution keys let a
+        # fixture regenerated within the same second (or restored with a
+        # preserved whole-second mtime) silently serve a stale base+delta
+        # index (r13 ADVICE #1); nanosecond identity matches _trained_book.
+        mtime = os.stat(src).st_mtime_ns
+    except OSError:
+        mtime = 0
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}_{mtime}"
+    )
+
+
+@register("ivf_pq_topk_stored", _PQ_CTES + _IVF_PQ_TAIL)
+def ivf_pq_topk_stored_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r11 (r10 verdict ask #3): the stored-index IVF-PQ SERVING
+    query — the operational shape the inline ``ivf_pq_topk`` only
+    demos.  Build amortization: the corpus is cell-assigned and
+    PQ-encoded ONCE into a parquet index PARTITIONED BY cell
+    (build_ivfpq_store; rebuilt only when missing or when the source
+    fixture's mtime changes); each query then reads ONLY its nprobe
+    probed cell directories — ``cell IN (...)`` lands in the scan's
+    PartitionFilters, i.e. pruning at file listing, before any IO
+    (plan-asserted in tests/test_scale_plans.py).  r9 probe at 1M
+    vectors: 0.84 s/query stored vs 34.1 s inline (SCALE.md).  Same
+    pinned centroids/codebook and fixed-subspace-order ADC arithmetic
+    as the inline form, so the top-10 is value-identical and shares
+    its oracle SQL verbatim."""
+    import os
+
+    from .operators.similarity import build_ivfpq_store, ivf_pq_topk_stored
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _ivfpq_store_path(sf_dir)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        build_ivfpq_store(emb, store, n_cells=8, m=4)
+    return ivf_pq_topk_stored(
+        emb, store, query_id=0, k=10, nprobe=3, shortlist=50, n_cells=8, m=4
+    )
+
+
+@register("ivf_pq_topk_upsert", _PQ_CTES + _IVF_PQ_TAIL)
+def ivf_pq_topk_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r12 (r11 verdict ask #5): INCREMENTAL index maintenance for
+    the stored IVF-PQ serving path — the operational gap
+    ``ivf_pq_topk_stored`` left open (its index only rebuilds whole).
+    The corpus's first half builds the base index offline; the second
+    half then arrives as a MULTI-MICRO-BATCH stream
+    (maxFilesPerTrigger=1 file replay) whose batches are encoded
+    against the quantizer FROZEN at build time and appended to
+    cell-partitioned delta directories with the overwrite-own-batch_id
+    exactly-once contract (streaming/jobs.py:run_stream_ivfpq_upsert;
+    operators/similarity.py:ivfpq_store_upsert).  Serving unions base +
+    delta cells — ``cell IN (probed)`` prunes BOTH scans at file
+    listing (plan-asserted) — and, because encoding is per-vector
+    deterministic under a fixed quantizer, the result is
+    value-identical to a full rebuild over the whole corpus: this row
+    therefore shares the inline/stored oracle SQL verbatim, making the
+    upsert path's zero recall drift a driver-checked fact rather than a
+    claim.
+
+    Cost shape per invocation: base index AND delta batches are both
+    mtime-cached like ``ivf_pq_topk_stored``'s store (r12 verdict ask
+    #4 — the deltas were re-written on every gate invocation, ~5.6 s of
+    fixed cost compounding across 265-query gate runs; the upsert
+    WRITE path stays exercised by the cold build here plus the
+    Structured-Streaming form of the same writer, which is
+    retry-idempotence-pinned in tests/test_r9_ops.py, so warm
+    invocations measure SERVING, which is what the row registers).  A
+    fixture regeneration (new mtime) rebuilds base and deltas
+    automatically via the shared path key."""
+    import os
+
+    from .operators.similarity import (
+        _pinned_seeds,
+        build_ivfpq_store,
+        ivf_pq_topk_upsert,
+        ivfpq_store_upsert,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = max(8, n // 2)
+    base = _ivfpq_store_path(sf_dir) + "_upsertbase"
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        build_ivfpq_store(emb.filter(F.col("vec_id") < cut), base, n_cells=8, m=4)
+    cents = _pinned_seeds(emb, 8, "vec_id", "embedding")
+    book = pq_codebook(emb, n_codes=8, m=4, seeds=cents)
+    delta_root = _ivfpq_store_path(sf_dir) + "_upsertdelta"
+    mid = cut + (n - cut) // 2
+    batches = ((0, cut, mid), (1, mid, n))
+    # The per-batch overwrite leaves a _SUCCESS inside each batch_id dir;
+    # both present (for THIS fixture mtime — stale roots have different
+    # paths) means the deltas are complete and warm serving can skip the
+    # writes.  A torn earlier run (batch 0 written, batch 1 not) re-runs
+    # both: overwrite-own-batch_id makes the redo idempotent.
+    if not all(
+        os.path.exists(os.path.join(delta_root, f"batch_id={bid}", "_SUCCESS"))
+        for bid, _, _ in batches
+    ):
+        for bid, lo, hi in batches:
+            ivfpq_store_upsert(
+                emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)),
+                base,
+                cents,
+                book,
+                bid,
+                delta_root=delta_root,
+            )
+    return ivf_pq_topk_upsert(
+        emb,
+        base,
+        query_id=0,
+        k=10,
+        nprobe=3,
+        shortlist=50,
+        n_cells=8,
+        m=4,
+        delta_root=delta_root,
+    )

@@ -1,0 +1,57 @@
+"""r13 verdict ask #9: registry.py split into family modules
+(registry_similarity / registry_graph / registry_clustering /
+registry_curation_text), each imported by the main module at the exact
+position its block previously occupied so QUERIES insertion order is
+unchanged.  These tests pin that contract so a future refactor cannot
+silently drop or reorder a family."""
+
+from __future__ import annotations
+
+from iiot_data_engineering_lab_assignment_spark import (
+    registry,
+    registry_clustering,
+    registry_curation_text,
+    registry_graph,
+    registry_similarity,
+)
+
+FAMILY_MODULES = {
+    "similarity": registry_similarity.SIMILARITY_QUERIES,
+    "graph": registry_graph.MODULE_QUERIES,
+    "clustering": registry_clustering.MODULE_QUERIES,
+    "curation_text": registry_curation_text.MODULE_QUERIES,
+}
+
+
+def test_family_modules_registered_with_oracles():
+    """Every family-module query is in QUERIES and oracle-backed."""
+    for fam, names in FAMILY_MODULES.items():
+        for n in names:
+            assert n in registry.QUERIES, (fam, n)
+            assert registry.QUERIES[n].oracle is not None, (fam, n)
+
+
+def test_family_modules_preserve_relative_order():
+    """Within each family module, QUERIES preserves the module's
+    registration order (the position-sensitive import contract)."""
+    all_names = list(registry.QUERIES)
+    for fam, names in FAMILY_MODULES.items():
+        idx = [all_names.index(n) for n in names]
+        # relative order among non-window names must match registration
+        # order; window membership may pull individual rows forward, so
+        # compare only the tail residents
+        window = set(registry.DRIVER_WINDOW)
+        tail_idx = [all_names.index(n) for n in names if n not in window]
+        assert tail_idx == sorted(tail_idx), (fam, idx)
+
+
+def test_no_family_overlap_and_counts():
+    """Family modules are disjoint and cover the expected row counts."""
+    seen: set[str] = set()
+    for names in FAMILY_MODULES.values():
+        assert not (seen & set(names))
+        seen |= set(names)
+    assert len(FAMILY_MODULES["similarity"]) == 14
+    assert len(FAMILY_MODULES["graph"]) == 5
+    assert len(FAMILY_MODULES["clustering"]) == 4
+    assert len(FAMILY_MODULES["curation_text"]) == 11
