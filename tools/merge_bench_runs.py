@@ -51,6 +51,13 @@ def main() -> None:
         "extended_total": round(sum(extended.values()), 3),
         "regressions_vs_baseline": {},
         "calibration": min(r["calibration"] for r in runs if "calibration" in r),
+        # r14: the streaming probe's min rides along so stream_* floors
+        # normalize by micro-batch speed, not scan speed (bench.py ask #3)
+        "calibration_streaming": min(
+            (r["calibration_streaming"] for r in runs
+             if "calibration_streaming" in r),
+            default=None,
+        ),
         "sf": base.get("sf", 0.1),
         "note": (
             f"min-of-{len(runs)} idle-box runs; per-query min, totals "
@@ -62,6 +69,7 @@ def main() -> None:
                 "headline": r.get("value"),
                 "extended": r.get("extended_total"),
                 "calibration": r.get("calibration"),
+                "calibration_streaming": r.get("calibration_streaming"),
             }
             for r in runs
         ],
