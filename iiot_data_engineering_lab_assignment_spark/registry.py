@@ -17,8 +17,6 @@ hash stable:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,46 +42,20 @@ from .operators.windows import (
 )
 from .sources.readers import load_table, register_views
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: QueryFn
-    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = QuerySpec(fn, oracle)
-        return fn
-
-    return deco
-
-
-def dsum(col, name, prec="decimal(18,4)"):
-    """Exact, order-independent SUM of a money-like double: route through
-    DECIMAL, emit DOUBLE.  Oracle twin: CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE)."""
-    c = col if isinstance(col, Column) else F.col(col)
-    return F.sum(c.cast(prec)).cast("double").alias(name)
-
-
-def ravg(col, name):
-    c = col if isinstance(col, Column) else F.col(col)
-    return F.round(F.avg(c), 6).alias(name)
-
-
-def davg(col, name, prec="decimal(18,4)"):
-    """Exact, order-independent mean of a 2-4dp double column: DECIMAL sum
-    (exact) cast to double, divided by count — bit-identical across
-    engines and partitionings, unlike float AVG whose low bits depend on
-    summation order and often sit exactly on rounding boundaries."""
-    c = col if isinstance(col, Column) else F.col(col)
-    return (F.sum(c.cast(prec)).cast("double") / F.count(F.lit(1))).alias(name)
-
+# Registration machinery lives in registry_core (r14: family modules
+# import it instead of this module, killing the circular-import hazard
+# when a family module is imported first).  Re-exported here so
+# ``registry.QUERIES`` / ``registry.register`` / the aliasing helpers
+# keep their historical import paths.
+from .registry_core import (  # noqa: F401
+    QUERIES,
+    QueryFn,
+    QuerySpec,
+    davg,
+    dsum,
+    ravg,
+    register,
+)
 
 # ===========================================================================
 # IIoT-parity core (SURVEY.md sections 2.3-2.5, 2.7)

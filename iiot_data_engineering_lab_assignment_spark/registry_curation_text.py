@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.text import quality_score
-from .registry import register
+from .registry_core import register
 from .sources.readers import load_table
 
 __all__ = ["MODULE_QUERIES"]

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .registry import register
+from .registry_core import register
 from .sources.readers import load_table
 
 __all__ = ["SIMILARITY_QUERIES"]

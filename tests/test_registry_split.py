@@ -45,6 +45,33 @@ def test_family_modules_preserve_relative_order():
         assert tail_idx == sorted(tail_idx), (fam, idx)
 
 
+def test_direct_family_import_is_safe():
+    """r14 regression: importing a family module FIRST (before registry)
+    must not crash.  Pre-fix, the family's `from .registry import
+    register` triggered the full registry import, whose position-
+    sensitive bridge saw the half-initialized family module as already
+    imported, skipped its registrations, and blew the DRIVER_WINDOW
+    completeness check.  With the machinery in registry_core the direct
+    import registers just that family, no circularity."""
+    import subprocess
+    import sys
+
+    code = (
+        "import iiot_data_engineering_lab_assignment_spark.registry_graph as g;"
+        "from iiot_data_engineering_lab_assignment_spark.registry_core import QUERIES;"
+        "assert set(g.MODULE_QUERIES) <= set(QUERIES);"
+        "print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert out.stdout.strip() == "ok"
+
+
 def test_no_family_overlap_and_counts():
     """Family modules are disjoint and cover the expected row counts."""
     seen: set[str] = set()
