@@ -447,7 +447,10 @@ def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized from ranges, not fixture data, by design.)"""
     from .operators.dedup import label_propagation
 
-    nodes = spark.range(320)
+    # single-partition build: a 320-node planted graph scheduling
+    # 32-task stages per LPA round is pure overhead (measured 5.2 s
+    # warm -> sub-2 s); values are partition-count independent
+    nodes = spark.range(0, 320, 1, 1)
     a = nodes.alias("a")
     b = nodes.alias("b")
     intra = a.join(
@@ -455,7 +458,7 @@ def lpa_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("a.id DIV 16") == F.expr("b.id DIV 16"))
         & (F.col("a.id") < F.col("b.id")),
     ).select(F.col("a.id").alias("u"), F.col("b.id").alias("v"))
-    bridge = spark.range(20).select(
+    bridge = spark.range(0, 20, 1, 1).select(
         (F.col("id") * 16).alias("u"),
         ((F.col("id") + 1) % 20 * 16).alias("v"),
     )
@@ -573,11 +576,12 @@ def pagerank_planted_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank order becomes a driver-checked fact.  Graph is synthesized
     from ranges (no fixture randomness), matching the LPA row's
     convention."""
-    spokes = spark.range(1, 11).select(
+    # single-partition build (same rationale as the LPA planted row)
+    spokes = spark.range(1, 11, 1, 1).select(
         F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
         F.lit("n0").alias("dst"),
     )
-    ring = spark.range(11, 31).select(
+    ring = spark.range(11, 31, 1, 1).select(
         F.concat(F.lit("n"), F.col("id").cast("string")).alias("src"),
         F.concat(
             F.lit("n"),
