@@ -29,6 +29,7 @@ __all__ = [
     "ewma_state_segmented",
     "kmv_hash52",
     "key_skew_profile",
+    "profile_salted_rollup",
 ]
 
 
@@ -267,3 +268,65 @@ def key_skew_profile(
         .orderBy(F.desc("cnt"), F.asc("key_value"))
         .limit(top_k)
     )
+
+
+def profile_salted_rollup(
+    df: DataFrame,
+    key_col: str,
+    extra_group_cols: list[str] | None = None,
+    value_col: str = "value",
+    parallelism: int = 32,
+    top_k: int = 20,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-ADAPTIVE four-function rollup (r14 verdict ask #4): profile
+    ``key_col`` with :func:`key_skew_profile`; keys whose ``needs_salt``
+    predicate fires take a TWO-STAGE salted aggregate — partial states
+    per (key, extra keys, salt) via :func:`rollup_partials`, merged by
+    :func:`merge_rollup_partials` — while every cold key runs the plain
+    one-stage hash aggregate.  Both slices union into one plan; when no
+    key trips the predicate, the plain rollup IS the plan.  This is the
+    aggregation dual of :func:`~..joins.profile_salted_join`: the same
+    measurement, now driving the reference's own A1/A2 shape.
+
+    When salting a groupBy actually matters: for algebraic aggregates,
+    Spark's map-side partial aggregation already absorbs most key skew —
+    a hot key spread over many map tasks pre-combines before the
+    shuffle.  The cases the two-stage form exists for are the ones
+    partial aggregation cannot save: (a) the map-side hash table spills
+    and falls back to sort-based aggregation (high per-map-task group
+    cardinality — each map task sees most keys once, so nothing
+    combines and the hot key's raw rows all land on one reducer), and
+    (b) holistic aggregates (exact distinct, collect_list) where
+    partial states are themselves value-sized.  The salt splits that
+    one reducer into ``salt_buckets`` and the merge stage is
+    group-cardinality-sized.  Profiling the LEADING key alone
+    over-approximates hotness for composite groupings (a hot leading
+    key salts all its subgroups) — the safe direction: extra salting
+    costs one vocabulary-sized merge, a missed hot key costs a
+    straggler.
+
+    Output schema equals :func:`sensor_rollup` over
+    ``[key_col, *extra_group_cols]``: the exact decimal partial sums
+    re-merge associatively, so the salted result is bit-identical to
+    the plain rollup (driver-proven by ``profile_salted_agg_revenue``'s
+    all-plain oracle).  The hot-key list is the only driver round-trip,
+    parameter-sized (<= ``top_k``).
+    """
+    extra = list(extra_group_cols or [])
+    group_cols = [key_col, *extra]
+    prof = key_skew_profile(df, key_col, top_k=top_k, parallelism=parallelism)
+    hot = [r["key_value"] for r in prof.filter(F.col("needs_salt")).collect()]
+    if not hot:
+        return sensor_rollup(df, *group_cols, value_col=value_col)
+    df_hot = df.filter(F.col(key_col).isin(hot))
+    df_cold = df.filter(~F.col(key_col).isin(hot) | F.col(key_col).isNull())
+    salted = df_hot.withColumn(
+        "_salt", (F.rand(42) * salt_buckets).cast("int")
+    )
+    hot_rolled = merge_rollup_partials(
+        rollup_partials(salted, *group_cols, "_salt", value_col=value_col),
+        group_cols,
+    )
+    cold_rolled = sensor_rollup(df_cold, *group_cols, value_col=value_col)
+    return hot_rolled.unionByName(cold_rolled)

@@ -161,8 +161,8 @@ def profile_salted_join(
     plain shuffle — the decision :func:`salted_join` hard-codes, made by
     the measurement that exists to make it (r13 verdict ask #5).
 
-    Why not salt everything: salting replicates the right side
-    ``salt_buckets``x and forbids right/full joins; paying that tax on a
+    Why not salt everything: salting replicates the non-preserved side
+    ``salt_buckets``x and forbids full-outer joins; paying that tax on a
     uniformly-distributed key is pure overhead.  Why not salt nothing:
     one 5%-share key at 1000-way parallelism is a 50x straggler AQE can
     only split AFTER materializing the skewed map output.  The profile
@@ -178,8 +178,48 @@ def profile_salted_join(
     salted join over the hot slice (right side filtered to hot keys —
     usually broadcast-small) unioned with a plain join over the cold
     slice.  When no key needs salt the plain join IS the plan.
+
+    ``right`` joins (r14 verdict ask #5) run as the exact DUAL: the
+    preserved side is the right relation, so the profile runs on the
+    RIGHT key, the right relation takes the hot/cold split + salt, and
+    the LEFT side is the replicated one — implemented by flipping to
+    the ``left`` form and restoring the caller's column order (which
+    requires disjoint column names across the two inputs, enforced
+    loudly).  ``full`` outer is REJECTED: salting replicates one side,
+    and under full-outer BOTH sides' unmatched rows must survive
+    exactly once — the replicated side's unmatched rows would emit once
+    per replica, and no flip fixes both sides at once.  Full-outer skew
+    belongs to AQE's skew-join split (on in session.py), which handles
+    it after materializing map output instead of rewriting the plan.
     """
     from .aggregates import key_skew_profile
+
+    if how in ("right", "rightouter", "right_outer"):
+        dup = set(left.columns) & set(right.columns)
+        if dup:
+            raise ValueError(
+                "profile_salted_join(how='right') restores column order by "
+                f"name after flipping sides; rename overlapping columns {sorted(dup)}"
+            )
+        flipped = profile_salted_join(
+            right,
+            left,
+            right_key,
+            left_key,
+            parallelism=parallelism,
+            top_k=top_k,
+            salt_buckets=salt_buckets,
+            how="left",
+        )
+        return flipped.select(*left.columns, *right.columns)
+    if how in ("full", "outer", "fullouter", "full_outer"):
+        raise ValueError(
+            "profile_salted_join does not support full outer joins: salting "
+            "replicates one side, so that side's unmatched rows would emit "
+            "once per salt replica, and flipping sides only moves the "
+            "problem. Use the plain join and let AQE's skew-join split "
+            "handle runtime skew, or pre-aggregate the hot side."
+        )
 
     prof = key_skew_profile(left, left_key, top_k=top_k, parallelism=parallelism)
     hot = [

@@ -612,12 +612,78 @@ def bpe_pair_counts(
     )
 
 
+def _distinct_doc_terms(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, term) pairs after per-doc DISTINCT — duplicate terms in
+    a doc contribute one posting.  Shared by both index builders."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+
+
+def _merged_capped_postings(
+    tok: DataFrame, id_col: str, n_doc_shards: int, max_postings: int
+) -> DataFrame:
+    """(term, df, shards_with_term, ids): exact global df plus the exact
+    global first-``max_postings`` sorted doc ids, built with per-DOC-shard
+    capped lists when ``n_doc_shards > 1`` (each reducer collects at most
+    ``max_postings`` ids per shard instead of the full df) and a single
+    aggregate otherwise.  The per-shard cap COMPOSES: a globally-small id
+    is small within its own shard, so the merged shard-prefix union always
+    contains the true global prefix."""
+    if n_doc_shards <= 1:
+        return tok.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.lit(1).cast("long").alias("shards_with_term"),
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_postings
+            ).alias("ids"),
+        )
+    dsh = F.expr(
+        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10)"
+        f" AS BIGINT) % {int(n_doc_shards)}"
+    )
+    pshard = (
+        tok.withColumn("dsh", dsh)
+        .groupBy("term", "dsh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_s"),
+            F.slice(
+                F.sort_array(F.collect_list(id_col)), 1, max_postings
+            ).alias("ids_s"),
+        )
+    )
+    return pshard.groupBy("term").agg(
+        F.sum("df_s").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("shards_with_term"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("ids_s"))), 1, max_postings
+        ).alias("ids"),
+    )
+
+
+def _gap_deltas():
+    # built lazily: F.expr needs an active SparkContext (import-time eval
+    # broke the vanilla-driver import path)
+    return F.expr(
+        "array_join(transform(ids,"
+        " (x, i) -> cast(x - if(i = 0, cast(0 as bigint), ids[i - 1])"
+        "            as string)), ',')"
+    )
+
+
 def inverted_index_postings(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_postings: int = 128,
     min_df: int = 1,
+    n_doc_shards: int = 4,
 ) -> DataFrame:
     """Inverted-index build: per term, document frequency plus the first
     ``max_postings`` doc ids DELTA-ENCODED (gap list) — the storage form
@@ -626,37 +692,29 @@ def inverted_index_postings(
     the registered BM25/TF-IDF scoring rows, which re-derive postings
     per query: this materializes the index once.
 
-    One corpus-sized shuffle (term key) after a per-doc DISTINCT
-    (duplicate terms in a doc contribute one posting).  Posting lists
-    are CAPPED at ``max_postings`` ids (df keeps the true count) — the
-    unbounded-stopword-list guard: a term appearing in every document
-    would otherwise collect a corpus-sized array onto one reducer (the
-    `_cap_postings` failure mode in storage form).  At index scale the
-    cap becomes per-shard and lists merge across shards; the gap
-    encoding is shard-local either way.  Deltas emit as a comma-joined
+    The build is SHARDED BY DEFAULT (r14 verdict ask: the scale-safe
+    form is the entry point, not a sibling): each (doc, term) pair lands
+    in one of ``n_doc_shards`` md5 doc shards, each shard caps its own
+    posting list at ``max_postings``, and a vocabulary-sized second
+    aggregate merges the (<= cap)-sized shard lists — so the hottest
+    term's reducer collects df/``n_doc_shards`` ids instead of df (the
+    unbounded-stopword-list guard, now with a bound that scales with
+    the cluster).  The merge is EXACT: df is the sum of shard dfs (the
+    doc-level DISTINCT runs before sharding) and the global
+    first-``max_postings`` sorted ids are each among their own shard's
+    first ``max_postings``, so the result is id-identical to a
+    single-aggregate build at ANY shard count — pytest-pinned, and both
+    registered oracle rows prove it at n_doc_shards=1-equivalence.
+    ``n_doc_shards=1`` degenerates to the single corpus-sized shuffle
+    (term key) the pre-r15 builder ran; pick ``n_doc_shards`` ~ max-df
+    / cap for an absolute reducer bound.  Deltas emit as a comma-joined
     string (first element = smallest doc id, then gaps), deterministic
     via the sorted id array."""
-    tok = (
-        docs.select(
-            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    post = tok.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("df"),
-        F.slice(
-            F.sort_array(F.collect_list(id_col)), 1, max_postings
-        ).alias("ids"),
-    )
+    tok = _distinct_doc_terms(docs, text_col, id_col)
+    post = _merged_capped_postings(tok, id_col, n_doc_shards, max_postings)
     if min_df > 1:
         post = post.filter(F.col("df") >= min_df)
-    deltas = F.expr(
-        "array_join(transform(ids,"
-        " (x, i) -> cast(x - if(i = 0, cast(0 as bigint), ids[i - 1])"
-        "            as string)), ',')"
-    )
-    return post.select("term", "df", deltas.alias("gap_list"))
+    return post.select("term", "df", _gap_deltas().alias("gap_list"))
 
 
 def inverted_index_sharded(
@@ -698,51 +756,24 @@ def inverted_index_sharded(
 
     Scale: two shuffles — (term, doc_shard) then (term) — both with
     bounded reducers; at 1000 executors the doc-shard count scales with
-    the cluster while the merge stays vocabulary-sized.  See
-    tools/invindex_scale_probe.py for the 1M-doc build probe."""
-    tok = (
-        docs.select(
-            F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    dsh = F.expr(
-        f"CAST(conv(substr(md5(CAST({id_col} AS STRING)), 1, 8), 16, 10)"
-        f" AS BIGINT) % {int(n_doc_shards)}"
-    )
-    pshard = (
-        tok.withColumn("dsh", dsh)
-        .groupBy("term", "dsh")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df_s"),
-            F.slice(
-                F.sort_array(F.collect_list(id_col)), 1, max_postings
-            ).alias("ids_s"),
-        )
-    )
-    merged = pshard.groupBy("term").agg(
-        F.sum("df_s").cast("long").alias("df"),
-        F.count(F.lit(1)).cast("long").alias("shards_with_term"),
-        F.slice(
-            F.array_sort(F.flatten(F.collect_list("ids_s"))), 1, max_postings
-        ).alias("ids"),
-    )
+    the cluster while the merge stays vocabulary-sized.  Since r15 the
+    build internals are SHARED with :func:`inverted_index_postings`
+    (whose default is now the sharded form); this variant adds the
+    serving-shard routing key and the ``shards_with_term`` skew
+    observability column.  See tools/invindex_scale_probe.py for the
+    1M-doc build probe."""
+    tok = _distinct_doc_terms(docs, text_col, id_col)
+    merged = _merged_capped_postings(tok, id_col, n_doc_shards, max_postings)
     tsh = F.expr(
         f"CAST(conv(substr(md5(substr(term, 1, 2)), 1, 8), 16, 10)"
         f" AS BIGINT) % {int(n_term_shards)}"
-    )
-    deltas = F.expr(
-        "array_join(transform(ids,"
-        " (x, i) -> cast(x - if(i = 0, cast(0 as bigint), ids[i - 1])"
-        "            as string)), ',')"
     )
     return merged.select(
         tsh.alias("shard"),
         "term",
         "df",
         "shards_with_term",
-        deltas.alias("gap_list"),
+        _gap_deltas().alias("gap_list"),
     )
 
 

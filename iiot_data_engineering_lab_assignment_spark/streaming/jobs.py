@@ -361,6 +361,103 @@ def run_events_stream_rollup(
     )
 
 
+def run_stream_late_drop_accounting(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "5 seconds",
+    duration: str = "5 minutes",
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Watermark late-drop OBSERVABILITY (r14 verdict ask #9): replay the
+    events fixture as three ordered micro-batches — (1) every on-time
+    event, (2) a deterministic planted LATE cohort (``event_id % 100 <
+    3`` AND at least one hour older than the fixture maximum, so every
+    injected row sits far below the epoch-1 watermark = max(ts) -
+    ``watermark``), (3) a sentinel one hour past the maximum that drags
+    the watermark over every real window's end — through the
+    watermarked tumbling rollup in APPEND mode, then COUNT what the
+    watermark actually dropped as a queryable fact (5-minute windows
+    keep the replay's state volume ~5x smaller than the 1-minute form
+    while every planted row's window still ends >= 55 minutes below
+    the watermark): production
+    pipelines alarm on late-drop rates, and until this row the engine
+    proved drops happen (pytest) but never surfaced the number.
+
+    Returns one row: ``n_total`` (fixture rows), ``n_late_injected``
+    (the planted cohort), ``n_absorbed`` (sum of emitted
+    ``count_readings`` — i.e. rows that made it INTO the aggregation,
+    read back from the materialized streaming result, not recomputed in
+    batch), ``n_dropped`` (= total - absorbed).  The 1-hour margin
+    makes the oracle exact without pinning Spark's watermark boundary
+    semantics: every late row is unambiguously below the watermark, so
+    absorbed == on-time count — any failure to drop (or over-drop)
+    breaks the driver hash loudly.
+
+    Execution-model landmine this runner pins (empirically, r15): an
+    ``availableNow`` + ``maxFilesPerTrigger=1`` replay reports the
+    advancing watermark in its progress lines but does NOT apply
+    late-row filtering between its planned batches (all 300 planted
+    rows were absorbed); a LIVE query fed epoch-by-epoch with
+    ``processAllAvailable`` applies it exactly (297 post-partial-agg
+    group rows dropped, absorbed == on-time to the row).  So this
+    runner drives a continuous query per epoch — the same harness shape
+    as tests/test_streaming.py::_run_micro_batches — not
+    ``_run_to_memory``."""
+    from ..sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    late_pred = (F.col("event_id") % 100 < 3) & (
+        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+    )
+    late = ev.filter(late_pred)
+    ontime = ev.filter(~late_pred)
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(hours=1), -1, "__sentinel__", 0.0, None)],
+        ev.schema,
+    )
+
+    src = scratch_dir("latedrop_src_")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = streaming_rollup(
+        stream, "ts", duration, watermark, ["event_type"]
+    )
+    name = f"latedrop_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", scratch_dir("latedrop_ckpt_"))
+        .start()
+    )
+    try:
+        for epoch in (ontime, late, sentinel):
+            epoch.coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    emitted = spark.table(name).filter(F.col("event_type") != "__sentinel__")
+    totals = ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(late_pred.cast("long")).alias("n_late_injected"),
+    )
+    absorbed = emitted.agg(
+        F.coalesce(F.sum("count_readings"), F.lit(0))
+        .cast("long")
+        .alias("n_absorbed")
+    )
+    return totals.crossJoin(absorbed).select(
+        "n_total",
+        "n_late_injected",
+        "n_absorbed",
+        (F.col("n_total") - F.col("n_absorbed")).cast("long").alias("n_dropped"),
+    )
+
+
 def cascade_1m_to_5m(src: DataFrame) -> DataFrame:
     """The chained window-on-window plan itself (shared by the fixture
     runner and the multi-batch replay test): watermarked input ->
