@@ -32,6 +32,7 @@ MODULE_QUERIES = [
     "inverted_index_gaps",
     "event_key_skew_profile",
     "inverted_index_sharded",
+    "curation_e2e_composed",
 ]
 
 # the positional-fingerprint-chain substring dedup as shared CTEs: k=8
@@ -748,3 +749,180 @@ def inverted_index_sharded_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index_sharded(
         docs, n_doc_shards=4, n_term_shards=4, max_postings=128
     )
+
+
+_CURATION_E2E_ORACLE = (
+    # span removal + quality gate + fingerprint dedup: the
+    # corpus_curation_pipeline_spans prefix, with text carried forward
+    # (fpd keeps the cleaned text for the LSH / split stages below).
+    # WITH RECURSIVE because the two closure stages (reach2 / reach3)
+    # sit later in the same chain.
+    _SUBSTR_SPAN_CTES.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    + """
+    , spl AS (
+      SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS spns
+      FROM qual GROUP BY doc_id
+    ), alltoks AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
+    ), cleanp AS MATERIALIZED (
+      SELECT a.doc_id,
+             COALESCE(array_to_string(
+               list_filter(a.toks, (x, i) -> spns IS NULL OR
+                 len(list_filter(spns, s -> i - 1 >= s.s AND i - 1 < s.e)) = 0),
+               ' '), '') AS text
+      FROM alltoks a LEFT JOIN spl USING (doc_id)
+    ), scoredp AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_dis
+      FROM cleanp WHERE text <> ''
+    ), gatedp AS MATERIALIZED (
+      SELECT doc_id, text FROM scoredp
+      WHERE LEAST(1.0, n_tok / 50.0) * 0.5 + (n_dis / n_tok) * 0.3
+            + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2
+            >= 0.5
+    ), fpd AS MATERIALIZED (
+      SELECT doc_id, text FROM gatedp
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+        ORDER BY doc_id) = 1
+    ), toks2 AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM fpd
+    ), sh2 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks2, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), hashes2 AS (
+      SELECT doc_id, seed,
+             min(substr(md5(CAST(seed AS VARCHAR) || ':' || shingle), 1, 16)) AS mh
+      FROM sh2, LATERAL (SELECT unnest(range(0, 16)) AS seed) s
+      GROUP BY doc_id, seed
+    ), bands2 AS MATERIALIZED (
+      SELECT doc_id, seed // 4 AS band,
+             md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+      FROM hashes2 GROUP BY doc_id, seed // 4
+    ), cands2 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands2 a JOIN bands2 b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), sizes2 AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh2 GROUP BY doc_id
+    ), common2 AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      FROM cands2 c
+      JOIN sh2 a ON a.doc_id = c.doc_a
+      JOIN sh2 b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ), pairs2 AS (
+      SELECT doc_a, doc_b FROM common2
+      JOIN sizes2 sa ON sa.doc_id = doc_a
+      JOIN sizes2 sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    ), edges2 AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs2
+      UNION
+      SELECT doc_b, doc_a FROM pairs2
+    ), reach2(node, comp) AS (
+      SELECT a, a FROM edges2
+      UNION
+      SELECT e.a, r.comp FROM edges2 e JOIN reach2 r ON r.node = e.b
+    ), comp2 AS MATERIALIZED (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach2 GROUP BY node
+    ), allc2 AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM fpd d LEFT JOIN comp2 c ON c.doc_id = d.doc_id
+    ), q2 AS (
+      SELECT doc_id,
+             ROUND(LEAST(1.0, n_tok / 50.0) * 0.5
+                   + (n_dis / n_tok) * 0.3
+                   + (CASE WHEN n_tok BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.2,
+                   6) AS quality_score
+      FROM (SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len(list_distinct(string_split(text, ' '))) AS n_dis
+            FROM fpd)
+    ), ranked2 AS (
+      SELECT allc2.doc_id,
+             row_number() OVER (PARTITION BY allc2.component
+                                ORDER BY q2.quality_score DESC, allc2.doc_id) AS rn
+      FROM allc2 JOIN q2 ON q2.doc_id = allc2.doc_id
+    ), surv AS MATERIALIZED (
+      SELECT f.doc_id, f.text FROM fpd f
+      JOIN ranked2 k ON k.doc_id = f.doc_id AND k.rn = 1
+    ), sh3 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv) s3,
+           LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+    ), cold3 AS (
+      SELECT shingle FROM sh3 GROUP BY shingle HAVING COUNT(*) <= 50
+    ), shc3 AS MATERIALIZED (
+      SELECT sh3.doc_id, sh3.shingle FROM sh3 JOIN cold3 USING (shingle)
+    ), sizes3 AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shc3 GROUP BY doc_id
+    ), common3 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM shc3 a JOIN shc3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs3 AS (
+      SELECT doc_a, doc_b FROM common3
+      JOIN sizes3 sa ON sa.doc_id = doc_a
+      JOIN sizes3 sb ON sb.doc_id = doc_b
+      WHERE common * 1.0 / (sa.n_sh + sb.n_sh - common) >= 0.4
+    ), edges3 AS MATERIALIZED (
+      SELECT doc_a AS a, doc_b AS b FROM pairs3
+      UNION
+      SELECT doc_b, doc_a FROM pairs3
+    ), reach3(node, comp) AS (
+      SELECT a, a FROM edges3
+      UNION
+      SELECT e.a, r.comp FROM edges3 e JOIN reach3 r ON r.node = e.b
+    ), comp3 AS MATERIALIZED (
+      SELECT node AS doc_id, MIN(comp) AS component FROM reach3 GROUP BY node
+    ), allc3 AS (
+      SELECT s.doc_id, s.text, COALESCE(c.component, s.doc_id) AS component
+      FROM surv s LEFT JOIN comp3 c ON c.doc_id = s.doc_id
+    ), splits AS (
+      SELECT doc_id, text,
+             CASE WHEN u < 0.8 THEN 'train'
+                  WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, text,
+               CAST(('0x' || substr(md5('split:' || CAST(component AS VARCHAR)), 1, 13))
+                    AS BIGINT) / 4503599627370496.0 AS u
+        FROM allc3
+      )
+    ), toked AS (
+      SELECT doc_id, split, len(string_split(text, ' ')) AS n_tokens FROM splits
+    )
+    SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(n_tokens) OVER wsh AS BIGINT) AS cum_tokens,
+           CAST((SUM(n_tokens) OVER wsh - n_tokens) // 10000 AS BIGINT) AS shard_id
+    FROM toked
+    WINDOW wsh AS (PARTITION BY split ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    """
+)
+
+
+@register("curation_e2e_composed", _CURATION_E2E_ORACLE)
+def curation_e2e_composed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW r15 (r14 verdict ask #2): the SIX-STAGE curation pipeline a
+    100 TB run would actually submit, as ONE registered job — span
+    removal -> quality gate over the cleaned text -> md5-fingerprint
+    exact dedup -> MinHash-LSH keep-best -> leakage-safe
+    component-keyed train/val/test split (df-capped Jaccard, a
+    DIFFERENT candidate tier than the LSH stage, so correlated docs the
+    banded pass missed still co-locate) -> per-split token-budget
+    shards.  Every stage was individually oracle-proven (exact_
+    substring_dedup, corpus_curation_pipeline_spans, dedup_keep_best_
+    lsh, leakage_safe_split, token_budget_shards); this row proves the
+    COMPOSITION value-hashes end to end — which documents survive, the
+    split each lands in, and its exact shard — against one fused DuckDB
+    chain (two recursive closures under a single WITH RECURSIVE).
+    Per-stage wall/shuffle accounting at probe scale:
+    tools/curation_e2e_probe.py + SCALE.md.  See
+    operators/dedup.py:curation_e2e."""
+    from .operators.dedup import curation_e2e
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curation_e2e(docs)

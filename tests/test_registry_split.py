@@ -81,4 +81,4 @@ def test_no_family_overlap_and_counts():
     assert len(FAMILY_MODULES["similarity"]) == 14
     assert len(FAMILY_MODULES["graph"]) == 5
     assert len(FAMILY_MODULES["clustering"]) == 4
-    assert len(FAMILY_MODULES["curation_text"]) == 12
+    assert len(FAMILY_MODULES["curation_text"]) == 13
