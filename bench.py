@@ -250,7 +250,39 @@ EXTENDED = [
     "pagerank_planted_quality",
     "inverted_index_sharded",
     "bpe_learned_merges16",
+    # round-15 additions: the profile-driven salted AGGREGATION, the
+    # right-outer adaptive-join dual, the 64-merge BPE trainer, and the
+    # six-stage composed curation pipeline.  stream_late_drop_count is
+    # deliberately NOT bench-tracked: its cost is harness-dominated
+    # (three staged epoch writes + a live query driven batch-by-batch
+    # with processAllAvailable — ~25 s of fixed scheduling per run at
+    # any SF), so timing it would measure the replay fixture, not the
+    # engine; its correctness lives in the driver gate + pytest.
+    "profile_salted_rollup_by_user",
+    "profile_salted_join_right_events",
+    "bpe_learned_merges64",
+    "curation_e2e_composed",
 ]
+
+#: Extended-set TIERING (r14 verdict ask #6): the extended set had grown
+#: to 213 s per driver run (+~7 s/round), which would eventually re-clip
+#: reps and re-create the r13 streaming-noise class.  Tier 1 — queries
+#: touched this round (below) plus the TOP_COST_N most expensive rows by
+#: committed-floor cost — runs on EVERY invocation; the full set runs
+#: when SPARK_GRAFT_BENCH_FULL=1 (the round-close idle-box anchor), so
+#: every row's cross-round floor stays fresh while the per-round driver
+#: cost holds flat.  Deferred rows are logged to stderr and counted in
+#: the record (no silent caps).
+EXTENDED_TOUCHED = [
+    # r15 registrations + the rows whose default build changed in r15
+    "profile_salted_rollup_by_user",
+    "profile_salted_join_right_events",
+    "bpe_learned_merges64",
+    "curation_e2e_composed",
+    "inverted_index_gaps",  # inverted_index_postings default now sharded
+    "inverted_index_sharded",
+]
+TOP_COST_N = 20
 
 
 def _materialize(df) -> None:
@@ -492,27 +524,21 @@ def main() -> None:
     def _subset(names: list[str]) -> list[str]:
         return [n for n in names if n in only] if only else names
 
-    timings, reps_used = measure(_subset(HEADLINE))
-    ext_timings, ext_reps = measure(_subset(EXTENDED))
-
-    total = round(sum(timings.values()), 3)
-
-    # Regression guard (r8 verdict ask #9; floor form r11 verdict ask #3):
+    # Committed-record floors load BEFORE measurement (r15): the tier-1
+    # extended selection needs per-query committed costs, and the
+    # regression guard after measurement reuses the same floors.
+    # Floor semantics (r8 verdict ask #9; floor form r11 verdict ask #3):
     # the reference is the per-query MIN across ALL committed same-machine
     # records (BENCH_local_r*.json) — the cross-round floor — never just
     # the latest record, because a slow-session anchor would silently
-    # raise the absolute regression ceiling (the r11 anchor measured
-    # 1.4-1.6x slow on untouched queries; guarding against it alone would
-    # have passed a true 1.9x-vs-r8 code regression).  Cross-SESSION
-    # sandbox noise is a documented +-25-50% band (byte-identical code
-    # measured 0.356 s vs 1.556 s on gapfill_locf_daily in sessions 4 h
-    # apart), so the floor flag fires at >1.75x — past the noise band —
+    # raise the absolute regression ceiling.  Cross-SESSION sandbox noise
+    # is a documented +-25-50% band, so the floor flag fires at >1.75x
     # while a second 1.25x check against the LATEST record catches
-    # same-session drift.  Override the record set with
-    # SPARK_GRAFT_BENCH_BASELINE (a single record path).  Flags go to
-    # stderr AND into the full record — stdout's compact last line stays
-    # driver-contract-only.
-    regressions: dict[str, dict[str, float]] = {}
+    # same-session drift.  The calibration-NORMALIZED floor (r12 ask #2)
+    # rescales each record's per-query time by (cal_now / cal_rec);
+    # stream_* rows normalize by the STREAMING probe where both records
+    # carry one (r13 ask #3).  Override the record set with
+    # SPARK_GRAFT_BENCH_BASELINE (a single record path).
     here = os.path.dirname(os.path.abspath(__file__))
     override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     if override:
@@ -523,19 +549,12 @@ def main() -> None:
         record_paths = sorted(_glob.glob(os.path.join(here, "BENCH_local_r*.json")))
     floor_q: dict[str, float] = {}
     latest_q: dict[str, float] = {}
-    # Calibration-NORMALIZED floor (r12 verdict ask #2): each committed
-    # record that carries a `calibration` value contributes its per-query
-    # time rescaled to THIS session's speed, b * (cal_now / cal_rec) —
-    # the time that record's code would be expected to take right now.
-    # Flags against this floor separate code regressions from session
-    # multipliers; records without calibration (pre-r13) only feed the
-    # raw floor.
     norm_floor_q: dict[str, float] = {}
     for rp in record_paths:
         try:
             with open(rp) as f:
                 rec = json.load(f)
-                rec_q = rec.get("queries", {})
+                rec_q = dict(rec.get("queries", {}), **rec.get("extended", {}))
                 rec_cal = rec.get("calibration")
                 rec_scal = rec.get("calibration_streaming")
         except (OSError, ValueError):
@@ -545,9 +564,6 @@ def main() -> None:
             if isinstance(rec_cal, (int, float)) and rec_cal > 0
             else None
         )
-        # stream_* rows normalize by the STREAMING probe where both
-        # records carry one (r13 ask #3: micro-batch overhead moves
-        # independently of scan speed); scan-probe scale otherwise.
         scale_stream = (
             calibration_streaming / float(rec_scal)
             if isinstance(rec_scal, (int, float)) and rec_scal > 0
@@ -562,6 +578,39 @@ def main() -> None:
                     norm_floor_q[name] = min(
                         norm_floor_q.get(name, float("inf")), float(b) * s
                     )
+
+    # Extended-set tier selection (r14 verdict ask #6).
+    full_ext = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    if full_ext or only:
+        ext_names = EXTENDED
+        ext_tier = "full"
+        ext_deferred: list[str] = []
+    else:
+        top = set(
+            sorted(
+                (n for n in EXTENDED if n in floor_q),
+                key=lambda n: -floor_q[n],
+            )[:TOP_COST_N]
+        )
+        keep = top | set(EXTENDED_TOUCHED)
+        ext_names = [n for n in EXTENDED if n in keep]
+        ext_deferred = [n for n in EXTENDED if n not in keep]
+        ext_tier = f"touched+top{TOP_COST_N}"
+        print(
+            f"BENCH TIER: extended tier-1 = {len(ext_names)} queries "
+            f"(touched {len(EXTENDED_TOUCHED)} + top-{TOP_COST_N} by committed "
+            f"floor); {len(ext_deferred)} rows deferred to the "
+            f"SPARK_GRAFT_BENCH_FULL=1 anchor: {ext_deferred}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    timings, reps_used = measure(_subset(HEADLINE))
+    ext_timings, ext_reps = measure(_subset(ext_names))
+
+    total = round(sum(timings.values()), 3)
+
+    regressions: dict[str, dict[str, float]] = {}
     regressions_norm: dict[str, float] = {}
     for name, t in timings.items():
         flag: dict[str, float] = {}
@@ -598,6 +647,8 @@ def main() -> None:
             "extended": ext_timings,
             "extended_reps": ext_reps,
             "extended_total": round(sum(ext_timings.values()), 3),
+            "extended_tier": ext_tier,
+            "extended_deferred": ext_deferred,
             "regressions_vs_baseline": regressions,
             "calibration": calibration,
             "calibration_streaming": calibration_streaming,

@@ -119,22 +119,21 @@ def test_driver_window_is_first_50_and_family_complete():
     names = list(registry.QUERIES)
     assert len(registry.DRIVER_WINDOW) == 50
     assert names[: len(registry.DRIVER_WINDOW)] == registry.DRIVER_WINDOW
-    # round-14 rotation (r13 verdict ask #1): the five r14 registrations
-    # under first driver check, then the complete r6 staleness cohort
-    # and 39 of the 41 r7-stale rows
+    # round-15 rotation (r14 verdict ask #1): the five r15 registrations
+    # under first driver check, the 2 deferred r7 rows, the complete r8
+    # cohort, and the first 4 rows of the rolling r10 tier
     required = [
-        # r14 new registrations under first driver check
-        "profile_salted_join_revenue", "changepoint2_by_type",
-        "pagerank_planted_quality", "inverted_index_sharded",
-        "bpe_learned_merges16",
-        # the complete r6 staleness cohort (r13 verdict's 6)
-        "left_join_order_counts", "near_dup_clusters",
-        "q6_forecast_revenue", "semantic_dedup_pairs_fixed",
-        "source_mixture_weights", "stream_session_5m",
-        # r7 burn-down spot-checks
-        "asof_join_tolerance", "cosine_dup_pairs_lsh",
-        "kmeans_assignments_fixed", "multimodal_frames",
-        "stream_static_enrich", "winnowing_fingerprints_md5",
+        # r15 new registrations under first driver check
+        "profile_salted_rollup_by_user", "profile_salted_join_right_events",
+        "bpe_learned_merges64", "stream_late_drop_count",
+        "curation_e2e_composed",
+        # the r14 deferral, now cleared
+        "dedup_keep_best_lsh", "multimodal_video_frames",
+        # r8 cohort spot-checks
+        "bm25_search", "scd2_point_in_time_join", "stream_tumbling_1m",
+        "incremental_dedup_new_docs", "epoch_shuffle_order",
+        # the rolling r10 tier starts
+        "association_rules_parts", "benford_leading_digit",
     ]
     for name in required:
         assert name in registry.DRIVER_WINDOW, name

@@ -13,6 +13,8 @@ from iiot_data_engineering_lab_assignment_spark import (
     registry_curation_text,
     registry_graph,
     registry_similarity,
+    registry_timeseries,
+    registry_tpch,
 )
 
 FAMILY_MODULES = {
@@ -20,6 +22,8 @@ FAMILY_MODULES = {
     "graph": registry_graph.MODULE_QUERIES,
     "clustering": registry_clustering.MODULE_QUERIES,
     "curation_text": registry_curation_text.MODULE_QUERIES,
+    "tpch": registry_tpch.MODULE_QUERIES,
+    "timeseries": registry_timeseries.MODULE_QUERIES,
 }
 
 
@@ -82,3 +86,35 @@ def test_no_family_overlap_and_counts():
     assert len(FAMILY_MODULES["graph"]) == 5
     assert len(FAMILY_MODULES["clustering"]) == 4
     assert len(FAMILY_MODULES["curation_text"]) == 13
+    assert len(FAMILY_MODULES["tpch"]) == 38
+    assert len(FAMILY_MODULES["timeseries"]) == 19
+
+
+def test_deferred_family_import_registers_nothing():
+    """The r15 deferred-registration modules (tpch / timeseries) must be
+    import-safe AND side-effect-free: importing one directly collects
+    defs but registers no queries (registration happens only via
+    registry.py's position-sensitive register_run calls)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import iiot_data_engineering_lab_assignment_spark.registry_tpch as t;"
+        "from iiot_data_engineering_lab_assignment_spark.registry_core import QUERIES;"
+        "assert not (set(t.MODULE_QUERIES) & set(QUERIES));"
+        "assert set(t.MODULE_QUERIES) == set(t._DEFS);"
+        "import iiot_data_engineering_lab_assignment_spark.registry_timeseries as ts;"
+        "assert set(ts.MODULE_QUERIES) == set(ts._DEFS);"
+        "from iiot_data_engineering_lab_assignment_spark import registry;"
+        "assert set(t.MODULE_QUERIES) <= set(registry.QUERIES);"
+        "assert set(ts.MODULE_QUERIES) <= set(registry.QUERIES);"
+        "print('ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    assert out.stdout.strip() == "ok"
