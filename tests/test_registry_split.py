@@ -12,7 +12,9 @@ from iiot_data_engineering_lab_assignment_spark import (
     registry_clustering,
     registry_curation_text,
     registry_graph,
+    registry_breadth,
     registry_similarity,
+    registry_sketches,
     registry_timeseries,
     registry_tpch,
 )
@@ -24,6 +26,8 @@ FAMILY_MODULES = {
     "curation_text": registry_curation_text.MODULE_QUERIES,
     "tpch": registry_tpch.MODULE_QUERIES,
     "timeseries": registry_timeseries.MODULE_QUERIES,
+    "breadth": registry_breadth.MODULE_QUERIES,
+    "sketches": registry_sketches.MODULE_QUERIES,
 }
 
 
@@ -88,6 +92,8 @@ def test_no_family_overlap_and_counts():
     assert len(FAMILY_MODULES["curation_text"]) == 13
     assert len(FAMILY_MODULES["tpch"]) == 38
     assert len(FAMILY_MODULES["timeseries"]) == 19
+    assert len(FAMILY_MODULES["breadth"]) == 16
+    assert len(FAMILY_MODULES["sketches"]) == 7
 
 
 def test_deferred_family_import_registers_nothing():
@@ -105,6 +111,10 @@ def test_deferred_family_import_registers_nothing():
         "assert set(t.MODULE_QUERIES) == set(t._DEFS);"
         "import iiot_data_engineering_lab_assignment_spark.registry_timeseries as ts;"
         "assert set(ts.MODULE_QUERIES) == set(ts._DEFS);"
+        "import iiot_data_engineering_lab_assignment_spark.registry_breadth as br;"
+        "assert set(br.MODULE_QUERIES) == set(br._DEFS);"
+        "import iiot_data_engineering_lab_assignment_spark.registry_sketches as sk;"
+        "assert set(sk.MODULE_QUERIES) == set(sk._DEFS);"
         "from iiot_data_engineering_lab_assignment_spark import registry;"
         "assert set(t.MODULE_QUERIES) <= set(registry.QUERIES);"
         "assert set(ts.MODULE_QUERIES) <= set(registry.QUERIES);"
