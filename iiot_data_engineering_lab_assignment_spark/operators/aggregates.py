@@ -293,18 +293,25 @@ def profile_salted_rollup(
     Spark's map-side partial aggregation already absorbs most key skew —
     a hot key spread over many map tasks pre-combines before the
     shuffle.  The cases the two-stage form exists for are the ones
-    partial aggregation cannot save: (a) the map-side hash table spills
-    and falls back to sort-based aggregation (high per-map-task group
-    cardinality — each map task sees most keys once, so nothing
-    combines and the hot key's raw rows all land on one reducer), and
-    (b) holistic aggregates (exact distinct, collect_list) where
-    partial states are themselves value-sized.  The salt splits that
-    one reducer into ``salt_buckets`` and the merge stage is
-    group-cardinality-sized.  Profiling the LEADING key alone
-    over-approximates hotness for composite groupings (a hot leading
-    key salts all its subgroups) — the safe direction: extra salting
-    costs one vocabulary-sized merge, a missed hot key costs a
+    partial aggregation cannot save: engines or plans without map-side
+    combine, where the hot key's raw rows really do land on one
+    reducer.  The salt splits that reducer into ``salt_buckets`` and
+    the merge stage is group-cardinality-sized.  Profiling the LEADING
+    key alone over-approximates hotness for composite groupings (a hot
+    leading key salts all its subgroups) — the safe direction: extra
+    salting costs one vocabulary-sized merge, a missed hot key costs a
     straggler.
+
+    MEASURED on this engine (tools/adaptive_agg_probe.py, SCALE.md
+    "Round-15 adaptive-aggregation probe"): the plain one-stage rollup
+    wins on BOTH a planted 30%-share hot key (3.84 s vs 5.22 s at 40M
+    rows) and uniform keys — Spark's partial aggregation pre-combines
+    the skew away, so the adaptive form's delta is the profile pass
+    itself.  That is the opposite of the JOIN dual (r14: +22% for
+    adaptive), where reducers receive raw replicated rows.  Read
+    ``needs_salt`` on a decomposable aggregate as "partial aggregation
+    already has this"; this operator is the semantics-proven
+    decomposition for the plans that lack it.
 
     Output schema equals :func:`sensor_rollup` over
     ``[key_col, *extra_group_cols]``: the exact decimal partial sums

@@ -358,16 +358,17 @@ def test_changepoint_locates_planted_shift(spark):
         F.lit(0).alias("user_id"), F.lit(0).alias("event_id"), F.lit("").alias("props"),
     )
     import iiot_data_engineering_lab_assignment_spark.registry as reg
+    # changepoint_by_type moved to registry_timeseries (r15 split), so
+    # the loader monkeypatch targets THAT module's resolved global
+    import iiot_data_engineering_lab_assignment_spark.registry_timeseries as rts
 
-    # drive the registered plan over the synthetic frame by monkeypatching
-    # the loader for this one call
-    orig = reg.load_table
-    reg.load_table = lambda s, sf, t: ev if t == "events" else orig(s, sf, t)
+    orig = rts.load_table
+    rts.load_table = lambda s, sf, t: ev if t == "events" else orig(s, sf, t)
     try:
         out = {r["event_type"]: r for r in reg.QUERIES["changepoint_by_type"].fn(
             spark, "/root/testdata/sf0.001").collect()}
     finally:
-        reg.load_table = orig
+        rts.load_table = orig
     r = out["t"]
     assert str(r["split_day"]) == "2024-03-06"  # last day of the low segment
     assert r["days_before"] == 6 and r["days_after"] == 4

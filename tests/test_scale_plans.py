@@ -626,13 +626,16 @@ def test_bpe_pair_counts_single_corpus_shuffle(spark):
 
 
 def test_inverted_index_one_term_shuffle(spark):
-    """inverted_index_gaps: per-doc DISTINCT then one term-keyed
-    aggregate; the gap encoding is a projection over the collected
-    array, adding no exchange."""
+    """inverted_index_gaps: per-doc DISTINCT then the SHARDED-BY-DEFAULT
+    posting build (r15): (term, doc_shard) partials then the term-keyed
+    merge; the gap encoding is a projection over the merged array,
+    adding no exchange.  Three hash exchanges, bounded reducers at every
+    one — the unsharded form's single corpus-keyed collect is exactly
+    the reducer this default removes."""
     plan = plan_of(spark, "inverted_index_gaps")
     assert "Join" not in plan
-    # distinct (doc_id, term) + term aggregate: two hash exchanges
-    assert 1 <= plan.count("hashpartitioning(") <= 2
+    # distinct (doc_id, term) + (term, dsh) partials + term merge
+    assert 1 <= plan.count("hashpartitioning(") <= 3
 
 
 def test_curation_spans_pipeline_no_text_blowup(spark):

@@ -54,7 +54,10 @@ def test_gapfill_locf_semantics(spark, events):
 def test_zscore_partition_independent(spark, events):
     """DECIMAL-summed moments: identical output under different input
     partitionings (the float formula would flip low bits)."""
-    from iiot_data_engineering_lab_assignment_spark.registry import zscore_anomalies
+    # moved to the deferred-registration timeseries module (r15 split)
+    from iiot_data_engineering_lab_assignment_spark.registry_timeseries import (
+        zscore_anomalies,
+    )
 
     a = zscore_anomalies(spark, SF_DIR).collect()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
