@@ -211,3 +211,24 @@ def test_stream_late_drop_accounting_synthetic(spark, tmp_path):
     assert got["n_late_injected"] == 4
     assert got["n_absorbed"] == 40
     assert got["n_dropped"] == 4
+
+
+def test_curation_e2e_plan_shape(spark):
+    """The composed six-stage plan must carry the persist boundaries
+    (InMemoryRelation at the three reused stages) and no cartesian —
+    the 1M dress rehearsal's shape, pinned at fixture scale."""
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        curation_e2e,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curation_e2e(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persist boundaries are real
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # shards pack within budget: cum_tokens - n_tokens < (shard_id+1)*budget
+    for r in rows:
+        assert (r["cum_tokens"] - r["n_tokens"]) // 10_000 == r["shard_id"]
