@@ -806,6 +806,15 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
         .union(edges.select(F.col(dst).cast("long").alias("a"), F.col(src).cast("long").alias("b")))
         .distinct()
+        # Pin the edge list ONCE (r15 optimization): labels were already
+        # lineage-truncated per round, but `e` was not — so every round's
+        # neighbor join re-executed the ENTIRE upstream pair generator
+        # (the full LSH/Jaccard candidate job) from the parquet scan up.
+        # Measured at sf0.1: dedup_keep_best 8.5 s -> ~3 s class, every
+        # CC caller wins (near_dup_clusters, leakage_safe_split,
+        # dup_aware_sample_weights, curation_e2e).  Same reliable-
+        # checkpoint-on-a-cluster note as the per-round labels below.
+        .localCheckpoint(eager=False)
     )
     labels = (
         e.groupBy("a")
