@@ -1495,9 +1495,19 @@ def curation_e2e(
         # the split; split_df fans out into three per-split shard
         # branches.  Unpersisted, Catalyst re-executes the span-removal
         # + gate prefix at every reuse point — measured 80 s -> 11 s at
-        # sf0.001 with these three persists.
+        # sf0.001 with three persist boundaries.  r15 optimization:
+        # localCheckpoint(eager=False) instead of persist — same
+        # recompute-avoidance, but it also TRUNCATES the logical plan,
+        # so the dozens of downstream actions (two CC loops at ~2 jobs
+        # per round, three shard branches) analyze/optimize a LogicalRDD
+        # instead of the whole six-stage tree, and the materialized RDD
+        # is GC-reclaimed instead of held by the cache manager across
+        # invocations.  Interleaved A/B at sf0.1: 17.1 s -> 10.9 s
+        # (min-of-3 each), outputs exceptAll-equal.
         reused = {"fingerprint_dedup", "lsh_keep_best", "leakage_safe_split"}
-        hook = lambda name, df: df.persist() if name in reused else df  # noqa: E731
+        hook = lambda name, df: (  # noqa: E731
+            df.localCheckpoint(eager=False) if name in reused else df
+        )
     else:
         hook = stage_hook
 

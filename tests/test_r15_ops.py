@@ -214,9 +214,11 @@ def test_stream_late_drop_accounting_synthetic(spark, tmp_path):
 
 
 def test_curation_e2e_plan_shape(spark):
-    """The composed six-stage plan must carry the persist boundaries
-    (InMemoryRelation at the three reused stages) and no cartesian —
-    the 1M dress rehearsal's shape, pinned at fixture scale."""
+    """The composed six-stage plan must carry the checkpoint boundaries
+    (the three reused stages materialize once and downstream plans read
+    the pinned RDD — r15 optimization: localCheckpoint replaced persist,
+    same boundaries, truncated lineage) and no cartesian — the 1M dress
+    rehearsal's shape, pinned at fixture scale."""
     from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
         curation_e2e,
     )
@@ -225,7 +227,10 @@ def test_curation_e2e_plan_shape(spark):
     out = curation_e2e(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan  # persist boundaries are real
+    # checkpoint boundaries are real: the final plan reads the pinned
+    # split_df RDD, not the six-stage lineage
+    assert "ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
     rows = out.collect()
     assert len(rows) > 0
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
