@@ -274,7 +274,20 @@ EXTENDED = [
 #: cost holds flat.  Deferred rows are logged to stderr and counted in
 #: the record (no silent caps).
 EXTENDED_TOUCHED = [
-    # r15 registrations + the rows whose default build changed in r15
+    # r15 OPTIMIZATION round: rows whose code paths changed (results
+    # identical, driver-gated) — the connected-components edge pinning,
+    # the curation checkpoint boundaries, the survivor-set pinning ahead
+    # of token_budget_shards, and the debounce mapInPandas rewrite.
+    "dedup_keep_best",
+    "dedup_keep_best_lsh",
+    "leakage_safe_split",
+    "dup_aware_sample_weights",
+    "incremental_dedup_new_docs",
+    "incremental_semantic_dedup_fixed",
+    "fuzzy_match_documents",
+    "corpus_curation_pipeline_spans",
+    "debounce_alerts",
+    # r15-build registrations + rows whose default build changed in r15
     "profile_salted_rollup_by_user",
     "profile_salted_join_right_events",
     "bpe_learned_merges64",
