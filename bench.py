@@ -298,6 +298,38 @@ EXTENDED_TOUCHED = [
 TOP_COST_N = 20
 
 
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the fixture generation under ``sf_dir``
+    (r15 verdict ask #2): the driver REGENERATES /root/testdata between
+    rounds and the physical layout can change (the events.ts column has
+    shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)), which made
+    committed per-query floors recorded on one layout fire regression
+    flags against runs on another.  Each BENCH record now carries this
+    fingerprint and the floor/latest/normalized comparisons only use
+    SAME-GENERATION records; tier selection (a relative cost ranking)
+    still uses every record.  The hash covers each parquet file's name,
+    size and trailing 64 KiB (the footer: schema, row-group metadata and
+    column statistics), so a byte-identical regeneration keeps the same
+    fingerprint (mtime alone would not) while any layout or content
+    change rolls it.  Flags reproduce only for real code regressions."""
+    import glob as _glob
+    import hashlib
+
+    h = hashlib.sha256()
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        try:
+            size = os.path.getsize(p)
+            with open(p, "rb") as f:
+                f.seek(max(0, size - 65536))
+                tail = f.read()
+        except OSError:
+            continue
+        h.update(os.path.basename(p).encode())
+        h.update(str(size).encode())
+        h.update(tail)
+    return h.hexdigest()[:16]
+
+
 def _materialize(df) -> None:
     """Execute the full plan with every output column computed: the noop
     sink consumes all columns, so Catalyst cannot prune the payload the
@@ -560,9 +592,19 @@ def main() -> None:
         import glob as _glob
 
         record_paths = sorted(_glob.glob(os.path.join(here, "BENCH_local_r*.json")))
+    # Fixture-generation keying (r15 verdict ask #2): regression flags
+    # (vs_floor / vs_latest / normalized) compare ONLY against records of
+    # the SAME fixture generation — cross-generation floors were the
+    # r12-r15 whipsaw (a regenerated layout flagging untouched queries).
+    # cost_q (the tier-selection ranking) keeps using every record:
+    # relative expensiveness is robust across generations, and a fresh
+    # generation must not collapse tier-1 to the touched set alone.
+    fixture_fp = _fixture_fingerprint(sf_dir)
+    cost_q: dict[str, float] = {}
     floor_q: dict[str, float] = {}
     latest_q: dict[str, float] = {}
     norm_floor_q: dict[str, float] = {}
+    n_same_gen = 0
     for rp in record_paths:
         try:
             with open(rp) as f:
@@ -572,6 +614,8 @@ def main() -> None:
                 rec_scal = rec.get("calibration_streaming")
         except (OSError, ValueError):
             continue
+        same_gen = rec.get("fixture_fingerprint") == fixture_fp
+        n_same_gen += 1 if same_gen else 0
         scale = (
             calibration / float(rec_cal)
             if isinstance(rec_cal, (int, float)) and rec_cal > 0
@@ -584,6 +628,9 @@ def main() -> None:
         )
         for name, b in rec_q.items():
             if isinstance(b, (int, float)) and b > 0:
+                cost_q[name] = min(cost_q.get(name, float("inf")), float(b))
+                if not same_gen:
+                    continue
                 floor_q[name] = min(floor_q.get(name, float("inf")), float(b))
                 latest_q[name] = float(b)  # paths sorted: last wins
                 s = scale_stream if name.startswith("stream_") else scale
@@ -591,6 +638,15 @@ def main() -> None:
                     norm_floor_q[name] = min(
                         norm_floor_q.get(name, float("inf")), float(b) * s
                     )
+    if not n_same_gen:
+        print(
+            f"BENCH FLOORS: no committed record matches fixture generation "
+            f"{fixture_fp} ({len(record_paths)} records are cross-generation); "
+            f"regression flags disabled for this run — commit a "
+            f"same-generation anchor to re-arm them",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # Extended-set tier selection (r14 verdict ask #6).
     full_ext = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
@@ -601,8 +657,8 @@ def main() -> None:
     else:
         top = set(
             sorted(
-                (n for n in EXTENDED if n in floor_q),
-                key=lambda n: -floor_q[n],
+                (n for n in EXTENDED if n in cost_q),
+                key=lambda n: -cost_q[n],
             )[:TOP_COST_N]
         )
         keep = top | set(EXTENDED_TOUCHED)
@@ -666,6 +722,8 @@ def main() -> None:
             "calibration": calibration,
             "calibration_streaming": calibration_streaming,
             "regressions_normalized": regressions_norm,
+            "fixture_fingerprint": fixture_fp,
+            "n_same_generation_records": n_same_gen,
             "sf": sf,
         }
     )

@@ -724,9 +724,15 @@ def triangle_counts(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # explode, not unionAll (r16, guide §7.3): a union of N projections
+    # of the same subtree plants N full COPIES of it in the plan — the
+    # broadcast-join-heavy subtrees here carry no Exchange for runtime
+    # reuse to deduplicate, so each leg re-executed the whole upstream
+    # (and tripled analysis cost: the composed query's plan was 568 KB /
+    # 360 scans before, 1/3 of that after).  One explode pass emits the
+    # same multiset of rows from a single subtree execution.
     deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
+        e0.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
@@ -761,11 +767,8 @@ def triangle_counts(
             F.col("o2.dst").alias("n3"),
         )
     )
-    corners = (
-        tri.select(F.col("n1").alias("node"))
-        .unionAll(tri.select(F.col("n2").alias("node")))
-        .unionAll(tri.select(F.col("n3").alias("node")))
-    )
+    # one explode pass over tri instead of a 3-leg union — see deg above
+    corners = tri.select(F.explode(F.array("n1", "n2", "n3")).alias("node"))
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -803,8 +806,28 @@ def connected_components(
     re-implementing the loop.
     """
     e = (
-        edges.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
-        .union(edges.select(F.col(dst).cast("long").alias("a"), F.col(src).cast("long").alias("b")))
+        # explode, not a 2-leg union (r16, guide §7.3): each union leg
+        # embedded its own copy of the upstream pair generator — runtime
+        # exchange reuse covers the pre-exchange stages, but the
+        # verify-join tail after the last exchange executed once per
+        # leg; one explode pass emits both edge directions from a
+        # single execution (interleaved A/B at sf0.1: 5.62 -> 5.17 s
+        # min-of-4 on the jaccard-pairs closure, outputs identical).
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).cast("long").alias("a"),
+                        F.col(dst).cast("long").alias("b"),
+                    ),
+                    F.struct(
+                        F.col(dst).cast("long").alias("a"),
+                        F.col(src).cast("long").alias("b"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
         # Pin the edge list ONCE (r15 optimization): labels were already
         # lineage-truncated per round, but `e` was not — so every round's
@@ -820,7 +843,11 @@ def connected_components(
         e.groupBy("a")
         .agg(F.min("b").alias("mb"))
         .select(F.col("a").alias("node"), F.least("a", "mb").alias("comp"))
-        .localCheckpoint()
+        # eager=False (r16): the convergence sum below is the loop's
+        # materializing action, so the checkpoint rides that job instead
+        # of running one of its own — the r15 form paid 2 jobs per round
+        # (eager checkpoint + sum); this form pays 1.
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     if stats is not None:
@@ -840,11 +867,20 @@ def connected_components(
         labels = (
             lab1.join(parent, lab1["comp"] == parent["p_node"], "left")
             .select("node", F.coalesce("p_comp", F.col("comp")).alias("comp"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
         if stats is not None:
             stats["rounds"] = _round + 1
+        # The convergence sum doubles as the checkpoint's materializing
+        # action (eager=False above): one job per round where the r15
+        # form paid two.  Checking only every 2nd round was A/B'd and
+        # REJECTED: this corpus's label vector converges in ONE round
+        # (small clusters reach their min label immediately, and pointer
+        # jumping keeps rounds ~log(diameter) at any scale), so a
+        # skipped check buys nothing and costs one full wasted
+        # join round — measured 23 jobs / 5.53 s vs 18 jobs / 4.72 s
+        # interleaved min-of-4 at sf0.1.
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
             if stats is not None:
                 stats["converged"] = True

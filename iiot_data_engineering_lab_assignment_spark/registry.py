@@ -6874,11 +6874,11 @@ def triangle_parts_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
         .select("x", "y", "z")
     )
-    member = (
-        tri.select(F.col("x").alias("part"))
-        .unionAll(tri.select(F.col("y").alias("part")))
-        .unionAll(tri.select(F.col("z").alias("part")))
-    )
+    # explode, not a 3-leg union (r16, guide §7.3): each union leg
+    # re-executed the two triangle joins — the pinned edge RDD feeds the
+    # joins, but the join work itself carries no Exchange for runtime
+    # reuse; one explode pass emits the same corner multiset.
+    member = tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
     return (
         member.groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -8398,19 +8398,28 @@ def debounce_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _debounce_scan(batches):
         import numpy as np
 
-        last_user, last_ts = None, 0
+        last_user, last_ts, started = None, 0, False
         cooldown_ns = 6 * 3600 * 1_000_000_000
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             users = pdf["user_id"].values
+            # NULL user_ids coerce the pandas column to float64/NaN and
+            # NaN != NaN would restart state per row (r15 ADVICE); map
+            # nulls to one shared key so they form a single group — the
+            # original applyInPandas groupBy semantics (hash
+            # partitioning and nulls-first sorting already keep them
+            # contiguous in one partition).
+            nulls = pdf["user_id"].isna().values
             ts = pdf["ts"].values.astype("datetime64[ns]").astype("int64")
             keep = np.zeros(len(ts), dtype=bool)
             for i in range(len(ts)):
-                if users[i] != last_user:
-                    last_user = users[i]
+                u = None if nulls[i] else users[i]
+                if not started or u != last_user:
+                    last_user = u
                     last_ts = ts[i]
                     keep[i] = True
+                    started = True
                 elif ts[i] >= last_ts + cooldown_ns:
                     last_ts = ts[i]
                     keep[i] = True

@@ -96,6 +96,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Read parquet TIMESTAMP(isAdjustedToUTC=false) as TimestampType
+        # (pre-3.4 behavior), not TIMESTAMP_NTZ: the engine normalizes all
+        # event time to TimestampType under the UTC session timezone, and
+        # inferring NTZ only forced a per-row cast above every events scan
+        # (sources.readers applies the same conf defensively for
+        # externally-built sessions).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

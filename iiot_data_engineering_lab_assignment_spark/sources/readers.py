@@ -48,7 +48,8 @@ _NANOS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 #: the scan itself, and every byte of data, is still read from parquet on
 #: every execution (this memoizes METADATA, never results or plans).
 #: Inference runs under the confs ``_ensure_session_confs`` pins
-#: (nanosAsLong, UTC), so the inferred schema is session-invariant.
+#: (nanosAsLong, UTC, inferTimestampNTZ=false), so the inferred schema is
+#: session-invariant.
 _SCHEMA_MEMO: dict[tuple[str, int], StructType] = {}
 
 
@@ -56,7 +57,12 @@ def _table_schema(spark: SparkSession, path: str) -> StructType:
     try:
         import os
 
-        key = (path, os.stat(path).st_mtime_ns)
+        st = os.stat(path)
+        # size joins mtime_ns in the key (r15 ADVICE: a restore with
+        # preserved mtimes — cp -p / rsync -t — could otherwise serve a
+        # stale schema); fixtures are single files, so one stat covers
+        # the dataset.
+        key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
         key = None
     if key is not None and key in _SCHEMA_MEMO:
@@ -77,6 +83,19 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        # r16 optimization (guide §6: make the scan produce the type the
+        # engine needs, instead of casting per row above it): the fixture
+        # generator's TIMESTAMP(MICROS) layout carries
+        # isAdjustedToUTC=false, which Spark >= 3.4 infers as
+        # TIMESTAMP_NTZ; the engine contract downstream (unix_micros
+        # arithmetic, streaming watermarks) is TimestampType, so every
+        # consumer paid a per-row cast(ts as timestamp) above the scan.
+        # Disabling NTZ inference restores the pre-3.4 behavior — the
+        # same micros-since-epoch int64 arrives AS TimestampType at the
+        # scan — which under the UTC session timezone is value-identical
+        # to the cast (driver-gated).  Predicate pushdown is unchanged
+        # (bounds compare on the stored type either way).
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)

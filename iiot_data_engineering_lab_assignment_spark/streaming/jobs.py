@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import ROLLUP_AGGS
 from ..session import scratch_dir
-from ..sources.readers import _ensure_session_confs
+from ..sources.readers import _ensure_session_confs, _table_schema
 
 __all__ = [
     "events_file_stream",
@@ -67,7 +67,10 @@ def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     converted exactly like the batch reader."""
     _ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    # Memoized footer read (r16: the batch reader's (path, mtime_ns)
+    # schema memo, extended to the stream source) — every stream_* bench
+    # rep paid a fresh driver-side inference here.
+    schema = _table_schema(spark, path)
     # The file-stream source needs a directory to monitor; the fixture is a
     # single file, so stage a symlink under a temp dir (zero copy).
     stage = Path(scratch_dir("events_stream_"))
