@@ -274,13 +274,23 @@ def minhash_signatures(
     signatures reflect informative content only.
     """
     post = _cap_postings(shingles(docs, n, text_col, id_col), max_shingle_df)
+    # F.expr per hash instead of nested Column calls (r16, guide
+    # §7.3-class driver cost): the 32-agg signature tree cost hundreds
+    # of py4j round trips per DataFrame construction; one parse call per
+    # aggregate builds the identical expression (integer seed literal,
+    # same min(xxhash64(shingle, i)) tree — A/B exceptAll-checked).
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.expr(f"min(xxhash64(shingle, {i})) AS h{i}")
         for i in range(num_hashes)
     ]
     sig = post.groupBy(id_col).agg(*aggs)
     return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+        F.col(id_col),
+        F.expr(
+            "array({})".format(
+                ", ".join(f"h{i}" for i in range(num_hashes))
+            )
+        ).alias("signature"),
     )
 
 
@@ -313,22 +323,21 @@ def minhash_lsh_pairs(
         )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, n, text_col, id_col, max_shingle_df)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("signature", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
+    # single-parse band array (r16): same named_struct/xxhash64/concat_ws
+    # tree as the Column form, one F.expr call instead of ~100 py4j ones
+    band_cols = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {els})))".format(
+                    b=b,
+                    els=", ".join(
+                        f"element_at(signature, {b * rows_per_band + r + 1})"
+                        for r in range(rows_per_band)
+                    ),
+                )
+                for b in range(bands)
             )
-            for b in range(bands)
-        ]
+        )
     )
     buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -436,26 +445,28 @@ def _md5_band_buckets(
         )
     rows_per_band = num_hashes // bands
     post = shingles(docs, n, text_col, id_col)
+    # F.expr per hash / single-parse band array (r16) — identical trees
+    # to the Column form, a fraction of the py4j round trips; see
+    # minhash_signatures
     aggs = [
-        F.min(
-            F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))), 1, 16)
-        ).alias(f"h{i}")
+        F.expr(
+            f"min(substring(md5(concat_ws(':', '{i}', shingle)), 1, 16)) AS h{i}"
+        )
         for i in range(num_hashes)
     ]
     sig = post.groupBy(id_col).agg(*aggs)
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                ).alias("bucket"),
+    band_cols = F.expr(
+        "array({})".format(
+            ", ".join(
+                "named_struct('band', {b}, 'bucket', md5(concat_ws('|', {els})))".format(
+                    b=b,
+                    els=", ".join(
+                        f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+                    ),
+                )
+                for b in range(bands)
             )
-            for b in range(bands)
-        ]
+        )
     )
     buckets = sig.select(F.col(id_col), F.explode(band_cols).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")

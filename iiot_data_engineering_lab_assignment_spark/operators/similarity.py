@@ -588,16 +588,30 @@ def assign_cells(
     parameters, never shuffle data to them).  argmin via array_min over
     (dist, cell) structs — lexicographic struct ordering gives the
     deterministic lowest-cell tiebreak."""
-    e = _as_double(F.col(emb_col))
-    vnorm = dot(e, e)
+    # one F.expr parse instead of the k x d py4j literal tree (r16 —
+    # same move as _pq_assign_sql; text reproduces the Column form's
+    # arithmetic exactly, so assignments are bit-identical)
+    v = f"transform(`{emb_col}`, x -> cast(x as double))"
+    vnorm = (
+        f"aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0.0D, "
+        f"(acc, x) -> acc + x)"
+    )
     entries = []
     for cell, c in sorted(cents.items()):
-        carr = F.array(*[F.lit(float(x)) for x in c])
+        carr = f"array({', '.join(_dbl(x) for x in c)})"
         cnorm = float(sum(x * x for x in c))
-        d2 = vnorm - F.lit(2.0) * dot(e, carr) + F.lit(cnorm)
-        entries.append(F.struct(d2.alias("d2"), F.lit(cell).alias("cell")))
-    best = F.array_min(F.array(*entries))
-    return embeddings.select(F.col(id_col), F.col(emb_col), best["cell"].alias("cell"))
+        dotvc = (
+            f"aggregate(zip_with({v}, {carr}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        entries.append(
+            f"named_struct('d2', {vnorm} - 2.0D * {dotvc} + {_dbl(cnorm)}, "
+            f"'cell', {cell})"
+        )
+    best = f"array_min(array({', '.join(entries)})).cell"
+    return embeddings.select(
+        F.col(id_col), F.col(emb_col), F.expr(best).alias("cell")
+    )
 
 
 def kmeans_train(
@@ -1037,7 +1051,6 @@ def pq_codebook_train(
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     book = pq_codebook(embeddings, n_codes, m, id_col, emb_col)
-    e = _as_double(F.col(emb_col))
     for _ in range(iters):
         if gemm:
             assigned = _gemm_assign_values(embeddings, book, emb_col)
@@ -1062,29 +1075,10 @@ def pq_codebook_train(
                 for s2, d2 in new.items()
             }
             continue
-        per_sub = []
-        for s, cents in sorted(book.items()):
-            dsub = len(cents[0][1])
-            v = F.slice(e, s * dsub + 1, dsub)
-            vnorm = dot(v, v)
-            entries = []
-            for code, c in cents:
-                carr = F.array(*[F.lit(float(x)) for x in c])
-                cnorm = float(sum(x * x for x in c))
-                d2 = vnorm - F.lit(2.0) * dot(v, carr) + F.lit(cnorm)
-                entries.append(
-                    F.struct(d2.alias("d2"), F.lit(code).alias("code"))
-                )
-            best = F.array_min(F.array(*entries))
-            per_sub.append(
-                F.struct(
-                    F.lit(s).alias("sub_idx"),
-                    best["code"].alias("code"),
-                    v.alias("v"),
-                )
-            )
         assigned = embeddings.select(
-            F.explode(F.array(*per_sub)).alias("a")
+            F.expr(_pq_assign_sql(book, emb_col, with_subvector=True)).alias(
+                "a"
+            )
         ).select(
             F.col("a.sub_idx").alias("sub_idx"),
             F.col("a.code").alias("code"),
@@ -1113,6 +1107,59 @@ def pq_codebook_train(
     return book
 
 
+def _dbl(x: float) -> str:
+    """SQL double literal with exact round-trip value: repr() is the
+    shortest digits that reparse to the same IEEE double, and the 'D'
+    suffix keeps the parser from typing plain decimals as DECIMAL."""
+    return f"{float(x)!r}D"
+
+
+def _pq_assign_sql(
+    codebook: dict[int, list[tuple[int, list[float]]]],
+    emb_col: str,
+    with_subvector: bool = False,
+) -> str:
+    """The per-subspace nearest-code assignment as ONE SQL expression
+    string (r16, guide §7.3-class driver cost): the Column-API form of
+    this m x k literal tree cost ~1-2 s of py4j round trips per
+    DataFrame construction (hundreds of lit/struct/lambda calls), paid
+    on every bench repetition and every job submission; one F.expr
+    parse is a single JVM call.  The TEXT reproduces the Column tree's
+    arithmetic exactly — same slice/zip_with/aggregate fold, same
+    ((vnorm - 2.0*dot) + cnorm) association, same (d2, code) struct
+    argmin with the lowest-code tiebreak — so results are bit-identical
+    (A/B exceptAll-checked; the pq rows are oracle-value-hashed).
+    Returns `explode(array(<m named_structs>))`; each struct carries
+    (sub_idx, code[, v] when ``with_subvector``)."""
+    subs = []
+    for s, cents in sorted(codebook.items()):
+        dsub = len(cents[0][1])
+        v = (
+            f"slice(transform(`{emb_col}`, x -> cast(x as double)), "
+            f"{s * dsub + 1}, {dsub})"
+        )
+        vnorm = (
+            f"aggregate(zip_with({v}, {v}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+        entries = []
+        for code, c in cents:
+            carr = f"array({', '.join(_dbl(x) for x in c)})"
+            cnorm = float(sum(x * x for x in c))
+            dotvc = (
+                f"aggregate(zip_with({v}, {carr}, (x, y) -> x * y), 0.0D, "
+                f"(acc, x) -> acc + x)"
+            )
+            d2 = f"{vnorm} - 2.0D * {dotvc} + {_dbl(cnorm)}"
+            entries.append(f"named_struct('d2', {d2}, 'code', {code})")
+        best = f"array_min(array({', '.join(entries)}))"
+        fields = f"'sub_idx', {s}, 'code', {best}.code"
+        if with_subvector:
+            fields += f", 'v', {v}"
+        subs.append(f"named_struct({fields})")
+    return f"explode(array({', '.join(subs)}))"
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebook: dict[int, list[tuple[int, list[float]]]],
@@ -1129,24 +1176,8 @@ def pq_encode(
     deterministic lowest-code tiebreak.  Output is the long form
     (id, sub_idx, code) so a SQL oracle can value-check every code.
     """
-    e = _as_double(F.col(emb_col))
-    per_sub = []
-    for s, cents in sorted(codebook.items()):
-        dsub = len(cents[0][1])
-        v = F.slice(e, s * dsub + 1, dsub)
-        vnorm = dot(v, v)
-        entries = []
-        for code, c in cents:
-            carr = F.array(*[F.lit(float(x)) for x in c])
-            cnorm = float(sum(x * x for x in c))
-            d2 = vnorm - F.lit(2.0) * dot(v, carr) + F.lit(cnorm)
-            entries.append(F.struct(d2.alias("d2"), F.lit(code).alias("code")))
-        best = F.array_min(F.array(*entries))
-        per_sub.append(
-            F.struct(F.lit(s).alias("sub_idx"), best["code"].alias("code"))
-        )
     return embeddings.select(
-        F.col(id_col), F.explode(F.array(*per_sub)).alias("sc")
+        F.col(id_col), F.expr(_pq_assign_sql(codebook, emb_col)).alias("sc")
     ).select(
         id_col,
         F.col("sc.sub_idx").cast("int").alias("sub_idx"),
