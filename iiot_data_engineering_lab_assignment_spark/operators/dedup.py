@@ -1392,7 +1392,19 @@ def duplicate_spans(
         "pos",
         "fp",
         (F.col(id_col) * F.lit(1 << 20) + F.col("pos")).alias("ord"),
-    )
+        # Pin the k-gram position table (r16, guide §5): occ feeds both
+        # the firsts aggregate and the join below, and the two consumers
+        # cannot share an exchange (the aggregate partial-aggregates
+        # before its exchange), so the whole tokenize+explode+hash pass
+        # ran TWICE per invocation.  r15 left this recompute-side on a
+        # rebuild-vs-exec argument; the direct interleaved A/B says pin:
+        # 4.08 -> 2.33 s at sf0.1 and 2.42 -> 2.01 s on a 3x corpus
+        # (min-of-4 each, outputs identical).  At cluster scale the
+        # materialization is local-disk-backed (the same bytes already
+        # hit disk twice as shuffle output either way); use a reliable
+        # checkpoint dir where fault-tolerance of the intermediate
+        # matters.
+    ).localCheckpoint(eager=False)
     # only fingerprints occurring MORE than once can mark an occurrence
     # redundant, so the firsts table keeps just those — the join's build
     # side shrinks from all-distinct-grams to the (typically few-%)
