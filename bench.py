@@ -274,10 +274,18 @@ EXTENDED = [
 #: cost holds flat.  Deferred rows are logged to stderr and counted in
 #: the record (no silent caps).
 EXTENDED_TOUCHED = [
-    # r15 OPTIMIZATION round: rows whose code paths changed (results
-    # identical, driver-gated) — the connected-components edge pinning,
-    # the curation checkpoint boundaries, the survivor-set pinning ahead
-    # of token_budget_shards, and the debounce mapInPandas rewrite.
+    # r16 OPTIMIZATION round: rows whose code paths changed (results
+    # identical, driver-gated) — the triangle/CC explode-not-union
+    # rewrites, the duplicate_spans k-gram pin, the PQ/kmeans/minhash
+    # single-parse expression construction, and the CC loop's fused
+    # checkpoint+convergence action.  (The NTZ-at-the-scan change
+    # touches every events consumer; those live in the headline set.)
+    "triangle_counts_copurchase",
+    "curation_e2e_composed",
+    "corpus_curation_pipeline_spans",
+    "exact_substring_spans",
+    "exact_substring_dedup",
+    "dup_span_coverage",
     "dedup_keep_best",
     "dedup_keep_best_lsh",
     "leakage_safe_split",
@@ -285,15 +293,18 @@ EXTENDED_TOUCHED = [
     "incremental_dedup_new_docs",
     "incremental_semantic_dedup_fixed",
     "fuzzy_match_documents",
-    "corpus_curation_pipeline_spans",
+    "lsh_topk",
+    "pq_codes_fixed",
+    "pq_codes_trained",
+    "pq_adc_topk_trained",
+    "pq_adc_knn_trained",
+    "pq_recall_trained_vs_exact",
+    "ivf_pq_topk",
+    "ivf_pq_topk_stored",
+    "kmeans_assignments_fixed",
+    "kmeans_centroids_fixed",
+    "kmeans_inertia_fixed",
     "debounce_alerts",
-    # r15-build registrations + rows whose default build changed in r15
-    "profile_salted_rollup_by_user",
-    "profile_salted_join_right_events",
-    "bpe_learned_merges64",
-    "curation_e2e_composed",
-    "inverted_index_gaps",  # inverted_index_postings default now sharded
-    "inverted_index_sharded",
 ]
 TOP_COST_N = 20
 

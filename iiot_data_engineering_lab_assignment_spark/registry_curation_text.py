@@ -16,6 +16,26 @@ from .operators.text import quality_score
 from .registry_core import register
 from .sources.readers import load_table
 
+
+def build_survivor_set(docs: DataFrame) -> DataFrame:
+    """The curation flagship's survivor-set prefix — span removal (k=8,
+    min_span=50, gap=8) -> empty-doc drop -> quality gate (>= 0.5 over
+    the CLEANED text) -> md5-fingerprint exact dedup keep-first — as ONE
+    shared builder (r15 ADVICE #3): corpus_curation_pipeline_spans_q
+    pins this set ahead of the shard stage, and the plan test asserts
+    the span-stage invariants on the SAME unpinned prefix, so a
+    parameter drift in the registered query cannot silently outrun the
+    test's hand-rebuilt copy."""
+    from .operators.dedup import exact_dedup_keep_first_fp, remove_duplicate_spans
+
+    clean = (
+        remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .filter(F.col("text") != "")
+    )
+    gated = quality_score(clean).filter(F.col("quality_score") >= 0.5)
+    return exact_dedup_keep_first_fp(gated.select("doc_id", "text"))
+
 __all__ = ["MODULE_QUERIES"]
 
 #: registration order within this module (order-preserving anchor)
@@ -211,24 +231,15 @@ def corpus_curation_pipeline_spans_q(spark: SparkSession, sf_dir: str) -> DataFr
     one fingerprint aggregate (spans), then the flagship pipeline's
     fingerprint-keyed shuffle; nothing quadratic, no raw-text shuffle
     beyond the span stage's own."""
-    from .operators.dedup import exact_dedup_keep_first_fp, remove_duplicate_spans
     from .operators.text import token_budget_shards
 
     docs = load_table(spark, sf_dir, "documents")
-    clean = (
-        remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
-        .select("doc_id", F.col("clean_text").alias("text"))
-        .filter(F.col("text") != "")
-    )
-    gated = quality_score(clean).filter(F.col("quality_score") >= 0.5)
     # Pin the survivor set (r15 optimization): token_budget_shards derives
     # its bucket span from an EAGER bounds aggregate over its input, and
     # its two-pass prefix sum references the input twice more — unpinned,
     # the whole span-removal + gate + dedup prefix executed three times
     # per run (10.2 s -> 4.9 s at sf0.1, outputs exceptAll-equal).
-    deduped = exact_dedup_keep_first_fp(
-        gated.select("doc_id", "text")
-    ).localCheckpoint(eager=False)
+    deduped = build_survivor_set(docs).localCheckpoint(eager=False)
     return token_budget_shards(deduped, budget=10_000)
 
 

@@ -651,27 +651,17 @@ def test_curation_spans_pipeline_no_text_blowup(spark):
     assert "ExistingRDD" in plan  # the pinned survivor boundary is real
 
     # span-stage invariants, asserted on the prefix the checkpoint hides
-    from pyspark.sql import functions as F
-
-    from iiot_data_engineering_lab_assignment_spark.operators.dedup import (
-        exact_dedup_keep_first_fp,
-        remove_duplicate_spans,
-    )
-    from iiot_data_engineering_lab_assignment_spark.operators.text import (
-        quality_score,
+    # — via the SAME builder the registered query pins (r15 ADVICE #3:
+    # a hand-rebuilt copy could silently drift from the query's params)
+    from iiot_data_engineering_lab_assignment_spark.registry_curation_text import (
+        build_survivor_set,
     )
     from iiot_data_engineering_lab_assignment_spark.sources.readers import (
         load_table,
     )
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    clean = (
-        remove_duplicate_spans(docs, k=8, min_span=50, gap=8)
-        .select("doc_id", F.col("clean_text").alias("text"))
-        .filter(F.col("text") != "")
-    )
-    gated = quality_score(clean).filter(F.col("quality_score") >= 0.5)
-    prefix = exact_dedup_keep_first_fp(gated.select("doc_id", "text"))
+    docs = load_table(spark, SF_DIR, "documents")
+    prefix = build_survivor_set(docs)
     pplan = prefix._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in pplan
     assert "partial_min" in pplan  # the min(doc*2^20+pos) fp aggregate
