@@ -30,6 +30,14 @@ def test_dim_chain_broadcasts(spark):
 
 
 def test_time_range_reaches_parquet_stats(spark):
+    # The session-scoped `events` fixture caches load_table's output, and
+    # since the reader produces a BARE TimestampType scan on this fixture
+    # layout (r16: NTZ inference off, no cast projection), the cache
+    # manager substitutes InMemoryTableScan into any query containing the
+    # matching subtree — hiding the parquet PushedFilters this test
+    # exists to assert.  Clear the cache so the plan shows the real scan
+    # (later fixture uses recompute from the tiny sf0.001 file).
+    spark.catalog.clearCache()
     plan = plan_of(spark, "filter_user_time_range")
     assert "GreaterThanOrEqual(ts," in plan
     assert "LessThan(ts," in plan
